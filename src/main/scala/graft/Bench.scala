@@ -1,24 +1,60 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON line
+  * on stdout. Timings are per-query wall seconds of a full execution
+  * (result .count() materializes the whole plan). A JVM/codegen warmup
+  * pass on a small query runs first so measured numbers reflect steady
+  * state, as they would on a long-lived cluster.
+  */
 object Bench {
+
+  /** Headline set: the flagship + the heaviest operator per family
+    * (self-join window, star join, decorrelated join, time buckets,
+    * two-level agg, z-score scan, event windows, MinHash LSH, cosine
+    * top-k, LSH ANN).
+    */
+  val headline: Seq[String] = Seq(
+    "q01_readmission_rate",
+    "q02_star_join_revenue",
+    "q13_scalar_subquery_counts",
+    "q20_monthly_buckets",
+    "q22_agg_of_agg",
+    "q24_zscore_outliers",
+    "q36_event_tumbling",
+    "q45_minhash_lsh_neardup",
+    "q47_cosine_topk",
+    "q48_ann_lsh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries
+    // Warmup: JIT + codegen + parquet footer caches.
+    try qs("q03_eq_range_filter")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { qs(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A verified query: a Spark DataFrame builder plus (optionally) the
+  * equivalent ANSI SQL the driver runs under DuckDB as the correctness
+  * oracle. Column names MUST match between the two (the driver's compare
+  * sorts columns by name before hashing).
+  */
+final case class Q(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Q {
+
+  /** Deterministic-aggregation conventions shared by every verified query
+    * (SURVEY.md §7.3): double sums are order-sensitive under shuffle, so
+    * verified sums go through DECIMAL(18,2) (exact, associative) and come
+    * back as DOUBLE; averages divide an exact decimal sum by a count;
+    * genuinely floating aggregates (stddev, corr, percentile) are rounded.
+    */
+  def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact sum of a money-like double column, returned as double. */
+  def sumMoney(c: Column): Column = sum(money(c)).cast("double")
+
+  /** Order-insensitive mean of a money-like double column. Deliberately
+    * NOT rounded: the numerator is an exact decimal and IEEE division is
+    * bit-deterministic, so both engines produce the identical double —
+    * whereas rounding would systematically land on .xx5 half-cent
+    * boundaries (exact cents / small counts) where Spark (HALF_UP on the
+    * shortest string repr) and DuckDB (round on the exact binary value)
+    * disagree.
+    */
+  def avgMoney(c: Column): Column =
+    sum(money(c)).cast("double") / count(c)
+
+  /** Oracle-side equivalents (DuckDB SQL fragments). */
+  def oSum(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"
+  def oAvg(col: String): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE) / COUNT($col)"
+}

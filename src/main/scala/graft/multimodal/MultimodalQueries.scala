@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder-prompt training-data extension):
+  * media (image/audio/video) travel as opaque `binary` columns with
+  * typed metadata; decode / feature-extraction runs as a per-partition
+  * batch transform over the typed Dataset (the Scala analog of
+  * mapInPandas — one iterator per partition, no per-row driver calls,
+  * schema declared by case-class Encoders).
+  *
+  * The actual media codec is STUBBED (this container has no image/audio
+  * libraries — see decodeStub below): the stub is a deterministic fake
+  * so the Spark-side plumbing — binary schema, partition batching,
+  * feature schema, downstream aggregation — is real and verified.
+  */
+object MultimodalQueries {
+
+  /** Opaque media payload + metadata (what a real pipeline would read
+    * from e.g. parquet with a binary column per image).
+    */
+  final case class MediaRecord(doc_id: Long, source: String, payload: Array[Byte])
+
+  /** Typed decode output. */
+  final case class MediaFeatures(
+      doc_id: Long, source: String,
+      n_bytes: Long, n_frames: Long, header_sum: Long)
+
+  /** STUB DECODER — stands in for a real image/audio decode (e.g.
+    * JPEG dimensions, audio frame count). Deterministic on the payload
+    * bytes so the pipeline is verifiable: frame count models a
+    * 256-byte frame size; header_sum models a header checksum over the
+    * first 16 bytes. Swap this single function for a real codec.
+    */
+  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
+    val nBytes = payload.length.toLong
+    val nFrames = nBytes / 256 + 1
+    val headerSum = payload.take(16).map(b => (b & 0xff).toLong).sum
+    (nBytes, nFrames, headerSum)
+  }
+
+  /** q50 — multimodal decode + feature aggregation. Binary payloads are
+    * derived from documents.text (UTF-8 bytes) since the testdata has
+    * no physical media column; the pipeline from `binary` onward is the
+    * real shape: Dataset[MediaRecord] → mapPartitions(decode) →
+    * Dataset[MediaFeatures] → relational aggregation.
+    */
+  val q50 = Q(
+    "q50_multimodal_features",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
+        .as[MediaRecord]
+      val feats = media.mapPartitions { batch =>
+        batch.map { m =>
+          val (nBytes, nFrames, headerSum) = decodeStub(m.payload)
+          MediaFeatures(m.doc_id, m.source, nBytes, nFrames, headerSum)
+        }
+      }
+      feats.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum($"n_bytes").as("total_bytes"),
+          sum($"n_frames").as("total_frames"),
+          sum($"header_sum").as("header_checksum"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_media,
+      |       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
+      |       CAST(SUM(CAST(floor(length(text) / 256) AS BIGINT) + 1) AS BIGINT) AS total_frames,
+      |       CAST(SUM((SELECT SUM(ascii(substr(text, g.i, 1)))
+      |                 FROM UNNEST(generate_series(1, 16)) AS g(i))) AS BIGINT) AS header_checksum
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin),
+    doc = "multimodal: binary payload → mapPartitions decode (stub) → features")
+
+  val all: Seq[Q] = Seq(q50)
+}

@@ -1,0 +1,469 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / window / set-op operators (SURVEY.md §2.4-§2.7).
+  *
+  * Determinism note (SURVEY.md §7.3): verified aggregates of doubles go
+  * through DECIMAL (exact, order-insensitive under shuffle); genuinely
+  * floating stats (stddev/corr/percentile) are either computed from
+  * exact decimal moments with an explicit formula shared with the
+  * oracle, or rounded.
+  */
+object AggQueries {
+
+  private def orders(s: SparkSession, dir: String) = Tables.load(s, dir, "orders")
+  private def lineitem(s: SparkSession, dir: String) = Tables.load(s, dir, "lineitem")
+  private def customer(s: SparkSession, dir: String) = Tables.load(s, dir, "customer")
+
+  /** q17 — COUNT(*) / COUNT(DISTINCT) (A1/A2;
+    * healthcare-data-pipeline-main.py:278,295-296 distinct patients /
+    * encounters). Exact distinct = extra shuffle per distinct key; at
+    * 100 TB prefer approx_count_distinct (HLL) — exposed separately in
+    * q56_approx_distinct (no oracle: sketch results are engine-specific).
+    */
+  val q17 = Q(
+    "q17_count_distinct",
+    (s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_encounters"),
+          countDistinct($"o_custkey").as("n_patients"),
+          countDistinct($"o_orderpriority").as("n_priorities"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_encounters,
+      |       COUNT(DISTINCT o_custkey) AS n_patients,
+      |       COUNT(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin),
+    doc = "A1+A2: count, count distinct")
+
+  /** q18 — conditional aggregation (A5; SUM(CASE WHEN ...) readmission/
+    * mortality counters healthcare-sql-analytics.sql:283-302,564-571).
+    */
+  val q18 = Q(
+    "q18_conditional_agg",
+    (s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_linestatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("n_returned"),
+          count_if($"l_discount" > 0.05).as("n_discounted"),
+          Q.sumMoney(when($"l_discount" > 0.05, $"l_extendedprice").otherwise(lit(0.0)))
+            .as("discounted_revenue"))
+        .orderBy($"l_linestatus")
+    },
+    Some(s"""SELECT l_linestatus, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      |       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+      |       ${Q.oSum("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")} AS discounted_revenue
+      |FROM lineitem
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin),
+    doc = "A5: SUM(CASE WHEN), count_if")
+
+  /** q19 — multi-key GROUP BY + HAVING statistical floor (A6;
+    * HAVING COUNT(*) >= 30 significance floors
+    * healthcare-sql-analytics.sql:206-208,326-328,578-579).
+    */
+  val q19 = Q(
+    "q19_having_floor",
+    (s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .groupBy($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             Q.avgMoney($"o_totalprice").as("avg_charges"))
+        .filter($"n" >= 30)
+        .orderBy($"o_orderpriority", $"o_orderstatus")
+    },
+    Some(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      |       ${Q.oAvg("o_totalprice")} AS avg_charges
+      |FROM orders
+      |GROUP BY o_orderpriority, o_orderstatus
+      |HAVING COUNT(*) >= 30
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin),
+    doc = "A6: GROUP BY multi-key + HAVING floor")
+
+  /** q20 — time-bucketed aggregation (A7/F2; daily/monthly metrics via
+    * date_trunc healthcare-api-main.py:301-320; DATE_FORMAT '%Y-%m'
+    * healthcare-sql-analytics.sql:400). Bucket emitted as a string to
+    * keep the oracle compare timestamp-representation-free.
+    */
+  val q20 = Q(
+    "q20_monthly_buckets",
+    (s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("month"))
+        .agg(
+          count(lit(1)).as("n_encounters"),
+          countDistinct($"o_custkey").as("n_patients"),
+          Q.sumMoney($"o_totalprice").as("total_charges"))
+        .orderBy($"month")
+    },
+    Some(s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |       COUNT(*) AS n_encounters,
+      |       COUNT(DISTINCT o_custkey) AS n_patients,
+      |       ${Q.oSum("o_totalprice")} AS total_charges
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY month""".stripMargin),
+    doc = "A7+F2: date_trunc-style monthly buckets")
+
+  /** q21 — exact interpolated percentiles (A8; IQR bounds
+    * healthcare-data-pipeline-main.py:247-250, PERCENTILE_CONT(0.5/0.9)
+    * healthcare-sql-analytics.sql:702-703). Spark `percentile` and
+    * DuckDB `quantile_cont` both linearly interpolate; rounded to 2dp
+    * to absorb last-ulp drift. At 100 TB swap to percentile_approx —
+    * exact percentile requires a full sort per group.
+    */
+  val q21 = Q(
+    "q21_percentiles",
+    (s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          // round-4: interpolated values land on the quarter-cent grid,
+          // safely inside 4dp; 2dp would round exactly at half-cents.
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      |       ROUND(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 4) AS p25,
+      |       ROUND(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE), 4) AS median,
+      |       ROUND(CAST(quantile_cont(l_extendedprice, 0.75) AS DOUBLE), 4) AS p75,
+      |       ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin),
+    doc = "A8: exact interpolated percentiles")
+
+  /** q22 — aggregate-of-aggregate (A9; CTE per-patient aggregates →
+    * outer GROUP BY diagnosis README.md:100-122,
+    * healthcare-sql-analytics.sql:306-338). Two chained groupBys —
+    * the second input is already tiny (one row per patient).
+    */
+  val q22 = Q(
+    "q22_agg_of_agg",
+    (s, dir) => {
+      import s.implicits._
+      val perPatient = orders(s, dir)
+        .join(customer(s, dir), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n_enc"),
+             sum(Q.money($"o_totalprice")).as("spend_dec"))
+      perPatient.groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_patients"),
+          (sum($"n_enc") * 1.0 / count(lit(1))).as("avg_encounters"),
+          (sum($"spend_dec").cast("double") / count(lit(1))).as("avg_spend"),
+          max($"spend_dec").cast("double").as("max_spend"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH per_patient AS (
+      |  SELECT c_custkey, c_mktsegment, COUNT(*) AS n_enc,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY c_custkey, c_mktsegment)
+      |SELECT c_mktsegment, COUNT(*) AS n_patients,
+      |       SUM(n_enc) * 1.0 / COUNT(*) AS avg_encounters,
+      |       CAST(SUM(spend_dec) AS DOUBLE) / COUNT(*) AS avg_spend,
+      |       CAST(MAX(spend_dec) AS DOUBLE) AS max_spend
+      |FROM per_patient
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin),
+    doc = "A9: two-level aggregate (per-patient → per-segment)")
+
+  /** q23 — distribution with percentage-of-total (A10; gender/race %
+    * distributions healthcare-api-main.py:527-542 — the reference loops
+    * rows in Python; here a window over the aggregate, no second pass).
+    */
+  val q23 = Q(
+    "q23_pct_distribution",
+    (s, dir) => {
+      import s.implicits._
+      val counts = customer(s, dir)
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("pct", $"n" * 100.0 / sum($"n").over(Window.partitionBy()))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH counts AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, n,
+      |       n * 100.0 / SUM(n) OVER () AS pct
+      |FROM counts
+      |ORDER BY c_mktsegment""".stripMargin),
+    doc = "A10: % distribution via window over aggregate")
+
+  /** q24 — z-score anomaly scan (A11; |x−μ| > 2.5σ
+    * healthcare-data-pipeline-main.py:264-265,319-338). μ and σ are
+    * derived from exact decimal moments (Σx, Σx² as DECIMAL) so both
+    * engines evaluate the identical closed formula — no float
+    * accumulation drift in the comparison threshold. Stats are computed
+    * in one aggregate and broadcast back (no driver collect).
+    */
+  val q24 = Q(
+    "q24_zscore_outliers",
+    (s, dir) => {
+      import s.implicits._
+      val o = orders(s, dir)
+      val stats = o.agg(
+        count(lit(1)).as("n"),
+        sum(Q.money($"o_totalprice")).cast("double").as("sx"),
+        sum(($"o_totalprice" * $"o_totalprice").cast("decimal(30,4)"))
+          .cast("double").as("sxx"))
+        .withColumn("mu", $"sx" / $"n")
+        .withColumn("sigma",
+          sqrt(($"sxx" - $"n" * $"mu" * $"mu") / ($"n" - 1)))
+      o.crossJoin(broadcast(stats))
+        .filter(abs($"o_totalprice" - $"mu") > lit(2.5) * $"sigma")
+        .select($"o_orderkey", $"o_totalprice",
+          (($"o_totalprice" - $"mu") / $"sigma").as("zscore"))
+        .orderBy($"o_orderkey")
+    },
+    Some("""WITH stats AS (
+      |  SELECT COUNT(*) AS n,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+      |  FROM orders),
+      |s2 AS (SELECT n, sx / n AS mu,
+      |              sqrt((sxx - n * (sx/n) * (sx/n)) / (n - 1)) AS sigma FROM stats)
+      |SELECT o_orderkey, o_totalprice,
+      |       (o_totalprice - mu) / sigma AS zscore
+      |FROM orders, s2
+      |WHERE ABS(o_totalprice - mu) > 2.5 * sigma
+      |ORDER BY o_orderkey""".stripMargin),
+    doc = "A11: z-score outliers from exact decimal moments")
+
+  /** q25 — correlation matrix (A12; pairwise Pearson r of 3 metrics,
+    * |r|>0.7 insight healthcare-data-pipeline-main.py:350-360).
+    * corr is floating accumulation — rounded to 4dp for parity.
+    */
+  val q25 = Q(
+    "q25_correlation_matrix",
+    (s, dir) => {
+      import s.implicits._
+      lineitem(s, dir).agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("qty_price_r"),
+        round(corr($"l_quantity", $"l_discount"), 4).as("qty_discount_r"),
+        round(corr($"l_extendedprice", $"l_discount"), 4).as("price_discount_r"))
+    },
+    Some("""SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_r,
+      |       ROUND(corr(l_quantity, l_discount), 4) AS qty_discount_r,
+      |       ROUND(corr(l_extendedprice, l_discount), 4) AS price_discount_r
+      |FROM lineitem""".stripMargin),
+    doc = "A12: pairwise Pearson correlation")
+
+  /** q26 — data-quality score (A13; completeness = non-null/total cells,
+    * validity = in-IQR numeric cells, overall = mean
+    * healthcare-data-pipeline-main.py:233-258). One pass over the data;
+    * nulls are derived (testdata has none physically). The reference
+    * computes this per-DataFrame in pandas — here it is a single
+    * aggregate row, no collect.
+    */
+  val q26 = Q(
+    "q26_quality_score",
+    (s, dir) => {
+      import s.implicits._
+      // IQR bounds for l_quantity: fixed from the reference's formula
+      // q1 - 1.5*IQR .. q3 + 1.5*IQR, computed inline (exact percentile).
+      val li = lineitem(s, dir)
+        .withColumn("disc_n", nullif($"l_discount", lit(0.0)))
+        .withColumn("tax_n", nullif($"l_tax", lit(0.0)))
+      val agg = li.agg(
+        count(lit(1)).as("n_rows"),
+        count($"disc_n").as("disc_filled"),
+        count($"tax_n").as("tax_filled"),
+        count($"l_quantity").as("qty_filled"),
+        expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.75)").as("q3"))
+      val withBounds = agg
+        .withColumn("lo", $"q1" - ($"q3" - $"q1") * 1.5)
+        .withColumn("hi", $"q3" + ($"q3" - $"q1") * 1.5)
+      val valid = li.crossJoin(broadcast(withBounds))
+        .agg(
+          count_if($"l_quantity".between($"lo", $"hi")).as("qty_valid"),
+          first($"n_rows").as("n_rows"),
+          first($"disc_filled").as("disc_filled"),
+          first($"tax_filled").as("tax_filled"),
+          first($"qty_filled").as("qty_filled"))
+      valid.select(
+        $"n_rows",
+        (($"disc_filled" + $"tax_filled" + $"qty_filled") * 1.0 / ($"n_rows" * 3))
+          .as("completeness"),
+        ($"qty_valid" * 1.0 / $"n_rows").as("validity"))
+        .withColumn("overall_quality", ($"completeness" + $"validity") / 2.0)
+    },
+    Some("""WITH src AS (
+      |  SELECT l_quantity, NULLIF(l_discount, 0.0) AS disc_n, NULLIF(l_tax, 0.0) AS tax_n
+      |  FROM lineitem),
+      |agg AS (
+      |  SELECT COUNT(*) AS n_rows, COUNT(disc_n) AS disc_filled,
+      |         COUNT(tax_n) AS tax_filled, COUNT(l_quantity) AS qty_filled,
+      |         CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q1,
+      |         CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q3
+      |  FROM src),
+      |bounds AS (SELECT *, q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM agg),
+      |valid AS (
+      |  SELECT CAST(COUNT(*) FILTER (WHERE l_quantity BETWEEN lo AND hi) AS BIGINT) AS qty_valid,
+      |         MIN(n_rows) AS n_rows, MIN(disc_filled) AS disc_filled,
+      |         MIN(tax_filled) AS tax_filled, MIN(qty_filled) AS qty_filled
+      |  FROM src, bounds)
+      |SELECT n_rows,
+      |       (disc_filled + tax_filled + qty_filled) * 1.0 / (n_rows * 3) AS completeness,
+      |       qty_valid * 1.0 / n_rows AS validity,
+      |       ((disc_filled + tax_filled + qty_filled) * 1.0 / (n_rows * 3)
+      |        + qty_valid * 1.0 / n_rows) / 2.0 AS overall_quality
+      |FROM valid""".stripMargin),
+    doc = "A13: completeness/validity quality score, one pass")
+
+  /** q27 — top-N by metric (A14; nlargest(5, readmission_count)
+    * healthcare-data-pipeline-main.py:344-348). Spark plans
+    * TakeOrderedAndProject — no global sort at scale.
+    */
+  val q27 = Q(
+    "q27_top_n",
+    (s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_encounters"),
+             Q.sumMoney($"o_totalprice").as("total_spend"))
+        .orderBy(desc("total_spend"), $"o_custkey")
+        .limit(5)
+    },
+    Some(s"""SELECT o_custkey, COUNT(*) AS n_encounters,
+      |       ${Q.oSum("o_totalprice")} AS total_spend
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY total_spend DESC, o_custkey
+      |LIMIT 5""".stripMargin),
+    doc = "A14: top-N (TakeOrderedAndProject)")
+
+  /** q28 — rate/ratio aggregates with NULLIF guard (A15;
+    * readmission_rate = SUM(flag)*100.0/COUNT(*) README.md:117,
+    * NULLIF(total,0) divide-safety).
+    */
+  val q28 = Q(
+    "q28_rate_ratios",
+    (s, dir) => {
+      import s.implicits._
+      val abnormalOrders = lineitem(s, dir)
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey").distinct()
+      orders(s, dir)
+        .join(abnormalOrders, $"o_orderkey" === $"l_orderkey", "left_outer")
+        .withColumn("has_abnormal", $"l_orderkey".isNotNull)
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"has_abnormal", 1L).otherwise(0L)).as("n_abnormal"))
+        .withColumn("abnormal_rate",
+          $"n_abnormal" * 100.0 / nullif($"n", lit(0L)))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""WITH abn AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_abnormal,
+      |       SUM(CASE WHEN l_orderkey IS NOT NULL THEN 1 ELSE 0 END) * 100.0
+      |         / NULLIF(COUNT(*), 0) AS abnormal_rate
+      |FROM orders LEFT JOIN abn ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin),
+    doc = "A15: ratio aggregates, NULLIF divide guard")
+
+  /** q29 — partitioned analytic stats + outlier tagging (W1;
+    * AVG/STDDEV OVER (PARTITION BY category) then CASE tag
+    * healthcare-sql-analytics.sql:528-554). Group stats via exact
+    * decimal window moments (same closed formula as q24) so the tag
+    * threshold is bit-identical across engines.
+    */
+  val q29 = Q(
+    "q29_window_group_stats",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_type")
+      val p = Tables.load(s, dir, "part")
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("mu",
+          sum(Q.money($"p_retailprice")).over(w).cast("double") / $"n")
+        .withColumn("sxx",
+          sum(($"p_retailprice" * $"p_retailprice").cast("decimal(30,4)"))
+            .over(w).cast("double"))
+        .withColumn("sigma",
+          sqrt(($"sxx" - $"n" * $"mu" * $"mu") / ($"n" - 1)))
+        .withColumn("is_outlier",
+          abs($"p_retailprice" - $"mu") > $"sigma" * 1.5)
+      p.groupBy($"p_type")
+        .agg(count(lit(1)).as("n_parts"),
+             sum(when($"is_outlier", 1L).otherwise(0L)).as("n_outliers"),
+             first($"mu").as("type_avg_price"))
+        .orderBy($"p_type")
+    },
+    Some("""WITH stats AS (
+      |  SELECT p_type, p_retailprice,
+      |         COUNT(*) OVER (PARTITION BY p_type) AS n,
+      |         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+      |              OVER (PARTITION BY p_type) AS DOUBLE) AS sx,
+      |         CAST(SUM(CAST(p_retailprice * p_retailprice AS DECIMAL(30,4)))
+      |              OVER (PARTITION BY p_type) AS DOUBLE) AS sxx
+      |  FROM part),
+      |tagged AS (
+      |  SELECT p_type, n, sx / n AS mu,
+      |         ABS(p_retailprice - sx / n) >
+      |           sqrt((sxx - n * (sx/n) * (sx/n)) / (n - 1)) * 1.5 AS is_outlier
+      |  FROM stats)
+      |SELECT p_type, COUNT(*) AS n_parts,
+      |       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       MIN(mu) AS type_avg_price
+      |FROM tagged
+      |GROUP BY p_type
+      |ORDER BY p_type""".stripMargin),
+    doc = "W1: window partition stats + outlier tag")
+
+  /** q30 — UNION ALL quality-check stack (U1; per-table QC rows
+    * healthcare-data-pipeline-main.py:436-450,
+    * healthcare-sql-analytics.sql:759-779). unionByName (the reference's
+    * positional UNION ALL is fragile; name-based is the Spark idiom).
+    */
+  val q30 = Q(
+    "q30_union_all_qc",
+    (s, dir) => {
+      import s.implicits._
+      def qc(df: DataFrame, tname: String, keyCol: String): DataFrame =
+        df.agg(
+          count(lit(1)).as("row_count"),
+          countDistinct(col(keyCol)).as("distinct_keys"))
+          .select(lit(tname).as("table_name"), $"row_count", $"distinct_keys")
+      qc(customer(s, dir), "customer", "c_custkey")
+        .unionByName(qc(orders(s, dir), "orders", "o_orderkey"))
+        .unionByName(qc(lineitem(s, dir), "lineitem", "l_orderkey"))
+        .orderBy($"table_name")
+    },
+    Some("""SELECT 'customer' AS table_name, COUNT(*) AS row_count,
+      |       COUNT(DISTINCT c_custkey) AS distinct_keys FROM customer
+      |UNION ALL
+      |SELECT 'orders', COUNT(*), COUNT(DISTINCT o_orderkey) FROM orders
+      |UNION ALL
+      |SELECT 'lineitem', COUNT(*), COUNT(DISTINCT l_orderkey) FROM lineitem
+      |ORDER BY table_name""".stripMargin),
+    doc = "U1: UNION ALL per-table QC rows")
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26, q27, q28, q29, q30)
+}

@@ -1,0 +1,190 @@
+package graft.similarity
+
+import graft.{Q, Tables}
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (builder-prompt
+  * training-data extension): brute-force cosine top-k as the exactness
+  * baseline, sign-random-projection LSH as the scale path, and blocked
+  * near-duplicate detection.
+  *
+  * All cosine math runs through the codegen'd [[CosineSimilarity]]
+  * Catalyst expression. Scores are ranked on a rounded value with a
+  * vec_id tiebreak so ordering is stable across engines.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String) = Tables.load(s, dir, "embeddings")
+
+  private def cos(s: SparkSession, a: String, b: String): Column = {
+    CosineSimilarity.register(s)
+    expr(s"cosine_sim($a, $b)")
+  }
+
+  /** DuckDB cosine with the same sequential-double math (manual, so we
+    * do not depend on list_cosine_similarity's internal precision).
+    */
+  private def oCos(a: String, b: String): String =
+    s"""(SELECT SUM(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))
+       |   / (sqrt(SUM(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))
+       |      * sqrt(SUM(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))
+       | FROM UNNEST(generate_series(1, 64)) AS g(i))""".stripMargin
+
+  /** q47 — brute-force cosine top-k (the exactness baseline): for each
+    * probe vector (vec_id < 8), the 5 nearest neighbors. The probe set
+    * is broadcast; the big side streams once — at 100 TB this is the
+    * classic broadcast-nested-loop scoring pass, embarrassingly
+    * parallel, no shuffle until the final per-probe top-k
+    * (TakeOrderedAndProject-sized: 8×5 rows).
+    */
+  val q47 = Q(
+    "q47_cosine_topk",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val probes = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val scored = e.crossJoin(broadcast(probes))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", round(cos(s, "qvec", "embedding"), 4))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"vec_id")
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"score", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT p.query_id, e.vec_id AS neighbor_id,
+      |         ROUND(${oCos("p.qvec", "e.embedding")}, 4) AS score
+      |  FROM embeddings e CROSS JOIN probes p
+      |  WHERE e.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin),
+    doc = "similarity: brute-force cosine top-k via codegen'd expression")
+
+  /** Sign-random-projection hyperplane weights, derived from MD5 parity
+    * (`md5(p + "_" + d)` first hex char odd → +1) — a derivation both
+    * engines reproduce bit-identically without shipping a matrix.
+    */
+  private[similarity] def planeWeight(p: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${p}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (hex.charAt(0).toInt % 2 == 1) 1.0 else -1.0
+  }
+
+  private val nPlanes = 8
+  private val dims = 64
+
+  /** Per-vector LSH bucket id: 8 sign bits of hyperplane projections. */
+  private def bucketCol: Column = {
+    val projections = (0 until nPlanes).map { p =>
+      val w = (0 until dims).map(d => planeWeight(p, d))
+      val warrSql = w.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+      val proj = expr(
+        s"aggregate(zip_with(embedding, $warrSql, (x, y) -> CAST(x AS DOUBLE) * y), " +
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    projections.reduce(_ + _)
+  }
+
+  private def oBucketSql: String =
+    s"""SELECT vec_id, embedding, CAST(SUM(bitval) AS BIGINT) AS bucket FROM (
+       |  SELECT vec_id, embedding, CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END AS bitval
+       |  FROM (
+       |    SELECT vec_id, embedding, p.p,
+       |           SUM((CASE WHEN ascii(substr(md5(p.p || '_' || (d.i - 1)), 1, 1)) % 2 = 1
+       |                THEN 1.0 ELSE -1.0 END) * CAST(embedding[d.i] AS DOUBLE)) AS proj
+       |    FROM embeddings
+       |    CROSS JOIN (SELECT UNNEST(generate_series(0, ${nPlanes - 1})) AS p) p
+       |    CROSS JOIN (SELECT UNNEST(generate_series(1, $dims)) AS i) d
+       |    GROUP BY vec_id, embedding, p.p))
+       |GROUP BY vec_id, embedding""".stripMargin
+
+  /** q48 — LSH-bucketed approximate nearest neighbors (the scale path):
+    * bucket every vector by 8 hyperplane sign bits (one narrow pass),
+    * then score probes only against same-bucket candidates. At 100 TB
+    * the candidate join is an equi-join on an 8-bit key instead of a
+    * full cross product — ~1/256 of the scoring work of q47.
+    */
+  val q48 = Q(
+    "q48_ann_lsh",
+    (s, dir) => {
+      import s.implicits._
+      val bucketed = emb(s, dir)
+        .withColumn("bucket", bucketCol)
+      val probes = bucketed.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"), $"bucket")
+      val cands = bucketed.join(broadcast(probes), Seq("bucket"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", round(cos(s, "qvec", "embedding"), 4))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"vec_id")
+      cands
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"score", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH bucketed AS ($oBucketSql),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec, bucket
+      |  FROM bucketed WHERE vec_id < 8),
+      |cands AS (
+      |  SELECT p.query_id, e.vec_id AS neighbor_id,
+      |         ROUND(${oCos("p.qvec", "e.embedding")}, 4) AS score
+      |  FROM bucketed e JOIN probes p ON e.bucket = p.bucket
+      |  WHERE e.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM cands)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin),
+    doc = "similarity: sign-LSH bucketed ANN (md5-derived hyperplanes)")
+
+  /** q49 — embedding-cosine near-duplicate pairs with label blocking:
+    * candidate pairs only within the same label partition (the blocked
+    * near-dup pattern — at scale, blocking keys bound the quadratic
+    * term to within-block).
+    */
+  val q49 = Q(
+    "q49_embedding_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir).select($"vec_id", $"embedding", $"label")
+      val pairs = e.as("a").join(e.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .withColumn("score", round(cos(s, "a.embedding", "b.embedding"), 4))
+        .filter($"score" >= 0.4)
+      pairs.select(
+          $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          $"a.label".as("label"), $"score")
+        .orderBy($"vec_a", $"vec_b")
+    },
+    Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      |       ROUND(${oCos("a.embedding", "b.embedding")}, 4) AS score
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE ROUND(${oCos("a.embedding", "b.embedding")}, 4) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin),
+    doc = "similarity: label-blocked cosine near-dup pairs")
+
+  val all: Seq[Q] = Seq(q47, q48, q49)
+}

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-feed analytics (SURVEY.md §2.10). The reference's "real-time
+  * clinical surveillance" is a batch query over current rows
+  * (healthcare-sql-analytics.sql:442-518) — here each windowed
+  * aggregation exists twice: the batch form below (DuckDB-verifiable)
+  * and the true Structured Streaming job in [[EventStreamJob]] which
+  * produces the identical frame via readStream+watermark (tested for
+  * equality in EventStreamSpec).
+  */
+object EventQueries {
+
+  private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
+
+  /** q36 — tumbling-window aggregation (1 hour). Spark `window()` starts
+    * align to the epoch hour grid = date_trunc('hour') for a 1h tumble.
+    * Output bucket as string (timestamp-representation-free compare).
+    */
+  val q36 = Q(
+    "q36_event_tumbling",
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "1 hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+             Q.avgMoney($"value").as("avg_value"),
+             Q.sumMoney($"value").as("total_value"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm").as("hour_start"),
+          $"event_type", $"n", $"avg_value", $"total_value")
+        .orderBy($"hour_start", $"event_type")
+    },
+    Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+      |       event_type, COUNT(*) AS n,
+      |       ${Q.oAvg("value")} AS avg_value,
+      |       ${Q.oSum("value")} AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_start, event_type""".stripMargin),
+    doc = "streaming batch-equivalent: tumbling 1h window")
+
+  /** q37 — sliding-window aggregation (1 hour window, 15 min slide).
+    * Each event belongs to 4 overlapping windows; Spark's window()
+    * start grid is floor(ts/15min)*15min - k*15min for k∈0..3. The
+    * oracle reproduces the same window assignment by cross-joining the
+    * 4 offsets — proving the sliding semantics, not just trusting them.
+    */
+  val q37 = Q(
+    "q37_event_sliding",
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), Q.sumMoney($"value").as("total_value"))
+        .select(
+          date_format($"window.start", "yyyy-MM-dd HH:mm").as("window_start"),
+          $"event_type", $"n", $"total_value")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some(s"""WITH slid AS (
+      |  SELECT strftime(time_bucket(INTERVAL '15 minutes', ts)
+      |                    - k.k * INTERVAL '15 minutes', '%Y-%m-%d %H:%M') AS window_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k)
+      |SELECT window_start, event_type, COUNT(*) AS n,
+      |       ${Q.oSum("value")} AS total_value
+      |FROM slid
+      |GROUP BY window_start, event_type
+      |ORDER BY window_start, event_type""".stripMargin),
+    doc = "streaming batch-equivalent: sliding 1h/15min window")
+
+  /** q38 — semi-structured JSON extraction from the props column
+    * (events.props is a JSON string — FIXTURES.md §2; the reference has
+    * no nested data, this is the engine extension for event payloads).
+    * regexp-based so the oracle needs no JSON extension; the library
+    * ALSO exposes from_json in EventStreamJob for the typed path.
+    */
+  val q38 = Q(
+    "q38_event_json_extract",
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .withColumn("k", regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .filter($"k" > 50)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             (sum($"k").cast("double") / count(lit(1))).as("avg_k"),
+             max($"k").as("max_k"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH ex AS (
+      |  SELECT event_type,
+      |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |       CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k,
+      |       MAX(k) AS max_k
+      |FROM ex
+      |WHERE k > 50
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin),
+    doc = "JSON payload extraction (regexp; typed from_json in streaming job)")
+
+  /** q39 — threshold surveillance (the reference's "real-time clinical
+    * surveillance" Q5, healthcare-sql-analytics.sql:442-518: flag
+    * currently-active entities whose vitals exceed thresholds).
+    * Per-user sessionized activity: users whose hourly error count
+    * exceeds a floor → alert rows.
+    */
+  val q39 = Q(
+    "q39_event_alerts",
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .filter($"event_type" === "error")
+        .groupBy($"user_id", date_format(date_trunc("hour", $"ts"), "yyyy-MM-dd HH:mm").as("hour_start"))
+        .agg(count(lit(1)).as("n_errors"),
+             Q.sumMoney($"value").as("error_value"))
+        .filter($"n_errors" >= 2)
+        .orderBy($"user_id", $"hour_start")
+    },
+    Some(s"""SELECT user_id,
+      |       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+      |       COUNT(*) AS n_errors,
+      |       ${Q.oSum("value")} AS error_value
+      |FROM events
+      |WHERE event_type = 'error'
+      |GROUP BY 1, 2
+      |HAVING COUNT(*) >= 2
+      |ORDER BY user_id, hour_start""".stripMargin),
+    doc = "surveillance thresholds (streaming-alert batch equivalent)")
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39)
+}

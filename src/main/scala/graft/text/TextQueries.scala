@@ -1,0 +1,319 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline extension surface (beyond the reference,
+  * which has no text analytics; builder-prompt requirement). Every
+  * operator is expressed in shuffle-bounded DataFrame form: tokenize →
+  * explode → aggregate, never per-row driver loops.
+  *
+  * Scale notes: at 100 TB the explode(tokens) intermediate dominates;
+  * all pipelines aggregate it immediately (partial map-side combine) and
+  * the LSH joins are on band values (tiny keys), never all-pairs.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
+
+  /** Tokenization shared by all text ops: whitespace split (the corpus
+    * is single-space word-soup; BPE-ish regex splitting is exposed in
+    * TextFunctions for real corpora).
+    */
+  private val toks = split(col("text"), " ")
+
+  /** q40 — exact deduplication (hash-groupBy on full text). At scale
+    * this is ONE shuffle on a 128-bit text hash, not text itself —
+    * dropDuplicates on a computed sha2 key keeps shuffle rows narrow.
+    */
+  val q40 = Q(
+    "q40_dedup_exact",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val uniq = d.groupBy(sha2($"text", 256).as("h"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      uniq.agg(
+        count(lit(1)).as("n_unique"),
+        sum($"copies").as("n_total"),
+        sum(when($"copies" > 1, $"copies" - 1).otherwise(0L)).as("n_removed"))
+    },
+    Some("""WITH uniq AS (
+      |  SELECT sha256(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS copies
+      |  FROM documents GROUP BY 1)
+      |SELECT COUNT(*) AS n_unique,
+      |       CAST(SUM(copies) AS BIGINT) AS n_total,
+      |       CAST(SUM(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS BIGINT) AS n_removed
+      |FROM uniq""".stripMargin),
+    doc = "dedup: exact, via text-hash groupBy (narrow shuffle key)")
+
+  /** q41 — token counting (whitespace tokenizer) per language. */
+  val q41 = Q(
+    "q41_token_stats",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("n_tokens", size(toks).cast("long"))
+        .withColumn("n_uniq", size(array_distinct(toks)).cast("long"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum($"n_tokens").cast("double") / count(lit(1))).as("avg_tokens"),
+          (sum($"n_uniq").cast("double") / count(lit(1))).as("avg_uniq_tokens"),
+          max($"n_tokens").as("max_tokens"))
+        .orderBy($"lang")
+    },
+    Some("""WITH t AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |       CAST(SUM(n_uniq) AS DOUBLE) / COUNT(*) AS avg_uniq_tokens,
+      |       MAX(n_tokens) AS max_tokens
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
+    doc = "text: token counting per doc → per-lang stats")
+
+  /** q42 — quality scoring (length / repetition / stopword-ratio
+    * heuristics, the C4/Gopher-style filters). Buckets are CASE ladders
+    * on exact rationals — deterministic across engines.
+    */
+  val q42 = Q(
+    "q42_text_quality",
+    (s, dir) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "of", "to", "and", "in")
+      docs(s, dir)
+        .withColumn("n_tokens", size(toks).cast("double"))
+        .withColumn("n_uniq", size(array_distinct(toks)).cast("double"))
+        .withColumn("n_stop",
+          size(expr(s"filter(split(text, ' '), t -> t IN (${stop.map("'" + _ + "'").mkString(",")}))"))
+            .cast("double"))
+        .withColumn("uniq_ratio", $"n_uniq" / $"n_tokens")
+        .withColumn("stop_ratio", $"n_stop" / $"n_tokens")
+        .withColumn("quality",
+          when($"n_tokens" < 20, "short")
+            .when($"uniq_ratio" < 0.3, "repetitive")
+            .when($"stop_ratio" > 0.15, "high")
+            .otherwise("medium"))
+        .groupBy($"lang", $"quality")
+        // ratio-of-sums, not mean-of-ratios: integer sums divide exactly
+        // (token counts are integers), so no float accumulation at all.
+        .agg(count(lit(1)).as("n_docs"),
+             (sum($"n_uniq") * 100.0 / sum($"n_tokens")).as("uniq_pct"))
+        .orderBy($"lang", $"quality")
+    },
+    Some("""WITH t AS (
+      |  SELECT lang,
+      |         CAST(len(string_split(text,' ')) AS DOUBLE) AS n_tokens,
+      |         CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS n_uniq,
+      |         CAST(len(list_filter(string_split(text,' '),
+      |              t -> t IN ('the','a','of','to','and','in'))) AS DOUBLE) AS n_stop
+      |  FROM documents),
+      |b AS (
+      |  SELECT lang, n_uniq, n_tokens,
+      |         CASE WHEN n_tokens < 20 THEN 'short'
+      |              WHEN n_uniq / n_tokens < 0.3 THEN 'repetitive'
+      |              WHEN n_stop / n_tokens > 0.15 THEN 'high'
+      |              ELSE 'medium' END AS quality
+      |  FROM t)
+      |SELECT lang, quality, COUNT(*) AS n_docs,
+      |       SUM(n_uniq) * 100.0 / SUM(n_tokens) AS uniq_pct
+      |FROM b GROUP BY lang, quality ORDER BY lang, quality""".stripMargin),
+    doc = "text: quality-score buckets (length/repetition/stopword heuristics)")
+
+  /** q43 — language-ID heuristic (stopword-hit-ratio n-gram-free
+    * variant) with a confusion matrix against the labeled lang column.
+    */
+  val q43 = Q(
+    "q43_lang_id",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("n_tokens", size(toks).cast("double"))
+        .withColumn("en_hits",
+          size(expr("filter(split(text, ' '), t -> t IN ('the','a','of','to','and','in','is','it'))"))
+            .cast("double"))
+        .withColumn("predicted",
+          when($"en_hits" / $"n_tokens" > 0.08, "en").otherwise("other"))
+        .groupBy($"lang".as("actual"), $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"actual", $"predicted")
+    },
+    Some("""WITH t AS (
+      |  SELECT lang AS actual,
+      |         CASE WHEN CAST(len(list_filter(string_split(text,' '),
+      |                t -> t IN ('the','a','of','to','and','in','is','it'))) AS DOUBLE)
+      |              / len(string_split(text,' ')) > 0.08
+      |              THEN 'en' ELSE 'other' END AS predicted
+      |  FROM documents)
+      |SELECT actual, predicted, COUNT(*) AS n
+      |FROM t GROUP BY actual, predicted ORDER BY actual, predicted""".stripMargin),
+    doc = "text: language-ID heuristic + confusion matrix vs labels")
+
+  /** q44 — document fingerprinting: md5 over the sorted distinct token
+    * set (order-invariant content fingerprint; catches the corpus's
+    * planted word-reorder duplicates that exact dedup misses).
+    */
+  val q44 = Q(
+    "q44_fingerprint",
+    (s, dir) => {
+      import s.implicits._
+      val fp = docs(s, dir)
+        .withColumn("fingerprint",
+          md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary")))
+      val grouped = fp.groupBy($"fingerprint")
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("copies"))
+      grouped.agg(
+        count(lit(1)).as("n_fingerprints"),
+        sum($"copies").as("n_docs"),
+        sum(when($"copies" > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when($"copies" > 1, $"copies" - 1).otherwise(0L)).as("n_near_dups"))
+    },
+    Some("""WITH fp AS (
+      |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fingerprint,
+      |         MIN(doc_id) AS keep_id, COUNT(*) AS copies
+      |  FROM documents GROUP BY 1)
+      |SELECT COUNT(*) AS n_fingerprints,
+      |       CAST(SUM(copies) AS BIGINT) AS n_docs,
+      |       CAST(SUM(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |       CAST(SUM(CASE WHEN copies > 1 THEN copies - 1 ELSE 0 END) AS BIGINT) AS n_near_dups
+      |FROM fp""".stripMargin),
+    doc = "text: order-invariant content fingerprint (md5 of sorted token set)")
+
+  /** q45 — MinHash + LSH near-duplicate detection. The full scale
+    * pipeline: tokenize → distinct (doc, token) → 8 md5-salted min-hash
+    * signature → 2 LSH bands of 4 → band-equality join for candidates →
+    * exact Jaccard verify ≥ 0.99.
+    *
+    * Scale design: the only joins are (a) band-value equality — true
+    * near-dups collide with P≈1, random pairs with P≈j⁸ — and (b) the
+    * candidate-pair token-intersection join, both linear-ish in the
+    * duplicate count, never O(n²) all-pairs. The min-hash itself is a
+    * map-side partial aggregate (MIN of md5 strings: lexicographic min
+    * ≡ min over a random permutation of the token universe).
+    */
+  val q45 = Q(
+    "q45_minhash_lsh_neardup",
+    (s, dir) => {
+      import s.implicits._
+      // Tokenized (doc, token) pairs feed three downstream consumers —
+      // cache once instead of re-reading + re-exploding the corpus.
+      val sh = docs(s, dir)
+        .select($"doc_id", explode(array_distinct(toks)).as("tok"))
+        .cache()
+      val mins = (1 to 8).map(i =>
+        min(md5(concat(lit(s"$i|"), $"tok").cast("binary"))).as(s"m$i"))
+      val sig = sh.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n"), mins: _*)
+      val bands = sig.select($"doc_id", $"n", lit(1).as("band_id"),
+          concat($"m1", $"m2", $"m3", $"m4").as("band_val"))
+        .unionByName(sig.select($"doc_id", $"n", lit(2).as("band_id"),
+          concat($"m5", $"m6", $"m7", $"m8").as("band_val")))
+        .cache()
+      // PPJoin-style length filter, applied INSIDE the band join:
+      // jaccard ≥ t implies t·|B| ≤ |A| (intersection ≤ min size,
+      // union ≥ max size), so unequal-sized pairs can be discarded
+      // before the expensive token-intersection join without changing
+      // the result. On skewed corpora (tiny vocabulary → hot LSH
+      // buckets) this cuts candidates ~10×.
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band_id" === $"b.band_id" && $"a.band_val" === $"b.band_val" &&
+          $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" >= $"b.n" * 0.99 && $"b.n" >= $"a.n" * 0.99)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+                $"a.n".as("na"), $"b.n".as("nb"))
+        .distinct()
+      val inter = cand
+        .join(sh.as("x"), $"doc_a" === $"x.doc_id")
+        .join(sh.as("y"), $"doc_b" === $"y.doc_id" && $"x.tok" === $"y.tok")
+        .groupBy($"doc_a", $"doc_b", $"na", $"nb").agg(count(lit(1)).as("i"))
+      inter
+        .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
+        .filter($"jaccard" >= 0.99)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS s FROM documents)),
+      |sig AS (
+      |  SELECT doc_id, COUNT(*) AS n,
+      |         MIN(md5('1|' || s)) AS m1, MIN(md5('2|' || s)) AS m2,
+      |         MIN(md5('3|' || s)) AS m3, MIN(md5('4|' || s)) AS m4,
+      |         MIN(md5('5|' || s)) AS m5, MIN(md5('6|' || s)) AS m6,
+      |         MIN(md5('7|' || s)) AS m7, MIN(md5('8|' || s)) AS m8
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, n, 1 AS band_id, m1 || m2 || m3 || m4 AS band_val FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, n, 2, m5 || m6 || m7 || m8 FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb
+      |  FROM bands a JOIN bands b
+      |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      |   AND a.n >= b.n * 0.99 AND b.n >= a.n * 0.99),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, c.na, c.nb, COUNT(*) AS i
+      |  FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+      |              JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+      |  GROUP BY c.doc_a, c.doc_b, c.na, c.nb)
+      |SELECT doc_a, doc_b, ROUND(i * 1.0 / (na + nb - i), 4) AS jaccard
+      |FROM inter
+      |WHERE i * 1.0 / (na + nb - i) >= 0.99
+      |ORDER BY doc_a, doc_b""".stripMargin),
+    doc = "dedup: MinHash(8) + LSH(2 bands) + exact Jaccard verify")
+
+  /** q46 — SimHash fingerprint (16-bit). Per-token pseudo-random bits
+    * derive from md5 hex-char ASCII parity — a hash both engines
+    * compute identically; per-bit weighted majority vote via an
+    * explode over bit positions (map-side combinable aggregate).
+    */
+  val q46 = Q(
+    "q46_simhash",
+    (s, dir) => {
+      import s.implicits._
+      val tokenized = docs(s, dir)
+        .select($"doc_id", $"lang", explode(array_distinct(toks)).as("tok"))
+        .withColumn("h", md5($"tok".cast("binary")))
+      val bits = tokenized
+        .select($"doc_id", $"lang", $"h", explode(sequence(lit(0), lit(15))).as("b"))
+        .withColumn("vote",
+          when(ascii(substring($"h", $"b" + 1, lit(1))) % 2 === 1, 1L).otherwise(-1L))
+      val sim = bits.groupBy($"doc_id", $"lang", $"b")
+        .agg(sum($"vote").as("s"))
+        .withColumn("bitval",
+          when($"s" >= 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L))
+        .groupBy($"doc_id", $"lang")
+        .agg(sum($"bitval").as("simhash16"))
+      sim.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct($"simhash16").as("n_distinct_hashes"),
+             min($"simhash16").as("min_hash"),
+             max($"simhash16").as("max_hash"))
+        .orderBy($"lang")
+    },
+    Some("""WITH tokens AS (
+      |  SELECT DISTINCT doc_id, lang, s FROM (
+      |    SELECT doc_id, lang, UNNEST(string_split(text,' ')) AS s FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, lang, b.b,
+      |         CASE WHEN ascii(substr(md5(s), b.b + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+      |  FROM tokens CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS b) b),
+      |votes AS (
+      |  SELECT doc_id, lang, b, SUM(vote) AS s FROM bits GROUP BY doc_id, lang, b),
+      |sim AS (
+      |  SELECT doc_id, lang,
+      |         CAST(SUM(CASE WHEN s >= 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash16
+      |  FROM votes GROUP BY doc_id, lang)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       COUNT(DISTINCT simhash16) AS n_distinct_hashes,
+      |       MIN(simhash16) AS min_hash, MAX(simhash16) AS max_hash
+      |FROM sim GROUP BY lang ORDER BY lang""".stripMargin),
+    doc = "dedup: 16-bit SimHash fingerprints (md5-parity bit votes)")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46)
+}

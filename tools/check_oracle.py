@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry.oracleSql against Verify output.
+
+Mirrors the driver's t2 compare: for each query, load the Spark result
+parquet (written by graft.Verify) and run the oracle SQL in DuckDB over
+views of the same testdata parquet; sort columns by name, sort rows,
+compare values. Dev tool only — not part of the shipped library.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.17g}"
+    if v is None:
+        return "NULL"
+    return str(v)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"SKIP {name}: no spark output")
+            n_skip += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        gcols, wcols = sorted(got.columns), sorted(want.columns)
+        if gcols != wcols:
+            print(f"FAIL {name}: columns {gcols} vs {wcols}")
+            n_fail += 1
+            continue
+        g = [tuple(norm(v) for v in row) for row in
+             got[gcols].itertuples(index=False)]
+        w = [tuple(norm(v) for v in row) for row in
+             want[wcols].itertuples(index=False)]
+        g.sort(), w.sort()
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            n_fail += 1
+            continue
+        if g != w:
+            diffs = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+            n_fail += 1
+            continue
+        print(f"PASS {name} ({len(g)} rows)")
+        n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
+    return 1 if (n_fail or n_skip) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
