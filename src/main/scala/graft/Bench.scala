@@ -29,6 +29,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Optional comma-separated override of the headline set — for timing
+    // individual queries while iterating (the driver uses the default).
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(headline)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -45,7 +50,7 @@ object Bench {
     try qs("q03_eq_range_filter")(spark, sfDir).count()
     catch { case _: Throwable => () }
 
-    val results = headline.filter(qs.contains).map { name =>
+    val results = selected.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }

@@ -92,15 +92,35 @@ object Tables {
   val broadcastable: Set[String] = Set("region", "nation", "supplier", "part")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // ns → µs truncation (Spark timestamps are µs); all downstream
-      // bucketing is ≥ second granularity so the truncation is lossless
-      // for query semantics.
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (name == "events")
+        // ns → µs truncation (Spark timestamps are µs); all downstream
+        // bucketing is ≥ second granularity so the truncation is lossless
+        // for query semantics.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
+    // Parallelism guard for the compute-heavy tables: the testdata
+    // ships as one row group per file, so a scan arrives as ONE task
+    // and every map-side stage runs single-threaded regardless of
+    // session cores. For documents/embeddings — whose consumers run
+    // per-row lambda/array work (shingling, higher-order functions,
+    // vector math) costing far more than a narrow exchange — spreading
+    // the scan unlocks full-width map stages. Relational facts are NOT
+    // spread: their queries hit a Catalyst shuffle almost immediately,
+    // so an extra exchange is pure overhead. Scale behavior: on a real
+    // cluster a 100 TB scan has thousands of file splits, the guard is
+    // false, and no exchange is added — this fires only when the scan
+    // is under-split relative to the session.
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (spread(name) && df.rdd.getNumPartitions * 2 < parallelism)
+      df.repartition(parallelism)
     else df
   }
+
+  /** Tables whose consumers do heavy per-row compute before any shuffle. */
+  val spread: Set[String] = Set("documents", "embeddings")
 
   /** Register every table as a temp view so `spark.sql` works too. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

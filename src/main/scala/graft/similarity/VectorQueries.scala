@@ -186,5 +186,80 @@ object VectorQueries {
       |ORDER BY vec_a, vec_b""".stripMargin),
     doc = "similarity: label-blocked cosine near-dup pairs")
 
-  val all: Seq[Q] = Seq(q47, q48, q49)
+  /** q52 — IVF-style approximate nearest neighbors (the coarse-
+    * quantization scale path, complementing q48's hash-based LSH):
+    * partition vectors into cells by nearest centroid, then search a
+    * probe only in its `nprobe`=2 closest cells. At 100 TB the cell
+    * assignment is one broadcast-scored pass (centroid count ≪ data),
+    * the index is just a `cell_id` column to partition/bucket by, and a
+    * query touches nprobe/k of the data instead of all of it.
+    *
+    * Centroids here are a deterministic seed subset (vec_id 8..15) so
+    * the DuckDB oracle reproduces the exact assignment; a production
+    * build would k-means them — the pipeline shape is identical (the
+    * centroid table is broadcast either way). Assignment scores round
+    * to 6dp with a centroid-id tiebreak: bit-stable argmax across
+    * engines.
+    */
+  val q52 = Q(
+    "q52_ivf_ann",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = e.filter($"vec_id" >= 8 && $"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cscore", round(cos(s, "embedding", "cvec"), 6))
+      val byVec = Window.partitionBy($"vec_id")
+        .orderBy($"cscore".desc, $"cid")
+      val cells = assigned
+        .withColumn("r", row_number().over(byVec)).filter($"r" === 1)
+        .select($"cid", $"vec_id", $"embedding")
+      val probes = assigned.filter($"vec_id" < 8)
+        .withColumn("r", row_number().over(byVec)).filter($"r" <= 2)
+        .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val cands = cells.join(broadcast(probes), Seq("cid"))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", round(cos(s, "qvec", "embedding"), 4))
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"vec_id")
+      cands
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"score", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH cents AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |assigned AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |         ROUND(${oCos("e.embedding", "c.cvec")}, 6) AS cscore
+      |  FROM embeddings e CROSS JOIN cents c),
+      |ranked_cells AS (
+      |  SELECT vec_id, embedding, cid,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id
+      |           ORDER BY cscore DESC, cid) AS r
+      |  FROM assigned),
+      |cells AS (
+      |  SELECT cid, vec_id, embedding FROM ranked_cells WHERE r = 1),
+      |probes AS (
+      |  SELECT cid, vec_id AS query_id, embedding AS qvec
+      |  FROM ranked_cells WHERE vec_id < 8 AND r <= 2),
+      |cands AS (
+      |  SELECT p.query_id, e.vec_id AS neighbor_id,
+      |         ROUND(${oCos("p.qvec", "e.embedding")}, 4) AS score
+      |  FROM cells e JOIN probes p ON e.cid = p.cid
+      |  WHERE e.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id
+      |           ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM cands)
+      |SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin),
+    doc = "similarity: IVF coarse-quantization ANN (nprobe=2, broadcast centroids)")
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q52)
 }

@@ -200,26 +200,32 @@ object TextQueries {
     "q45_minhash_lsh_neardup",
     (s, dir) => {
       import s.implicits._
-      // Tokenized (doc, token) pairs feed three downstream consumers —
-      // cache once instead of re-reading + re-exploding the corpus.
-      val sh = docs(s, dir)
-        .select($"doc_id", explode(array_distinct(toks)).as("tok"))
+      // Per-doc distinct token ARRAYS, kept compact (never exploded
+      // into the candidate pairs): both the signature pass and the
+      // exact verify derive from this one cached 1-row-per-doc frame.
+      val docsArr = docs(s, dir)
+        .select($"doc_id", array_distinct(toks).as("ta"))
+        .withColumn("n", size($"ta").cast("long"))
         .cache()
+      val sh = docsArr.select($"doc_id", $"n", explode($"ta").as("tok"))
       val mins = (1 to 8).map(i =>
         min(md5(concat(lit(s"$i|"), $"tok").cast("binary"))).as(s"m$i"))
-      val sig = sh.groupBy($"doc_id")
-        .agg(count(lit(1)).as("n"), mins: _*)
-      val bands = sig.select($"doc_id", $"n", lit(1).as("band_id"),
-          concat($"m1", $"m2", $"m3", $"m4").as("band_val"))
-        .unionByName(sig.select($"doc_id", $"n", lit(2).as("band_id"),
-          concat($"m5", $"m6", $"m7", $"m8").as("band_val")))
+      val sig = sh.groupBy($"doc_id", $"n").agg(mins.head, mins.tail: _*)
+      // Bands via a single explode (the unionByName formulation would
+      // re-evaluate the whole signature aggregation once per band).
+      val bands = sig.select($"doc_id", $"n", explode(array(
+          struct(lit(1).as("band_id"),
+                 concat($"m1", $"m2", $"m3", $"m4").as("band_val")),
+          struct(lit(2).as("band_id"),
+                 concat($"m5", $"m6", $"m7", $"m8").as("band_val")))).as("b"))
+        .select($"doc_id", $"n", $"b.band_id", $"b.band_val")
         .cache()
       // PPJoin-style length filter, applied INSIDE the band join:
       // jaccard ≥ t implies t·|B| ≤ |A| (intersection ≤ min size,
       // union ≥ max size), so unequal-sized pairs can be discarded
-      // before the expensive token-intersection join without changing
-      // the result. On skewed corpora (tiny vocabulary → hot LSH
-      // buckets) this cuts candidates ~10×.
+      // before verification without changing the result. On skewed
+      // corpora (tiny vocabulary → hot LSH buckets) this cuts
+      // candidates ~10×.
       val cand = bands.as("a").join(bands.as("b"),
           $"a.band_id" === $"b.band_id" && $"a.band_val" === $"b.band_val" &&
           $"a.doc_id" < $"b.doc_id" &&
@@ -227,10 +233,15 @@ object TextQueries {
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
                 $"a.n".as("na"), $"b.n".as("nb"))
         .distinct()
+      // Exact verify: attach the two token arrays (narrow joins on
+      // doc_id — AQE broadcasts the cached array side when small) and
+      // intersect map-side. vs the exploded candidate×token join this
+      // removes the |cand|·|tokens| shuffle entirely — at saturated-
+      // similarity corpora that intermediate is the whole cost.
       val inter = cand
-        .join(sh.as("x"), $"doc_a" === $"x.doc_id")
-        .join(sh.as("y"), $"doc_b" === $"y.doc_id" && $"x.tok" === $"y.tok")
-        .groupBy($"doc_a", $"doc_b", $"na", $"nb").agg(count(lit(1)).as("i"))
+        .join(docsArr.select($"doc_id".as("doc_a"), $"ta".as("arr_a")), Seq("doc_a"))
+        .join(docsArr.select($"doc_id".as("doc_b"), $"ta".as("arr_b")), Seq("doc_b"))
+        .withColumn("i", size(array_intersect($"arr_a", $"arr_b")).cast("long"))
       inter
         .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
         .filter($"jaccard" >= 0.99)
@@ -315,5 +326,74 @@ object TextQueries {
       |FROM sim GROUP BY lang ORDER BY lang""".stripMargin),
     doc = "dedup: 16-bit SimHash fingerprints (md5-parity bit votes)")
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46)
+  /** q51 — n-gram (3-token shingle) Jaccard near-duplicate pairs: the
+    * inverted-index exact variant (vs q45's MinHash approximation).
+    * Shingles are far more selective than single tokens on a small
+    * vocabulary, so the shingle-equality self-join generates few
+    * candidates; the PPJoin length filter (J ≥ t ⇒ t·|B| ≤ |A|) is
+    * applied INSIDE the join condition — lossless, and at 100 TB it is
+    * what keeps hot shingles from exploding the candidate set. Exact
+    * intersection counts come from the same inverted index (one
+    * groupBy), never an all-pairs product.
+    */
+  val q51 = Q(
+    "q51_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      val t = 0.8 // Jaccard threshold
+      // Shingle set per doc as a compact array, CACHED before the
+      // explode: the cache is a barrier that stops CollapseProject from
+      // inlining the expensive transform(...) into BOTH its consumers
+      // (size() and the generator) — without it the shingling runs
+      // twice per row. Size comes free off the array (a groupBy+join or
+      // window would shuffle for it). element_at is O(1) per access vs
+      // slice's O(n) copy — O(n) per doc, not O(n²).
+      val arrs = docs(s, dir)
+        .select($"doc_id", split($"text", " ").as("tk"))
+        .select($"doc_id", array_distinct(expr(
+          """CASE WHEN size(tk) >= 3
+            |  THEN transform(sequence(1, size(tk) - 2),
+            |    i -> concat_ws(' ', element_at(tk, i),
+            |                   element_at(tk, i + 1), element_at(tk, i + 2)))
+            |  ELSE array() END""".stripMargin)).as("shs"))
+        .cache()
+      val sized = arrs.select($"doc_id", size($"shs").cast("long").as("n"),
+                              explode($"shs").as("sh"))
+      val inter = sized.as("a").join(sized.as("b"),
+          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+          $"a.n" >= $"b.n" * t && $"b.n" >= $"a.n" * t)
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+                 $"a.n".as("na"), $"b.n".as("nb"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
+        .filter($"jaccard" >= t)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some("""WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i
+      |  FROM tk WHERE len(t) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM idx),
+      |sized AS (
+      |  SELECT sh.doc_id, sh.sh, sz.n
+      |  FROM sh JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) sz
+      |    ON sh.doc_id = sz.doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+      |         COUNT(*) AS i
+      |  FROM sized a JOIN sized b
+      |    ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |   AND a.n >= b.n * 0.8 AND b.n >= a.n * 0.8
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT doc_a, doc_b, ROUND(i * 1.0 / (na + nb - i), 4) AS jaccard
+      |FROM inter
+      |WHERE i * 1.0 / (na + nb - i) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin),
+    doc = "dedup: exact 3-gram shingle Jaccard via inverted-index join + length filter")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q51)
 }

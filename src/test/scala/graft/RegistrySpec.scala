@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 50 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 50)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 50)
+  test("registry has 52 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 52)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 52)
   }
 
   test("every query has a DuckDB oracle") {
