@@ -78,5 +78,81 @@ object MultimodalQueries {
       |ORDER BY source""".stripMargin),
     doc = "multimodal: binary payload → mapPartitions decode (stub) → features")
 
-  val all: Seq[Q] = Seq(q50)
+  /** One sampled frame of a media payload. */
+  final case class Frame(
+      doc_id: Long, source: String, frame_idx: Int,
+      checksum: Long, resized_sum: Long)
+
+  val FrameBytes = 64
+  val SampleStride = 2 // keep every 2nd frame
+  val ResizeFactor = 4 // "resize": keep every 4th byte of a frame
+
+  /** STUB frame sampler + resizer — stands in for video frame
+    * extraction and image downscaling. Deterministic on payload bytes:
+    * frames are fixed 64-byte strides, sampling keeps every 2nd frame,
+    * "resize" sums every 4th byte of a frame (modeling a downsampled
+    * pixel checksum). Swap for a real codec; the iterator shape (one
+    * payload in, 0..n frames out) is what a real decoder has.
+    */
+  def sampleFrames(doc_id: Long, source: String, payload: Array[Byte]): Iterator[Frame] = {
+    val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
+    Iterator.range(0, nFrames, SampleStride).map { f =>
+      val start = f * FrameBytes
+      val end = math.min(start + FrameBytes, payload.length)
+      var sum = 0L; var rsum = 0L; var i = start
+      while (i < end) {
+        val v = (payload(i) & 0xff).toLong
+        sum += v
+        if ((i - start) % ResizeFactor == 0) rsum += v
+        i += 1
+      }
+      Frame(doc_id, source, f, sum, rsum)
+    }
+  }
+
+  /** q53 — frame sampling + resize over binary payloads: the typed
+    * generator pipeline (one row in → n frame rows out) a video/image
+    * pre-processing stage needs. Runs as Dataset.flatMap — per-partition
+    * iterators, codegen'd serialization, no driver involvement; the
+    * downstream aggregation is an ordinary relational groupBy.
+    */
+  val q53 = Q(
+    "q53_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
+        .as[MediaRecord]
+      val frames = media.flatMap(m => sampleFrames(m.doc_id, m.source, m.payload))
+      frames.groupBy($"source")
+        .agg(
+          countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_frames"),
+          sum($"checksum").as("total_checksum"),
+          sum($"resized_sum").as("total_resized"))
+        .orderBy($"source")
+    },
+    Some("""WITH idx AS (
+      |  SELECT doc_id, source, text,
+      |         UNNEST(generate_series(0,
+      |           CAST(ceil(length(text) / 64.0) AS INT) - 1, 2)) AS f
+      |  FROM documents),
+      |frames AS (
+      |  SELECT doc_id, source, f,
+      |         (SELECT SUM(ascii(substr(text, 64 * f + g.i, 1)))
+      |          FROM UNNEST(generate_series(1, 64)) AS g(i)
+      |          WHERE 64 * f + g.i <= length(text)) AS checksum,
+      |         (SELECT SUM(ascii(substr(text, 64 * f + g.i, 1)))
+      |          FROM UNNEST(generate_series(1, 64)) AS g(i)
+      |          WHERE 64 * f + g.i <= length(text)
+      |            AND (g.i - 1) % 4 = 0) AS resized_sum
+      |  FROM idx)
+      |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_frames,
+      |       CAST(SUM(checksum) AS BIGINT) AS total_checksum,
+      |       CAST(SUM(resized_sum) AS BIGINT) AS total_resized
+      |FROM frames
+      |GROUP BY source ORDER BY source""".stripMargin),
+    doc = "multimodal: frame sampling + resize stub via typed flatMap generator")
+
+  val all: Seq[Q] = Seq(q50, q53)
 }

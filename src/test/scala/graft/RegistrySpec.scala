@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 52 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 52)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 52)
+  test("registry has 53 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 53)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 53)
   }
 
   test("every query has a DuckDB oracle") {
