@@ -1,0 +1,109 @@
+package graft
+
+import graft.etl.{Masking, Pipeline, QualityScore}
+import graft.functions.DetRand
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test => ScTest}
+
+/** Property-based invariants (SURVEY.md §5.2 item 3). Raw ScalaCheck
+  * Properties (sbt runs them natively; the scalatest bridge artifact is
+  * not in the offline cache). Sample counts are small — every sample
+  * runs real Spark jobs.
+  */
+object PropertySpec extends Properties("graft") {
+
+  override def overrideParameters(p: ScTest.Parameters): ScTest.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  // count_if ≡ SUM(CASE WHEN) — the A5 dialect equivalence every
+  // conditional aggregate in the engine relies on.
+  property("count_if equals sum(case when)") =
+    Prop.forAll(Gen.listOf(Gen.chooseNum(-100, 100))) { xs =>
+      val df = (0 +: xs).toDF("x") // never empty: aggregates need a row
+      val r = df.agg(
+        count_if($"x" > 0).as("a"),
+        sum(when($"x" > 0, 1L).otherwise(0L)).as("b")).collect()(0)
+      r.getLong(0) == r.getLong(1)
+    }
+
+  // Masking is idempotent and NULL-preserving for arbitrary strings.
+  property("masking idempotent and NULL-preserving") =
+    Prop.forAll(Gen.listOf(Gen.option(Gen.asciiPrintableStr))) { xs =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v.orNull) }
+        .toDF("id", "ssn")
+      val once = Masking.maskSensitiveData(df).collect()
+      val twice = Masking.maskSensitiveData(Masking.maskSensitiveData(df)).collect()
+      val nullsKept = once.forall(r =>
+        (r.isNullAt(1)) == (xs(r.getLong(0).toInt).isEmpty))
+      val masked = once.forall(r =>
+        r.isNullAt(1) || r.getString(1) == Masking.MaskToken)
+      nullsKept && masked && once.map(_.toSeq).sameElements(twice.map(_.toSeq))
+    }
+
+  // Quality score is bounded [0,1] and completeness is exact.
+  property("quality score bounded, completeness exact") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.option(Gen.chooseNum(-1e6, 1e6)))) { xs =>
+      val df = xs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(Double.box).orNull) }
+        .toDF("id", "v")
+      val r = QualityScore.score(df.withColumn("v", $"v".cast("double")))
+      val expectedCompleteness =
+        (xs.size + xs.count(_.isDefined)).toDouble / (2.0 * xs.size)
+      r.completeness >= 0 && r.completeness <= 1 &&
+        r.validity >= 0 && r.validity <= 1 &&
+        r.overall >= 0 && r.overall <= 1 &&
+        math.abs(r.completeness - expectedCompleteness) < 1e-12
+    }
+
+  // DetRand.u is in (0,1) and is a pure function of (id, salt) —
+  // the partition-independence contract of the synthetic generator.
+  property("DetRand.u in (0,1), partition-independent") =
+    Prop.forAll(Gen.chooseNum(1, 1000), Gen.chooseNum(1, 64)) { (n, salt) =>
+      val a = spark.range(1, n + 1).repartition(7)
+        .select(DetRand.u(col("id"), salt).as("u"))
+        .orderBy($"u").as[Double].collect()
+      val b = spark.range(1, n + 1).repartition(2)
+        .select(DetRand.u(col("id"), salt).as("u"))
+        .orderBy($"u").as[Double].collect()
+      a.forall(u => u > 0.0 && u < 1.0) && a.sameElements(b)
+    }
+
+  // The window-based readmission flag agrees with the reference's
+  // brute-force EXISTS self-join on arbitrary encounter histories.
+  private val encGen = Gen.nonEmptyListOf(for {
+    pid <- Gen.chooseNum(1, 5)
+    off <- Gen.chooseNum(0, 90)
+    los <- Gen.chooseNum(0, 5)
+  } yield (pid.toLong, off, los))
+
+  property("windowed readmission equals EXISTS self-join") =
+    Prop.forAll(encGen) { rows =>
+      val enc = rows.zipWithIndex.map { case ((pid, off, los), i) =>
+        (i.toLong, pid, off, los)
+      }.toDF("encounter_id", "patient_id", "off", "los")
+        .withColumn("encounter_date", date_add(lit("1992-01-01").cast("date"), $"off"))
+        .withColumn("discharge_date", expr("date_add(encounter_date, los)"))
+        .withColumn("encounter_type", lit("T"))
+        .drop("off", "los")
+      val fast = Pipeline.analyzeReadmissions(enc)
+        .select("encounters", "readmissions").collect()
+      enc.createOrReplaceTempView("enc_prop")
+      val slow = spark.sql(
+        """WITH flagged AS (
+          |  SELECT EXISTS(SELECT 1 FROM enc_prop e2
+          |                WHERE e2.patient_id = e1.patient_id
+          |                  AND e2.encounter_id <> e1.encounter_id
+          |                  AND e2.encounter_date >= e1.encounter_date
+          |                  AND e2.encounter_date <= date_add(e1.discharge_date, 30)
+          |               ) AS readmit
+          |  FROM enc_prop e1)
+          |SELECT COUNT(*) AS encounters,
+          |       SUM(CASE WHEN readmit THEN 1 ELSE 0 END) AS readmissions
+          |FROM flagged HAVING COUNT(*) >= 10""".stripMargin).collect()
+      (fast.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == slow.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    }
+}
