@@ -134,5 +134,65 @@ object EventQueries {
       |ORDER BY user_id, hour_start""".stripMargin),
     doc = "surveillance thresholds (streaming-alert batch equivalent)")
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39)
+  /** q54 — event sessionization (gaps-and-islands): consecutive events
+    * of a user belong to one session while the inter-event gap is
+    * ≤ 120 minutes. The declarative batch form: LAG to flag session
+    * starts, running SUM to number islands, then a per-session rollup —
+    * ONE shuffle by user key for all three window steps plus the final
+    * aggregate (same partitioning reused). Gap math is exact integer
+    * microseconds (unix_micros) so both engines agree at any timestamp
+    * precision. The stateful streaming twin ([[EventStreamJob.sessionize]],
+    * flatMapGroupsWithState) implements identical semantics and is
+    * asserted equal in EventStreamSpec.
+    */
+  val q54 = Q(
+    "q54_event_sessions",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = EventStreamJob.SessionGapUs
+      val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val run = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("us"), $"value")
+        .withColumn("new_sess",
+          when(($"us" - lag($"us", 1).over(byUser)) <= gapUs, 0).otherwise(1))
+        .withColumn("sess", sum($"new_sess").over(run))
+        .groupBy($"user_id", $"sess")
+        .agg(
+          min($"us").as("start_us"),
+          count(lit(1)).as("n_events"),
+          Q.sumMoney($"value").as("total_value"),
+          (max($"us") - min($"us")).as("duration_us"))
+        .select($"user_id",
+          date_format(timestamp_micros($"start_us"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          $"n_events", $"total_value", $"duration_us")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+      |lagged AS (
+      |  SELECT user_id, event_id, us, value,
+      |         CASE WHEN us - LAG(us) OVER w <= ${EventStreamJob.SessionGapUs}
+      |              THEN 0 ELSE 1 END AS new_sess
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |islands AS (
+      |  SELECT user_id, us, value,
+      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM lagged)
+      |SELECT user_id,
+      |       strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       COUNT(*) AS n_events,
+      |       ${Q.oSum("value")} AS total_value,
+      |       MAX(us) - MIN(us) AS duration_us
+      |FROM islands
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin),
+    doc = "sessionization: 120-min-gap islands (window batch; stateful streaming twin)")
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q54)
 }

@@ -76,6 +76,130 @@ object EventStreamJob {
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
               col("value"), col("payload.k").as("k"), col("payload.tag").as("tag"))
 
+  // ----- sessionization (custom state: flatMapGroupsWithState) -------
+
+  /** Session gap: events of a user ≤ 120 min apart share a session. */
+  val SessionGapUs: Long = 120L * 60 * 1000000
+
+  /** One event in µs-epoch form (the exact-integer time base shared
+    * with the q54 batch query and its DuckDB oracle).
+    */
+  final case class SessEvent(
+      user_id: Long, event_id: Long, us: Long, value: Double,
+      ts: java.sql.Timestamp) // the watermarked event-time column must
+      // survive into the stateful operator's input for EventTimeTimeout
+
+  /** Closed session — schema matches q54's output exactly. */
+  final case class Session(
+      user_id: Long, session_start: String, n_events: Long,
+      total_value: Double, duration_us: Long)
+
+  /** Buffered per-user state between streaming micro-batches. */
+  final case class SessBuffer(events: List[SessEvent])
+
+  private def formatStartUs(us: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L)))
+
+  /** Split a user's (sorted) events into gap-delimited sessions. Money
+    * math matches the verified Q.sumMoney convention: per-value
+    * DECIMAL(18,2) (shortest-repr rounding, same as Spark's double →
+    * decimal cast), exact decimal sum, double at the edge — so the
+    * stateful path is bit-identical to the windowed batch query.
+    */
+  def splitSessions(sorted: Seq[SessEvent]): Seq[Session] = {
+    if (sorted.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var run = List(sorted.head)
+    def close(runRev: List[SessEvent]): Unit = {
+      val es = runRev.reverse
+      val total = es.iterator
+        .map(e => BigDecimal(java.lang.Double.toString(e.value))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+      out += Session(es.head.user_id, formatStartUs(es.head.us),
+        es.size.toLong, total.toDouble, es.last.us - es.head.us)
+    }
+    sorted.tail.foreach { e =>
+      if (e.us - run.head.us <= SessionGapUs) run = e :: run
+      else { close(run); run = List(e) }
+    }
+    close(run)
+    out.toSeq
+  }
+
+  private def sortEvents(es: Seq[SessEvent]): Seq[SessEvent] =
+    es.sortBy(e => (e.us, e.event_id))
+
+  /** Group sorted events into gap-delimited runs (the event-level view
+    * of [[splitSessions]]).
+    */
+  def groupSessions(sorted: Seq[SessEvent]): Seq[Seq[SessEvent]] = {
+    if (sorted.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[SessEvent]]
+    var run = scala.collection.mutable.ArrayBuffer(sorted.head)
+    sorted.tail.foreach { e =>
+      if (e.us - run.last.us <= SessionGapUs) run += e
+      else { out += run.toSeq; run = scala.collection.mutable.ArrayBuffer(e) }
+    }
+    out += run.toSeq
+    out.toSeq
+  }
+
+  /** Streaming sessionization state transition (EventTimeTimeout):
+    * buffer arriving events; once the watermark passes `last event of
+    * a run + gap`, no in-order future event can extend that run, so
+    * the session is immutable — emit it and drop its events. State per
+    * user holds only the open tail, so state size is bounded by
+    * session length, never stream length.
+    */
+  def sessionStateFunc(
+      userId: Long,
+      rows: Iterator[SessEvent],
+      state: org.apache.spark.sql.streaming.GroupState[SessBuffer]): Iterator[Session] = {
+    val buffered = state.getOption.map(_.events).getOrElse(Nil)
+    val all = sortEvents(buffered ++ rows.toSeq)
+    if (all.isEmpty) { state.remove(); return Iterator.empty }
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val (closed, open) = groupSessions(all).partition(
+      g => g.last.us + SessionGapUs < wmUs)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessBuffer(open.flatten.toList))
+      // Re-check when the watermark clears the youngest open run.
+      val wakeMs = Math.floorDiv(open.flatten.map(_.us).max + SessionGapUs, 1000L) + 1
+      state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1))
+    }
+    closed.flatMap(splitSessions).iterator
+  }
+
+  /** Typed sessionization over a batch or streaming event frame (both
+    * carry the raw `ts` timestamp column). Batch uses NoTimeout — each
+    * group sees all its rows in one call, so the result equals the q54
+    * window query exactly. Streaming uses EventTimeTimeout against the
+    * `ts` watermark and emits only watermark-closed sessions.
+    */
+  def sessionize(events: DataFrame, streaming: Boolean): org.apache.spark.sql.Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val withWm = if (streaming) events.withWatermark("ts", WatermarkDelay) else events
+    val typed = withWm
+      .select(col("user_id"), col("event_id"),
+              expr("unix_micros(ts)").as("us"), col("value"), col("ts"))
+      .as[SessEvent]
+    if (streaming)
+      typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          sessionStateFunc)
+    else
+      typed.groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (_: Long, rows: Iterator[SessEvent],
+           _: org.apache.spark.sql.streaming.GroupState[SessBuffer]) =>
+            splitSessions(sortEvents(rows.toSeq)).iterator)
+  }
+
   /** File-source streaming read of the events table: parquet files
     * arriving in a directory, schema pinned (never inferred), ns→µs
     * timestamp conversion as in Tables.load.

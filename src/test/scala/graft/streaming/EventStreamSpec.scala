@@ -61,6 +61,33 @@ class EventStreamSpec extends SparkSpec {
     assert(sortedRows(streamed) == sortedRows(batch))
   }
 
+  test("stateful sessionization (batch mode) ≡ q54 window query") {
+    val batch = EventQueries.q54.build(spark, SparkSpec.Sf0001).collect()
+    val stateful = EventStreamJob.sessionize(
+        graft.Tables.load(spark, SparkSpec.Sf0001, "events"), streaming = false)
+      .toDF().collect()
+    assert(stateful.length == batch.length)
+    assert(sortedRows(stateful) == sortedRows(batch))
+  }
+
+  test("streaming sessionization emits a watermark-closed subset of q54") {
+    val batchKeys = EventQueries.q54.build(spark, SparkSpec.Sf0001).collect()
+      .map(_.toSeq).toSet
+    val q = EventStreamJob.sessionize(
+        EventStreamJob.readEventStream(spark, streamDir), streaming = true)
+      .writeStream
+      .queryName("stream_sessions")
+      .outputMode("append")
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT * FROM stream_sessions").collect()
+    assert(streamed.nonEmpty, "no sessions closed by watermark")
+    val bad = streamed.filterNot(r => batchKeys.contains(r.toSeq))
+    assert(bad.isEmpty, s"streamed sessions not in batch result: ${bad.take(3).toSeq}")
+  }
+
   test("typed payload extraction parses props JSON") {
     val df = EventStreamJob.typedPayload(
       graft.Tables.load(spark, SparkSpec.Sf0001, "events"))
