@@ -29,5 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(
+        classOf[functions.DotProduct].getCanonicalName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.DotProduct(exprs(0), exprs(1))))
   }
 }

@@ -79,12 +79,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
-  /** Register `cosine_sim` in the session's function registry so both
-    * the DataFrame API (via expr) and Spark SQL can call it. Idempotent.
+  /** Register the engine's native vector expressions (`cosine_sim`,
+    * `dot_product`) in the session's function registry so both the
+    * DataFrame API (via expr) and Spark SQL can call them. Idempotent.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)),
+      "scala_udf")
+  }
 }

@@ -89,14 +89,17 @@ object VectorQueries {
   private val nPlanes = 8
   private val dims = 64
 
-  /** Per-vector LSH bucket id: 8 sign bits of hyperplane projections. */
+  /** Per-vector LSH bucket id: 8 sign bits of hyperplane projections.
+    * Each projection is the codegen'd [[graft.functions.DotProduct]]
+    * against a literal weight array — a fused loop in whole-stage
+    * codegen, vs the interpreted `aggregate(zip_with(...))` higher-order
+    * formulation that allocates a products array per (row, plane).
+    */
   private def bucketCol: Column = {
     val projections = (0 until nPlanes).map { p =>
       val w = (0 until dims).map(d => planeWeight(p, d))
       val warrSql = w.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
-      val proj = expr(
-        s"aggregate(zip_with(embedding, $warrSql, (x, y) -> CAST(x AS DOUBLE) * y), " +
-        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+      val proj = expr(s"dot_product(embedding, $warrSql)")
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     projections.reduce(_ + _)

@@ -28,6 +28,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |""".stripMargin).collect()(0)
       assert(math.abs(row.getDouble(0) - 1.0) < 1e-12)
       assert(math.abs(row.getDouble(1)) < 1e-12)
+      val dp = s.sql(
+        """SELECT dot_product(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |                   array(CAST(2.0 AS DOUBLE), CAST(0.5 AS DOUBLE))) AS d
+          |""".stripMargin).collect()(0)
+      assert(math.abs(dp.getDouble(0) - 4.0) < 1e-12)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

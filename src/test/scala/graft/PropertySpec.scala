@@ -79,6 +79,55 @@ object PropertySpec extends Properties("graft") {
     los <- Gen.chooseNum(0, 5)
   } yield (pid.toLong, off, los))
 
+  // The in-memory session splitter (the streaming state core) agrees
+  // with the declarative gaps-and-islands window query on arbitrary
+  // event histories.
+  private val sessGen = Gen.nonEmptyListOf(for {
+    uid <- Gen.chooseNum(1, 3)
+    offMin <- Gen.chooseNum(0, 3000) // minutes over ~2 days
+    v <- Gen.chooseNum(0, 10000)
+  } yield (uid.toLong, offMin, v / 100.0))
+
+  property("stateful session splitter equals window islands query") =
+    Prop.forAll(sessGen) { rows =>
+      import graft.streaming.EventStreamJob
+      val base = 1700000000000000L // µs epoch anchor
+      val evs = rows.zipWithIndex.map { case ((uid, off, v), i) =>
+        EventStreamJob.SessEvent(uid, i.toLong, base + off * 60000000L, v,
+          new java.sql.Timestamp((base + off * 60000000L) / 1000L))
+      }
+      val scala_ = evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+        EventStreamJob.splitSessions(es.sortBy(e => (e.us, e.event_id)))
+      }.map(s => (s.user_id, s.session_start, s.n_events, s.total_value, s.duration_us))
+        .sortBy(_.toString)
+
+      val df = evs.map(e => (e.user_id, e.event_id, e.us, e.value))
+        .toDF("user_id", "event_id", "us", "value")
+      df.createOrReplaceTempView("sess_prop")
+      val gap = EventStreamJob.SessionGapUs
+      val sql_ = spark.sql(
+        s"""WITH lagged AS (
+           |  SELECT user_id, us, value,
+           |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+           |         <= $gap THEN 0 ELSE 1 END AS new_sess,
+           |    event_id
+           |  FROM sess_prop),
+           |islands AS (
+           |  SELECT user_id, us, value,
+           |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+           |      ROWS UNBOUNDED PRECEDING) AS sess
+           |  FROM lagged)
+           |SELECT user_id,
+           |       date_format(timestamp_micros(MIN(us)), 'yyyy-MM-dd HH:mm:ss') AS session_start,
+           |       COUNT(*) AS n_events,
+           |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           |       MAX(us) - MIN(us) AS duration_us
+           |FROM islands GROUP BY user_id, sess""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+        .sortBy(_.toString)
+      scala_ == sql_.toSeq
+    }
+
   property("windowed readmission equals EXISTS self-join") =
     Prop.forAll(encGen) { rows =>
       val enc = rows.zipWithIndex.map { case ((pid, off, los), i) =>
