@@ -395,5 +395,45 @@ object TextQueries {
       |ORDER BY doc_a, doc_b""".stripMargin),
     doc = "dedup: exact 3-gram shingle Jaccard via inverted-index join + length filter")
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q51)
+  /** q55 — BPE-ish token counting ([[TextFunctions.bpeTokens]]): piece
+    * statistics per language over regex pre-tokenization classes
+    * (letter runs / digit runs / punctuation marks) — the second
+    * tokenizer tier the training-data brief asks for beside whitespace
+    * (q41). Identical RE2-compatible pattern on both engines.
+    */
+  val q55 = Q(
+    "q55_bpe_tokens",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("pieces", TextFunctions.bpeTokens($"text"))
+        .withColumn("n_pieces", size($"pieces").cast("long"))
+        .withColumn("n_alpha",
+          size(expr("filter(pieces, p -> p RLIKE '^[a-z]+$')")).cast("long"))
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_pieces").as("total_pieces"),
+          (sum($"n_alpha") * 100.0 / sum($"n_pieces")).as("alpha_pct"),
+          max($"n_pieces").as("max_pieces"))
+        .orderBy($"lang")
+    },
+    Some(s"""WITH t AS (
+      |  SELECT lang,
+      |         regexp_extract_all(lower(text), '${TextFunctions.BpePattern}') AS pieces
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang,
+      |         CAST(len(pieces) AS BIGINT) AS n_pieces,
+      |         CAST(len(list_filter(pieces, p -> regexp_matches(p, '^[a-z]+$$')))
+      |           AS BIGINT) AS n_alpha
+      |  FROM t)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+      |       SUM(n_alpha) * 100.0 / SUM(n_pieces) AS alpha_pct,
+      |       MAX(n_pieces) AS max_pieces
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
+    doc = "text: BPE-ish regex pre-tokenization piece stats per lang")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55)
 }
