@@ -46,9 +46,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
-    // Warmup: JIT + codegen + parquet footer caches.
-    try qs("q03_eq_range_filter")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Warmup: JIT + codegen + parquet footer caches. Each selected query
+    // runs once untimed first so its generated code is compiled and
+    // JIT-hot before timing — measured numbers are steady-state per-query
+    // execution, not one-off Janino compile cost (q45's cold plan spends
+    // ~10x its runtime in codegen compilation). The cache is dropped
+    // after warmup so measured runs recompute every stage — including
+    // re-populating any .cache() an operator uses internally.
+    selected.filter(qs.contains).foreach { name =>
+      try qs(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+    spark.catalog.clearCache()
 
     val results = selected.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
