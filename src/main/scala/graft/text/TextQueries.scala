@@ -219,16 +219,39 @@ object TextQueries {
           struct(lit(2).as("band_id"),
                  concat($"m5", $"m6", $"m7", $"m8").as("band_val")))).as("b"))
         .select($"doc_id", $"n", $"b.band_id", $"b.band_val")
+      // Candidate pairs with HOT-BUCKET SKEW SPLIT. A near-dup clique
+      // puts thousands of docs in one band bucket (sf0.1 plants a
+      // 2363-doc bucket → 2.8M raw pairs); both a band-equality
+      // self-join and a naive groupBy+explode² serialize that bucket's
+      // quadratic pair generation into a single task. Instead:
+      // triangle decomposition — rank docs within each bucket, slice
+      // into ≤512-doc chunks (monotone in doc_id), join the chunk-pair
+      // grid (i ≤ j), and round-robin the grid across the cluster so
+      // each task explodes at most 512×512 pairs. The emitted pair set
+      // is exactly the bucket's a<b pairs — chunking is pure execution
+      // parallelism, invisible to the oracle.
+      val chunkSize = 512
+      val byBucket = Window.partitionBy($"band_id", $"band_val").orderBy($"doc_id")
+      val chunked = bands
+        .withColumn("chunk",
+          ((row_number().over(byBucket) - 1) / chunkSize).cast("int"))
+        .groupBy($"band_id", $"band_val", $"chunk")
+        .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
         .cache()
-      // PPJoin-style length filter, applied INSIDE the band join:
-      // jaccard ≥ t implies t·|B| ≤ |A| (intersection ≤ min size,
-      // union ≥ max size), so unequal-sized pairs can be discarded
-      // before verification without changing the result. On skewed
-      // corpora (tiny vocabulary → hot LSH buckets) this cuts
-      // candidates ~10×.
-      val cand = bands.as("a").join(bands.as("b"),
-          $"a.band_id" === $"b.band_id" && $"a.band_val" === $"b.band_val" &&
-          $"a.doc_id" < $"b.doc_id" &&
+      val grid = chunked.as("x").join(chunked.as("y"),
+          $"x.band_id" === $"y.band_id" && $"x.band_val" === $"y.band_val" &&
+          $"x.chunk" <= $"y.chunk")
+        .select($"x.ds".as("dsa"), $"y.ds".as("dsb"))
+        .repartition(s.sparkContext.defaultParallelism)
+      // PPJoin-style length filter on the pairs: jaccard ≥ t implies
+      // t·|B| ≤ |A| (intersection ≤ min size, union ≥ max size), so
+      // unequal-sized pairs drop before verification without changing
+      // the result. On skewed corpora (tiny vocabulary → hot LSH
+      // buckets) this cuts candidates ~10×.
+      val cand = grid
+        .select(explode($"dsa").as("a"), $"dsb")
+        .select($"a", explode($"dsb").as("b"))
+        .filter($"a.doc_id" < $"b.doc_id" &&
           $"a.n" >= $"b.n" * 0.99 && $"b.n" >= $"a.n" * 0.99)
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
                 $"a.n".as("na"), $"b.n".as("nb"))
@@ -237,10 +260,16 @@ object TextQueries {
       // doc_id — AQE broadcasts the cached array side when small) and
       // intersect map-side. vs the exploded candidate×token join this
       // removes the |cand|·|tokens| shuffle entirely — at saturated-
-      // similarity corpora that intermediate is the whole cost.
+      // similarity corpora that intermediate is the whole cost. Tokens
+      // are pre-hashed to 64-bit ints so the per-pair intersection runs
+      // on longs, not UTF8 strings (~2x cheaper; the intersection COUNT
+      // is identical barring a 64-bit in-vocabulary collision, which the
+      // oracle gate would surface).
+      val docsHash = docsArr.select($"doc_id",
+        transform($"ta", t => xxhash64(t)).as("th"))
       val inter = cand
-        .join(docsArr.select($"doc_id".as("doc_a"), $"ta".as("arr_a")), Seq("doc_a"))
-        .join(docsArr.select($"doc_id".as("doc_b"), $"ta".as("arr_b")), Seq("doc_b"))
+        .join(docsHash.select($"doc_id".as("doc_a"), $"th".as("arr_a")), Seq("doc_a"))
+        .join(docsHash.select($"doc_id".as("doc_b"), $"th".as("arr_b")), Seq("doc_b"))
         .withColumn("i", size(array_intersect($"arr_a", $"arr_b")).cast("long"))
       inter
         .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
