@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * extensions) is registered here as a named query with, where
   * SQL-expressible, a DuckDB oracle equivalent. Registries live in the
   * per-domain modules:
-  *   - operators.CoreQueries   q01–q16  filters/predicates/joins (§2.2-2.3)
+  *   - operators.CoreQueries   q01–q16, q56  filters/predicates/joins (§2.2-2.3, as-of)
   *   - operators.AggQueries    q17–q30  aggregates/windows/set ops (§2.4-2.7)
   *   - functions.ScalarQueries q31–q35  scalar fns + synthetic gen (§2.8, S3)
   *   - streaming.EventQueries  q36–q39  event windows (§2.10 batch-equivalents)

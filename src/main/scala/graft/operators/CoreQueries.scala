@@ -529,6 +529,64 @@ object CoreQueries {
       |ORDER BY per_supplier.n_name, s_name""".stripMargin),
     doc = "J8: agg-to-agg benchmark join")
 
+  /** q56 — AS-OF JOIN: for each purchase event, the latest click by the
+    * same user at-or-before the purchase (last-touch attribution; the
+    * healthcare shape is "most recent lab before each encounter" — the
+    * correlated `ORDER BY date DESC LIMIT 1` family of
+    * healthcare-sql-analytics.sql:592-598 generalized to two inputs).
+    *
+    * Spark has no native ASOF JOIN. The naive encoding — equi-join on
+    * user + range filter + row_number — materializes every
+    * (purchase × earlier-click) pair before ranking: quadratic per user
+    * at 100 TB. Instead both sides are UNIONED and sorted once by
+    * (user, time, side); a running `last(click_id, ignoreNulls)` window
+    * then carries the most recent click forward into each purchase row.
+    * ONE shuffle, O(n log n) per user, no pair explosion, and ties
+    * (click.ts == purchase.ts) resolve inclusively because side orders
+    * clicks first. DuckDB's native ASOF LEFT JOIN is the oracle.
+    */
+  val q56 = Q(
+    "q56_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("t"), lit(0).as("side"),
+          $"event_id".as("click_id"),
+          lit(null).cast("long").as("purchase_id"),
+          lit(null).cast("double").as("amount"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("t"), lit(1).as("side"),
+          lit(null).cast("long").as("click_id"),
+          $"event_id".as("purchase_id"), $"value".as("amount"))
+      val w = Window.partitionBy($"user_id").orderBy($"t", $"side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("click_us", when($"side" === 0, unix_micros($"t")))
+        .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+        .withColumn("last_click_us", last($"click_us", ignoreNulls = true).over(w))
+        .filter($"side" === 1)
+        .select($"purchase_id", $"user_id",
+          unix_micros($"t").as("purchase_ts_us"), $"amount", $"last_click_id",
+          (unix_micros($"t") - $"last_click_us").as("click_to_purchase_us"))
+        .orderBy($"purchase_id")
+    },
+    Some("""WITH clicks AS (
+      |  SELECT user_id, ts AS click_ts, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id,
+      |         value AS amount
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id,
+      |       epoch_us(p.purchase_ts) AS purchase_ts_us, p.amount,
+      |       c.click_id AS last_click_id,
+      |       epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS click_to_purchase_us
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+      |ORDER BY p.purchase_id""".stripMargin),
+    doc = "as-of join (union + running-last window; no pair explosion)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16)
+    q09, q10, q11, q12, q13, q14, q15, q16, q56)
 }

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Multi-format ingestion + sink surface (SURVEY.md §2.1 S2/S4/S5).
+  *
+  * The reference DECLARES `csv, json, hl7, fhir` ingestion
+  * (healthcare-data-pipeline-main.py:139) and parquet/excel connector
+  * deps (healthcare-pipeline-requirements.txt:19-21) but implements
+  * none of them — its only working source is `pd.read_sql`. Here the
+  * declared surface is made real for the open formats, Spark-first:
+  *
+  *   - Explicit `StructType` always — production reads never infer
+  *     (SURVEY.md §1.3); a drifting file fails at analysis time.
+  *   - Malformed rows are either fail-fast (ETL gate) or quarantined
+  *     into a `_corrupt_record` column (audit path) — the Spark-native
+  *     equivalent of the reference's row-level quality warnings
+  *     (healthcare-data-pipeline-main.py:226-230).
+  *   - HL7/FHIR stay out of scope: the reference has zero parsing code
+  *     for them, so there is no behavior to reproduce.
+  *
+  * Scale notes: both readers hand Spark a splittable path glob — on a
+  * real cluster the scan parallelizes per file/split with no driver
+  * involvement. The parquet sink writes `partitionBy` directories
+  * (partition pruning ≈ the reference's date-composite indexes,
+  * healthcare-sql-analytics.sql:89-91) and sorts within partitions so
+  * parquet min/max stats give index-like row-group skipping on the
+  * sort keys.
+  */
+object Formats {
+
+  /** Quarantine column name for malformed-row capture. */
+  val CorruptCol = "_corrupt_record"
+
+  /** CSV with declared schema. `failFast=true` aborts the job on the
+    * first malformed row (load-gate semantics, reference rollback
+    * healthcare-data-pipeline-main.py:665-667); `failFast=false`
+    * quarantines malformed rows into [[CorruptCol]] for auditing.
+    */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              header: Boolean = true, failFast: Boolean = true): DataFrame = {
+    val base = spark.read
+      .option("header", header.toString)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+      .option("enforceSchema", "true")
+    if (failFast) base.option("mode", "FAILFAST").schema(schema).csv(path)
+    else base.option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(StructField(CorruptCol, StringType))).csv(path)
+  }
+
+  /** JSON-lines with declared schema; same malformed-row policy. */
+  def readJson(spark: SparkSession, path: String, schema: StructType,
+               failFast: Boolean = true): DataFrame = {
+    val base = spark.read
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")
+    if (failFast) base.option("mode", "FAILFAST").schema(schema).json(path)
+    else base.option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(StructField(CorruptCol, StringType))).json(path)
+  }
+
+  /** Parquet sink with warehouse layout: directory partitioning for
+    * pruning + in-partition sort for row-group min/max skipping — the
+    * engine-native replacement for the reference's secondary indexes
+    * (SURVEY.md §4.1). Pass `sortWithin` = the high-selectivity filter
+    * keys (e.g. patient/customer id).
+    */
+  def writeParquetPartitioned(df: DataFrame, path: String,
+                              partitionCols: Seq[String],
+                              sortWithin: Seq[String]): Unit = {
+    val sorted =
+      if (sortWithin.nonEmpty)
+        df.sortWithinPartitions(sortWithin.map(df.col): _*)
+      else df
+    val writer: DataFrameWriter[Row] = sorted.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(path)
+  }
+
+  /** Result sink: JSON-lines report rows (reference report dicts →
+    * JSON, healthcare-data-pipeline-main.py:313,432,455). */
+  def writeJsonReport(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

@@ -184,6 +184,51 @@ object TextQueries {
       |FROM fp""".stripMargin),
     doc = "text: order-invariant content fingerprint (md5 of sorted token set)")
 
+  /** Candidate pair generation with HOT-BUCKET SKEW SPLIT, shared by the
+    * LSH dedup family. Input: one row per (doc_id, n, band_id, band_val);
+    * output: the distinct a<b doc pairs sharing a band value, with the
+    * PPJoin length filter (jaccard ≥ t implies t·|B| ≤ |A|: intersection
+    * ≤ min size, union ≥ max size) applied losslessly before
+    * verification — on skewed corpora it cuts candidates ~10×.
+    *
+    * Skew design: a near-dup clique puts thousands of docs in one band
+    * bucket (sf0.1 plants a 2363-doc bucket → 2.8M raw pairs); both a
+    * band-equality self-join and a naive groupBy+explode² serialize that
+    * bucket's quadratic pair generation into a single task. Instead:
+    * triangle decomposition — rank docs within each bucket, slice into
+    * ≤chunkSize-doc slices (monotone in doc_id), join the chunk-pair
+    * grid (i ≤ j), and round-robin the grid across the cluster so each
+    * task explodes at most chunkSize² pairs. The emitted pair set is
+    * exactly the bucket's a<b pairs — chunking is pure execution
+    * parallelism, invisible to the oracle (verified by
+    * `LshPairsSpec` across chunk sizes).
+    */
+  private[graft] def lshCandidatePairs(bands: DataFrame, lengthRatio: Double,
+                                       chunkSize: Int = 512): DataFrame = {
+    val s = bands.sparkSession
+    import s.implicits._
+    val byBucket = Window.partitionBy($"band_id", $"band_val").orderBy($"doc_id")
+    val chunked = bands
+      .withColumn("chunk",
+        ((row_number().over(byBucket) - 1) / chunkSize).cast("int"))
+      .groupBy($"band_id", $"band_val", $"chunk")
+      .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
+      .cache()
+    val grid = chunked.as("x").join(chunked.as("y"),
+        $"x.band_id" === $"y.band_id" && $"x.band_val" === $"y.band_val" &&
+        $"x.chunk" <= $"y.chunk")
+      .select($"x.ds".as("dsa"), $"y.ds".as("dsb"))
+      .repartition(s.sparkContext.defaultParallelism)
+    grid
+      .select(explode($"dsa").as("a"), $"dsb")
+      .select($"a", explode($"dsb").as("b"))
+      .filter($"a.doc_id" < $"b.doc_id" &&
+        $"a.n" >= $"b.n" * lengthRatio && $"b.n" >= $"a.n" * lengthRatio)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+              $"a.n".as("na"), $"b.n".as("nb"))
+      .distinct()
+  }
+
   /** q45 — MinHash + LSH near-duplicate detection. The full scale
     * pipeline: tokenize → distinct (doc, token) → 8 md5-salted min-hash
     * signature → 2 LSH bands of 4 → band-equality join for candidates →
@@ -219,43 +264,7 @@ object TextQueries {
           struct(lit(2).as("band_id"),
                  concat($"m5", $"m6", $"m7", $"m8").as("band_val")))).as("b"))
         .select($"doc_id", $"n", $"b.band_id", $"b.band_val")
-      // Candidate pairs with HOT-BUCKET SKEW SPLIT. A near-dup clique
-      // puts thousands of docs in one band bucket (sf0.1 plants a
-      // 2363-doc bucket → 2.8M raw pairs); both a band-equality
-      // self-join and a naive groupBy+explode² serialize that bucket's
-      // quadratic pair generation into a single task. Instead:
-      // triangle decomposition — rank docs within each bucket, slice
-      // into ≤512-doc chunks (monotone in doc_id), join the chunk-pair
-      // grid (i ≤ j), and round-robin the grid across the cluster so
-      // each task explodes at most 512×512 pairs. The emitted pair set
-      // is exactly the bucket's a<b pairs — chunking is pure execution
-      // parallelism, invisible to the oracle.
-      val chunkSize = 512
-      val byBucket = Window.partitionBy($"band_id", $"band_val").orderBy($"doc_id")
-      val chunked = bands
-        .withColumn("chunk",
-          ((row_number().over(byBucket) - 1) / chunkSize).cast("int"))
-        .groupBy($"band_id", $"band_val", $"chunk")
-        .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
-        .cache()
-      val grid = chunked.as("x").join(chunked.as("y"),
-          $"x.band_id" === $"y.band_id" && $"x.band_val" === $"y.band_val" &&
-          $"x.chunk" <= $"y.chunk")
-        .select($"x.ds".as("dsa"), $"y.ds".as("dsb"))
-        .repartition(s.sparkContext.defaultParallelism)
-      // PPJoin-style length filter on the pairs: jaccard ≥ t implies
-      // t·|B| ≤ |A| (intersection ≤ min size, union ≥ max size), so
-      // unequal-sized pairs drop before verification without changing
-      // the result. On skewed corpora (tiny vocabulary → hot LSH
-      // buckets) this cuts candidates ~10×.
-      val cand = grid
-        .select(explode($"dsa").as("a"), $"dsb")
-        .select($"a", explode($"dsb").as("b"))
-        .filter($"a.doc_id" < $"b.doc_id" &&
-          $"a.n" >= $"b.n" * 0.99 && $"b.n" >= $"a.n" * 0.99)
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-                $"a.n".as("na"), $"b.n".as("nb"))
-        .distinct()
+      val cand = lshCandidatePairs(bands, lengthRatio = 0.99)
       // Exact verify: attach the two token arrays (narrow joins on
       // doc_id — AQE broadcasts the cached array side when small) and
       // intersect map-side. vs the exploded candidate×token join this

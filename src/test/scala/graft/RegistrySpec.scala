@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 55 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 55)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 55)
+  test("registry has 56 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 56)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 56)
   }
 
   test("every query has a DuckDB oracle") {

@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [[TextQueries.lshCandidatePairs]]: the chunked triangle decomposition
+  * must emit exactly the same pair set as a naive band-equality self-join
+  * for ANY chunk size — chunking is execution parallelism, not semantics.
+  */
+class LshPairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Buckets with sizes 1/2/5/9, docs in several buckets, plus length
+    * outliers the PPJoin filter must drop.
+    */
+  private lazy val bands: DataFrame = {
+    val rows =
+      // (doc_id, n, band_id, band_val)
+      Seq((1L, 100L), (2L, 100L), (3L, 101L), (4L, 100L), (5L, 300L))
+        .map { case (d, n) => (d, n, 1, "hot") } ++ // 5-doc bucket, one outlier
+      Seq((10L, 50L), (11L, 50L)).map { case (d, n) => (d, n, 1, "pair") } ++
+      Seq((20L, 10L)).map { case (d, n) => (d, n, 2, "solo") } ++
+      (30L to 38L).map(d => (d, 40L + d % 3, 2, "nine")) ++
+      // same docs collide again in another band — distinct() must dedupe
+      Seq((1L, 100L), (2L, 100L)).map { case (d, n) => (d, n, 2, "re") }
+    rows.toDF("doc_id", "n", "band_id", "band_val")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select($"doc_a", $"doc_b", $"na", $"nb")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  private lazy val naive: Set[(Long, Long, Long, Long)] = pairSet(
+    bands.as("a").join(bands.as("b"),
+        $"a.band_id" === $"b.band_id" && $"a.band_val" === $"b.band_val" &&
+        $"a.doc_id" < $"b.doc_id" &&
+        $"a.n" >= $"b.n" * 0.9 && $"b.n" >= $"a.n" * 0.9)
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+              $"a.n".as("na"), $"b.n".as("nb"))
+      .distinct())
+
+  test("naive fixture sanity: dedupes bands, drops length outliers") {
+    assert(naive.contains((1L, 2L, 100L, 100L)))
+    assert(!naive.exists(p => p._1 == 5L || p._2 == 5L)) // n=300 outlier
+    assert(!naive.exists(p => p._1 == 20L || p._2 == 20L)) // singleton
+    assert(naive.count(p => p._1 >= 30L) === 36) // C(9,2) in "nine"
+  }
+
+  for (cs <- Seq(1, 2, 3, 4, 1000)) {
+    test(s"chunked pair generation matches naive self-join at chunkSize=$cs") {
+      val got = pairSet(
+        TextQueries.lshCandidatePairs(bands, lengthRatio = 0.9, chunkSize = cs))
+      assert(got === naive)
+    }
+  }
+}
