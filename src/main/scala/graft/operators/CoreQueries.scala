@@ -535,15 +535,10 @@ object CoreQueries {
     * correlated `ORDER BY date DESC LIMIT 1` family of
     * healthcare-sql-analytics.sql:592-598 generalized to two inputs).
     *
-    * Spark has no native ASOF JOIN. The naive encoding — equi-join on
-    * user + range filter + row_number — materializes every
-    * (purchase × earlier-click) pair before ranking: quadratic per user
-    * at 100 TB. Instead both sides are UNIONED and sorted once by
-    * (user, time, side); a running `last(click_id, ignoreNulls)` window
-    * then carries the most recent click forward into each purchase row.
-    * ONE shuffle, O(n log n) per user, no pair explosion, and ties
-    * (click.ts == purchase.ts) resolve inclusively because side orders
-    * clicks first. DuckDB's native ASOF LEFT JOIN is the oracle.
+    * Implementation and scale rationale live in [[AsofJoin.latestBefore]]
+    * (union + running-last window: one shuffle, no pair explosion; ties
+    * click.ts == purchase.ts resolve inclusively). DuckDB's native
+    * ASOF LEFT JOIN is the oracle.
     */
   val q56 = Q(
     "q56_asof_join",
@@ -551,24 +546,18 @@ object CoreQueries {
       import s.implicits._
       val ev = Tables.load(s, dir, "events")
       val clicks = ev.filter($"event_type" === "click")
-        .select($"user_id", $"ts".as("t"), lit(0).as("side"),
-          $"event_id".as("click_id"),
-          lit(null).cast("long").as("purchase_id"),
-          lit(null).cast("double").as("amount"))
+        .select($"user_id", $"ts".as("click_ts"), $"event_id".as("click_id"))
       val purchases = ev.filter($"event_type" === "purchase")
-        .select($"user_id", $"ts".as("t"), lit(1).as("side"),
-          lit(null).cast("long").as("click_id"),
+        .select($"user_id", $"ts".as("purchase_ts"),
           $"event_id".as("purchase_id"), $"value".as("amount"))
-      val w = Window.partitionBy($"user_id").orderBy($"t", $"side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionByName(purchases)
-        .withColumn("click_us", when($"side" === 0, unix_micros($"t")))
-        .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
-        .withColumn("last_click_us", last($"click_us", ignoreNulls = true).over(w))
-        .filter($"side" === 1)
+      AsofJoin.latestBefore(purchases, clicks, key = "user_id",
+          leftTime = "purchase_ts", rightTime = "click_ts",
+          carry = Seq("click_id", "click_ts"))
         .select($"purchase_id", $"user_id",
-          unix_micros($"t").as("purchase_ts_us"), $"amount", $"last_click_id",
-          (unix_micros($"t") - $"last_click_us").as("click_to_purchase_us"))
+          unix_micros($"purchase_ts").as("purchase_ts_us"), $"amount",
+          $"click_id".as("last_click_id"),
+          (unix_micros($"purchase_ts") - unix_micros($"click_ts"))
+            .as("click_to_purchase_us"))
         .orderBy($"purchase_id")
     },
     Some("""WITH clicks AS (

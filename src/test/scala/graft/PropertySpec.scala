@@ -155,4 +155,43 @@ object PropertySpec extends Properties("graft") {
       (fast.map(r => (r.getLong(0), r.getLong(1))).toSeq
         == slow.map(r => (r.getLong(0), r.getLong(1))).toSeq)
     }
+
+  // AsofJoin union+running-last ≡ naive equi-join + range + rank. The
+  // generator assigns globally unique second offsets so neither
+  // formulation faces an ambiguous tie between two right rows.
+  private val asofGen = for {
+    n <- Gen.chooseNum(1, 40)
+    offs <- Gen.pick(n, 0 until 2000)
+    rows <- Gen.sequence[Seq[(Int, Int, Boolean)], (Int, Int, Boolean)](
+      offs.map(o => for {
+        key <- Gen.chooseNum(1, 4)
+        isLeft <- Gen.oneOf(true, false)
+      } yield (key, o, isLeft)))
+  } yield rows
+
+  property("asof join equals naive join+rank") =
+    Prop.forAll(asofGen) { rows =>
+      val base = rows.zipWithIndex.map { case ((k, off, isL), i) =>
+        (i.toLong, k.toLong, off, isL)
+      }.toDF("id", "k", "off", "is_left")
+        .withColumn("t", expr("timestamp_seconds(1700000000 + off)"))
+      val left = base.filter($"is_left").select($"id", $"k", $"t".as("lt"))
+      val right = base.filter(!$"is_left")
+        .select($"k", $"t".as("rt"), $"id".as("rid"))
+      val fast = graft.operators.AsofJoin
+        .latestBefore(left, right, key = "k",
+          leftTime = "lt", rightTime = "rt", carry = Seq("rid", "rt"))
+        .select($"id", $"rid").as[(Long, Option[Long])].collect().toSeq.sorted
+      left.createOrReplaceTempView("asof_l")
+      right.createOrReplaceTempView("asof_r")
+      val slow = spark.sql(
+        """SELECT id, rid FROM (
+          |  SELECT l.id, r.rid,
+          |         ROW_NUMBER() OVER (PARTITION BY l.id ORDER BY r.rt DESC) AS rn
+          |  FROM asof_l l LEFT JOIN asof_r r
+          |    ON l.k = r.k AND r.rt <= l.lt)
+          |WHERE rn = 1""".stripMargin)
+        .as[(Long, Option[Long])].collect().toSeq.sorted
+      fast == slow
+    }
 }
