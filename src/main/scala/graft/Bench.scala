@@ -12,8 +12,8 @@ object Bench {
 
   /** Headline set: the flagship + the heaviest operator per family
     * (self-join window, star join, decorrelated join, time buckets,
-    * two-level agg, z-score scan, event windows, MinHash LSH, cosine
-    * top-k, LSH ANN).
+    * two-level agg, z-score scan, event windows, MinHash LSH, exact
+    * n-gram dedup, cosine top-k, LSH ANN, sessionization, as-of join).
     */
   val headline: Seq[String] = Seq(
     "q01_readmission_rate",
@@ -25,7 +25,10 @@ object Bench {
     "q36_event_tumbling",
     "q45_minhash_lsh_neardup",
     "q47_cosine_topk",
-    "q48_ann_lsh")
+    "q48_ann_lsh",
+    "q51_ngram_jaccard",
+    "q54_event_sessions",
+    "q56_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -203,8 +203,14 @@ object TextQueries {
     * parallelism, invisible to the oracle (verified by
     * `LshPairsSpec` across chunk sizes).
     */
+  /** @param dedupe true → distinct candidate pairs (LSH: a pair may
+    *               collide in several bands); false → keep one row per
+    *               shared bucket value (inverted index: the pair's row
+    *               count IS the intersection size)
+    */
   private[graft] def lshCandidatePairs(bands: DataFrame, lengthRatio: Double,
-                                       chunkSize: Int = 512): DataFrame = {
+                                       chunkSize: Int = 512,
+                                       dedupe: Boolean = true): DataFrame = {
     val s = bands.sparkSession
     import s.implicits._
     val byBucket = Window.partitionBy($"band_id", $"band_val").orderBy($"doc_id")
@@ -219,14 +225,14 @@ object TextQueries {
         $"x.chunk" <= $"y.chunk")
       .select($"x.ds".as("dsa"), $"y.ds".as("dsb"))
       .repartition(s.sparkContext.defaultParallelism)
-    grid
+    val pairs = grid
       .select(explode($"dsa").as("a"), $"dsb")
       .select($"a", explode($"dsb").as("b"))
       .filter($"a.doc_id" < $"b.doc_id" &&
         $"a.n" >= $"b.n" * lengthRatio && $"b.n" >= $"a.n" * lengthRatio)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
               $"a.n".as("na"), $"b.n".as("nb"))
-      .distinct()
+    if (dedupe) pairs.distinct() else pairs
   }
 
   /** q45 — MinHash + LSH near-duplicate detection. The full scale
@@ -395,13 +401,17 @@ object TextQueries {
             |                   element_at(tk, i + 1), element_at(tk, i + 2)))
             |  ELSE array() END""".stripMargin)).as("shs"))
         .cache()
+      // The shingle inverted index is the same shape as an LSH band
+      // frame (bucket value = shingle); reuse the skew-split pair
+      // generator with dedupe=false so each shared shingle contributes
+      // one pair row — the per-pair row count IS the intersection size.
+      // A shingle shared across a near-dup clique would otherwise
+      // serialize its quadratic pair emission into one join task.
       val sized = arrs.select($"doc_id", size($"shs").cast("long").as("n"),
                               explode($"shs").as("sh"))
-      val inter = sized.as("a").join(sized.as("b"),
-          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.n" >= $"b.n" * t && $"b.n" >= $"a.n" * t)
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-                 $"a.n".as("na"), $"b.n".as("nb"))
+        .select($"doc_id", $"n", lit(0).as("band_id"), $"sh".as("band_val"))
+      val inter = lshCandidatePairs(sized, lengthRatio = t, dedupe = false)
+        .groupBy($"doc_a", $"doc_b", $"na", $"nb")
         .agg(count(lit(1)).as("i"))
       inter
         .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))

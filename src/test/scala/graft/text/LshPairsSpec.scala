@@ -54,4 +54,16 @@ class LshPairsSpec extends SparkSpec {
       assert(got === naive)
     }
   }
+
+  test("dedupe=false keeps one row per shared bucket (intersection counts)") {
+    val rows = TextQueries
+      .lshCandidatePairs(bands, lengthRatio = 0.9, chunkSize = 2, dedupe = false)
+      .groupBy($"doc_a", $"doc_b").count()
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // docs 1,2 share the "hot" (band 1) and "re" (band 2) buckets
+    assert(rows((1L, 2L)) === 2L)
+    // docs 10,11 share only "pair"
+    assert(rows((10L, 11L)) === 1L)
+  }
 }
