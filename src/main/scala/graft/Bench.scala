@@ -28,7 +28,10 @@ object Bench {
     "q48_ann_lsh",
     "q51_ngram_jaccard",
     "q54_event_sessions",
-    "q56_asof_join")
+    "q56_asof_join",
+    "q57_rolling_window",
+    "q60_salted_skew_join",
+    "q63_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

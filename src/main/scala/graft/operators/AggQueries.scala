@@ -464,6 +464,227 @@ object AggQueries {
       |ORDER BY table_name""".stripMargin),
     doc = "U1: UNION ALL per-table QC rows")
 
+  /** q57 — sliding window frame (W-extension; SURVEY.md §2.5 notes the
+    * rebuild exposes rowsBetween frames beyond the reference's unbounded
+    * ones): 7-row rolling revenue per priority. The daily series keeps
+    * its sum as DECIMAL through the frame — window engines disagree on
+    * double summation order (Spark re-scans the frame, DuckDB combines
+    * segment-tree nodes), decimal is associative either way.
+    */
+  val q57 = Q(
+    "q57_rolling_window",
+    (s, dir) => {
+      import s.implicits._
+      val daily = orders(s, dir)
+        .groupBy($"o_orderpriority", $"o_orderdate")
+        .agg(sum(Q.money($"o_totalprice")).as("day_rev"))
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_orderdate")
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("rev_7d", sum($"day_rev").over(w).cast("double"))
+        .withColumn("avg_7d",
+          sum($"day_rev").over(w).cast("double") / count(lit(1)).over(w))
+        .select($"o_orderpriority", $"o_orderdate",
+                $"day_rev".cast("double").as("day_rev"), $"rev_7d", $"avg_7d")
+        .orderBy($"o_orderpriority", $"o_orderdate")
+    },
+    Some("""WITH daily AS (
+      |  SELECT o_orderpriority, o_orderdate,
+      |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority, o_orderdate,
+      |       CAST(day_rev AS DOUBLE) AS day_rev,
+      |       CAST(SUM(day_rev) OVER w AS DOUBLE) AS rev_7d,
+      |       CAST(SUM(day_rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+      |FROM daily
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderpriority, o_orderdate""".stripMargin),
+    doc = "window frame: 7-row rolling sum/avg (decimal-exact under the frame)")
+
+  /** q58 — ROLLUP with GROUPING flags (OLAP subtotal surface the
+    * reference's UNION-ALL QC rows approximate by hand,
+    * healthcare-sql-analytics.sql:759-779). Keys are sentinel-coalesced
+    * so the subtotal rows sort and hash identically in both engines.
+    */
+  val q58 = Q(
+    "q58_rollup_totals",
+    (s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .withColumn("yr", year($"o_orderdate"))
+        .rollup($"yr", $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             Q.sumMoney($"o_totalprice").as("revenue"),
+             grouping($"yr").cast("int").as("g_year"),
+             grouping($"o_orderpriority").cast("int").as("g_priority"))
+        .select(coalesce($"yr", lit(-1)).as("o_year"),
+                coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+                $"g_year", $"g_priority", $"n_orders", $"revenue")
+        .orderBy($"g_year", $"g_priority", $"o_year", $"priority")
+    },
+    Some(s"""SELECT COALESCE(yr, -1) AS o_year,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       CAST(GROUPING(yr) AS INTEGER) AS g_year,
+      |       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+      |       COUNT(*) AS n_orders,
+      |       ${Q.oSum("o_totalprice")} AS revenue
+      |FROM (SELECT year(o_orderdate) AS yr, o_orderpriority, o_totalprice
+      |      FROM orders)
+      |GROUP BY ROLLUP(yr, o_orderpriority)
+      |ORDER BY g_year, g_priority, o_year, priority""".stripMargin),
+    doc = "ROLLUP subtotals + GROUPING flags (sentinel-coalesced keys)")
+
+  /** q59 — LAG gap analysis: days between a customer's consecutive
+    * encounters (the inter-visit interval behind the reference's
+    * readmission logic, here as an explicit window rather than a self
+    * join). Total order inside each partition (date, then key) keeps the
+    * lag deterministic under date ties.
+    */
+  val q59 = Q(
+    "q59_order_gaps",
+    (s, dir) => {
+      import s.implicits._
+      val byCust = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      val gaps = orders(s, dir)
+        .withColumn("prev_dt", lag($"o_orderdate", 1).over(byCust))
+        .filter($"prev_dt".isNotNull)
+        .withColumn("gap_days", datediff($"o_orderdate", $"prev_dt").cast("long"))
+      gaps
+        .join(customer(s, dir).select($"c_custkey", $"c_mktsegment"),
+              $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_gaps"),
+             (sum($"gap_days").cast("double") / count(lit(1))).as("avg_gap_days"),
+             min($"gap_days").as("min_gap_days"),
+             max($"gap_days").as("max_gap_days"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH gaps AS (
+      |  SELECT o_custkey,
+      |         CAST(date_diff('day',
+      |           LAG(o_orderdate, 1) OVER
+      |             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |           o_orderdate) AS BIGINT) AS gap_days
+      |  FROM orders)
+      |SELECT c_mktsegment, COUNT(*) AS n_gaps,
+      |       CAST(SUM(gap_days) AS DOUBLE) / COUNT(*) AS avg_gap_days,
+      |       MIN(gap_days) AS min_gap_days, MAX(gap_days) AS max_gap_days
+      |FROM gaps JOIN customer ON o_custkey = c_custkey
+      |WHERE gap_days IS NOT NULL
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+    doc = "LAG inter-event gaps per customer, aggregated by segment")
+
+  /** q62 — NTILE quartiles over per-customer spend. The global ranking
+    * runs on the AGGREGATED frame (one row per customer), but a global
+    * ORDER BY window is still a single-task sort at cluster scale — the
+    * 100 TB variant derives quartile cut-points from percentile/
+    * approxQuantile and joins them back instead. Deterministic here via
+    * an exact-decimal sort key + unique tiebreak.
+    */
+  val q62 = Q(
+    "q62_ntile_quartiles",
+    (s, dir) => {
+      import s.implicits._
+      val spend = orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(sum(Q.money($"o_totalprice")).as("spend_dec"))
+      val w = Window.orderBy($"spend_dec".desc, $"o_custkey")
+      spend
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy($"quartile")
+        .agg(count(lit(1)).as("n_customers"),
+             min($"spend_dec").cast("double").as("min_spend"),
+             max($"spend_dec").cast("double").as("max_spend"),
+             (sum($"spend_dec").cast("double") / count(lit(1))).as("avg_spend"))
+        .orderBy($"quartile")
+    },
+    Some("""WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      |  FROM orders GROUP BY 1),
+      |q AS (
+      |  SELECT o_custkey, spend_dec,
+      |         NTILE(4) OVER (ORDER BY spend_dec DESC, o_custkey) AS quartile
+      |  FROM spend)
+      |SELECT quartile, COUNT(*) AS n_customers,
+      |       CAST(MIN(spend_dec) AS DOUBLE) AS min_spend,
+      |       CAST(MAX(spend_dec) AS DOUBLE) AS max_spend,
+      |       CAST(SUM(spend_dec) AS DOUBLE) / COUNT(*) AS avg_spend
+      |FROM q GROUP BY quartile ORDER BY quartile""".stripMargin),
+    doc = "NTILE spend quartiles (ranking on the aggregated frame)")
+
+  /** q63 — HyperLogLog distinct-count sketch, built from first
+    * principles so BOTH engines compute the identical estimate (their
+    * built-in approx_count_distinct sketches differ, which would defeat
+    * the oracle): md5 → 60-bit integer → 9-bit register index + max
+    * leading-zero rank per register → harmonic mean. All register math
+    * is integer-exact (ranks become 2^(52−ρ) BIGINT terms, never summed
+    * floats); the single final division is one IEEE op on identical
+    * operands. This is the 100 TB idiom for A2's COUNT(DISTINCT): one
+    * narrow map-side-combinable aggregate instead of a distinct shuffle.
+    */
+  /** αₘ·m²·2⁵² for m = 512 — the HLL estimator numerator, computed once
+    * and inlined as the SAME double literal into both engines' plans.
+    * (Defined before q63: object vals initialize in declaration order.)
+    */
+  private val HllC: Double =
+    0.7213 / (1 + 1.079 / 512) * 512.0 * 512.0 * 4503599627370496.0
+
+  val q63 = Q(
+    "q63_hll_distinct",
+    (s, dir) => {
+      import s.implicits._
+      val reg = orders(s, dir)
+        .select($"o_orderpriority",
+          expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 15), 16, 10) as bigint)")
+            .as("h"))
+        .withColumn("bucket", pmod($"h", lit(512L)))
+        .withColumn("v", expr("h div 512"))
+        // v occupies 51 bits; rank = leading zeros + 1 = 52 − bit_length(v)
+        .withColumn("rho",
+          when($"v" === 0L, lit(52))
+            .otherwise(lit(52) - length(expr("conv(cast(v as string), 10, 2)"))))
+      val est = reg
+        .groupBy($"o_orderpriority", $"bucket").agg(max($"rho").as("mrho"))
+        .groupBy($"o_orderpriority")
+        .agg(sum(expr("shiftleft(cast(1 as bigint), 52 - mrho)")).as("occ_sum"),
+             count(lit(1)).as("occupied"))
+        .withColumn("approx_distinct",
+          lit(HllC) / expr(
+            "cast(occ_sum + (512 - occupied) * shiftleft(cast(1 as bigint), 52) as double)"))
+      val exact = orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(countDistinct($"o_custkey").as("exact_distinct"))
+      est.join(exact, Seq("o_orderpriority"))
+        .select($"o_orderpriority", $"exact_distinct", $"approx_distinct")
+        .orderBy($"o_orderpriority")
+    },
+    Some(s"""WITH reg AS (
+      |  SELECT o_orderpriority,
+      |         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM orders),
+      |rho AS (
+      |  SELECT o_orderpriority, h % 512 AS bucket,
+      |         CASE WHEN h // 512 = 0 THEN 52
+      |              ELSE 52 - length(bin(h // 512)) END AS rho
+      |  FROM reg),
+      |mx AS (
+      |  SELECT o_orderpriority, bucket, MAX(rho) AS mrho FROM rho GROUP BY 1, 2),
+      |est AS (
+      |  SELECT o_orderpriority,
+      |         $HllC / CAST(SUM(CAST(1 AS BIGINT) << (52 - mrho))
+      |                      + (512 - COUNT(*)) * (CAST(1 AS BIGINT) << 52) AS DOUBLE)
+      |           AS approx_distinct
+      |  FROM mx GROUP BY 1)
+      |SELECT e.o_orderpriority, x.exact_distinct, e.approx_distinct
+      |FROM est e JOIN (
+      |  SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_distinct
+      |  FROM orders GROUP BY 1) x USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin),
+    doc = "HLL sketch (m=512) from integer-exact register math; oracle-identical")
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30)
+    q25, q26, q27, q28, q29, q30, q57, q58, q59, q62, q63)
 }

@@ -576,6 +576,34 @@ object CoreQueries {
       |ORDER BY p.purchase_id""".stripMargin),
     doc = "as-of join (union + running-last window; no pair explosion)")
 
+  /** q60 — salted skew join ([[SkewJoin]]): lineitem ⋈ supplier on
+    * suppkey, the big side's rows deterministically split 8 ways so a
+    * hot supplier's lineitems spread over 8 shuffle partitions instead
+    * of pinning one task. Salting is invisible to semantics — the oracle
+    * is the PLAIN unsalted join. (Here supplier would broadcast anyway;
+    * the operator exists for the too-big-to-broadcast dimension case.)
+    */
+  val q60 = Q(
+    "q60_salted_skew_join",
+    (s, dir) => {
+      import s.implicits._
+      val li = lineitem(s, dir)
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      val supp = Tables.load(s, dir, "supplier")
+        .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+      SkewJoin.saltedInnerJoin(li, supp, "l_suppkey", salts = 8,
+          bigSaltSource = struct($"l_orderkey", $"l_linenumber"))
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+             Q.sumMoney($"l_extendedprice").as("revenue"))
+        .orderBy($"s_nationkey")
+    },
+    Some(s"""SELECT s_nationkey, COUNT(*) AS n_items,
+      |       ${Q.oSum("l_extendedprice")} AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
+    doc = "salted skew join (8-way deterministic salt; ≡ plain join)")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q56)
+    q09, q10, q11, q12, q13, q14, q15, q16, q56, q60)
 }

@@ -532,5 +532,41 @@ object TextQueries {
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin),
     doc = "text: BPE-ish regex pre-tokenization piece stats per lang")
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55)
+  /** q61 — deterministic train/val/test split (80/10/10): assignment by
+    * md5 of the stable doc_id, never rand() — reproducible across runs,
+    * retries, and engines, and any doc keeps its split when the corpus
+    * grows (the property that makes hash splits the training-data
+    * idiom). Stratification is reported per lang for leakage checks.
+    */
+  val q61 = Q(
+    "q61_hash_split",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .withColumn("bucket",
+          pmod(expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
+            lit(100L)))
+        .withColumn("split",
+          when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+            .otherwise("test"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"),
+             sum($"n_chars").as("total_chars"))
+        .orderBy($"lang", $"split")
+    },
+    Some("""WITH t AS (
+      |  SELECT lang, n_chars,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 100 AS bucket
+      |  FROM documents)
+      |SELECT lang,
+      |       CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM t GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
+    doc = "sampling: deterministic md5 train/val/test split, stratified report")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61)
 }
