@@ -685,6 +685,65 @@ object AggQueries {
       |ORDER BY o_orderpriority""".stripMargin),
     doc = "HLL sketch (m=512) from integer-exact register math; oracle-identical")
 
+  /** q64 — PIVOT (long → wide): order counts per priority × status. The
+    * value list is EXPLICIT — `pivot(col)` without values runs a
+    * distinct scan to discover them, an extra job and a nondeterministic
+    * column order; at scale always pin the list. Missing cells coalesce
+    * to 0 so both engines agree (Spark pivot yields NULL, COUNT(CASE)
+    * yields 0).
+    */
+  val q64 = Q(
+    "q64_pivot",
+    (s, dir) => {
+      import s.implicits._
+      orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("n_f"),
+          coalesce($"O", lit(0L)).as("n_o"),
+          coalesce($"P", lit(0L)).as("n_p"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+      |       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+    doc = "PIVOT long→wide (explicit value list; NULL cells coalesced)")
+
+  /** q65 — UNPIVOT (wide → long): lineitem's four numeric measures to
+    * (metric, value) rows, then per-metric stats — the melt shape every
+    * per-column profiling pass (A13's quality score) wants. Spark's
+    * native `unpivot` generates rows without a join or union of scans:
+    * one pass over the table.
+    */
+  val q65 = Q(
+    "q65_unpivot",
+    (s, dir) => {
+      import s.implicits._
+      lineitem(s, dir)
+        .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax")
+        .unpivot(Array.empty, "metric", "value")
+        .groupBy($"metric")
+        .agg(count(lit(1)).as("n"),
+             sum(Q.money($"value")).cast("double").as("total"),
+             min($"value").as("min_value"),
+             max($"value").as("max_value"))
+        .orderBy($"metric")
+    },
+    Some(s"""WITH long AS (
+      |  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+      |SELECT metric, COUNT(*) AS n,
+      |       ${Q.oSum("value")} AS total,
+      |       MIN(value) AS min_value, MAX(value) AS max_value
+      |FROM long GROUP BY metric ORDER BY metric""".stripMargin),
+    doc = "UNPIVOT wide→long (native melt, one table pass) + per-metric stats")
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q57, q58, q59, q62, q63)
+    q25, q26, q27, q28, q29, q30, q57, q58, q59, q62, q63, q64, q65)
 }

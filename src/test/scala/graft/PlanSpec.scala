@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan regression guards: the scale-critical plan shapes the
+  * builder prompt calls out (broadcast the dims, push filters into the
+  * parquet scan, prune columns at the reader, stay inside whole-stage
+  * codegen, partial map-side aggregation) must survive refactors — a
+  * query that silently loses its broadcast hint or pushdown still
+  * passes the correctness oracle, so only a plan assertion catches it.
+  */
+class PlanSpec extends SparkSpec {
+
+  /** Execute (AQE finalizes plans lazily) and return the final physical
+    * plan string.
+    */
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val fin = p.collectFirst { case a: AdaptiveSparkPlanExec => a.finalPhysicalPlan }
+      .getOrElse(p)
+    fin.toString
+  }
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, SparkSpec.Sf0001)
+
+  test("q02 star join broadcasts every dimension (no dim shuffles)") {
+    val plan = planOf(q("q02_star_join_revenue"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // exactly one genuine shuffle join is allowed: lineitem ⋈ orders
+    assert(plan.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3)
+  }
+
+  test("q03's range predicate reaches the parquet scan (PushedFilters)") {
+    val df = q("q03_eq_range_filter")
+    df.collect()
+    val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val scan = leaves.find(_.contains("PushedFilters: [I"))
+    assert(scan.isDefined, s"no pushed filters in leaves:\n${leaves.mkString("\n")}")
+  }
+
+  test("q02's lineitem scan prunes to the referenced columns only") {
+    val df = q("q02_star_join_revenue")
+    df.collect()
+    val leaves = df.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val liScan = leaves.find(_.contains("lineitem"))
+    assert(liScan.isDefined)
+    // 16-column table: the query touches orderkey/extendedprice/discount
+    assert(!liScan.get.contains("l_comment"),
+      s"lineitem scan reads unused columns:\n${liScan.get}")
+  }
+
+  test("q17 aggregate runs inside whole-stage codegen with partial agg") {
+    val plan = planOf(q("q17_count_distinct"))
+    // codegen'd operators carry the `*(stageId)` prefix in plan strings
+    assert(plan.contains("*("), plan.take(2000))
+    // partial + final HashAggregate pairs (map-side combine before shuffle)
+    assert(plan.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      plan.take(2000))
+  }
+
+  test("q60's salted join spreads keys (join on key AND salt)") {
+    val plan = planOf(q("q60_salted_skew_join"))
+    assert(plan.contains("__salt"), plan.take(2000))
+  }
+}

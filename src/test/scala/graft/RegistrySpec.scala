@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 63 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 63)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 63)
+  test("registry has 65 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 65)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 65)
   }
 
   test("every query has a DuckDB oracle") {
