@@ -301,13 +301,37 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       // Per-doc distinct token ARRAYS, kept compact (never exploded
-      // into the candidate pairs): both the signature pass and the
-      // exact verify derive from this one cached 1-row-per-doc frame.
+      // into the candidate pairs). The cache doubles as the barrier
+      // stopping CollapseProject from re-evaluating array_distinct for
+      // each consumer (n, fp, ta).
       val docsArr = docs(s, dir)
         .select($"doc_id", array_distinct(toks).as("ta"))
         .withColumn("n", size($"ta").cast("long"))
+        .withColumn("fp",
+          md5(concat_ws(" ", array_sort($"ta")).cast("binary")))
         .cache()
-      val sh = docsArr.select($"doc_id", $"n", explode($"ta").as("tok"))
+      // EXACT-DUP COLLAPSE before the near-dup machinery: identical
+      // token sets (the dominant duplicate mode in real corpora — at
+      // sf0.1 every single ≥0.99 pair is one) fold into one
+      // representative. Lossless for LSH — the signature is a function
+      // of the token set — and it turns a k-copy boilerplate clique
+      // from C(k,2) candidate verifications into ONE signature and
+      // zero: intra-group pairs are Jaccard 1 by construction.
+      val groups = docsArr
+        .groupBy($"fp")
+        .agg(sort_array(collect_list($"doc_id")).as("ids"),
+             min($"n").as("n"), // identical within a group
+             first($"ta").as("ta")) // any member's array: same set
+        .withColumn("rep", element_at($"ids", 1))
+        .cache()
+      val intra = groups.filter(size($"ids") >= 2)
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"""
+            .stripMargin)).as("p"))
+        .select($"p.a".as("doc_a"), $"p.b".as("doc_b"), lit(1.0).as("jaccard"))
+      // Representative-level MinHash signatures + LSH bands.
+      val sh = groups.select($"rep".as("doc_id"), $"n", explode($"ta").as("tok"))
       val mins = (1 to 8).map(i =>
         min(md5(concat(lit(s"$i|"), $"tok").cast("binary"))).as(s"m$i"))
       val sig = sh.groupBy($"doc_id", $"n").agg(mins.head, mins.tail: _*)
@@ -320,24 +344,33 @@ object TextQueries {
                  concat($"m5", $"m6", $"m7", $"m8").as("band_val")))).as("b"))
         .select($"doc_id", $"n", $"b.band_id", $"b.band_val")
       val cand = lshCandidatePairs(bands, lengthRatio = 0.99)
-      // Exact verify: attach the two token arrays (narrow joins on
-      // doc_id — AQE broadcasts the cached array side when small) and
+      // Exact verify on representative pairs only: attach the two token
+      // arrays (narrow joins — AQE broadcasts the small cached side) and
       // intersect map-side. vs the exploded candidate×token join this
-      // removes the |cand|·|tokens| shuffle entirely — at saturated-
-      // similarity corpora that intermediate is the whole cost. Tokens
-      // are pre-hashed to 64-bit ints so the per-pair intersection runs
-      // on longs, not UTF8 strings (~2x cheaper; the intersection COUNT
-      // is identical barring a 64-bit in-vocabulary collision, which the
+      // removes the |cand|·|tokens| shuffle entirely. Tokens are
+      // pre-hashed to 64-bit ints so the per-pair intersection runs on
+      // longs, not UTF8 strings (~2x cheaper; the intersection COUNT is
+      // identical barring a 64-bit in-vocabulary collision, which the
       // oracle gate would surface).
-      val docsHash = docsArr.select($"doc_id",
+      val repHash = groups.select($"rep".as("doc_id"),
         transform($"ta", t => xxhash64(t)).as("th"))
-      val inter = cand
-        .join(docsHash.select($"doc_id".as("doc_a"), $"th".as("arr_a")), Seq("doc_a"))
-        .join(docsHash.select($"doc_id".as("doc_b"), $"th".as("arr_b")), Seq("doc_b"))
+      val repPairs = cand
+        .join(repHash.select($"doc_id".as("doc_a"), $"th".as("arr_a")), Seq("doc_a"))
+        .join(repHash.select($"doc_id".as("doc_b"), $"th".as("arr_b")), Seq("doc_b"))
         .withColumn("i", size(array_intersect($"arr_a", $"arr_b")).cast("long"))
-      inter
         .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
         .filter($"jaccard" >= 0.99)
+      // Expand passing representative pairs to doc pairs: every
+      // cross-group pair shares the representatives' Jaccard (identical
+      // sets within a group).
+      val expanded = repPairs
+        .join(groups.select($"rep".as("doc_a"), $"ids".as("ids_a")), Seq("doc_a"))
+        .join(groups.select($"rep".as("doc_b"), $"ids".as("ids_b")), Seq("doc_b"))
+        .select(explode($"ids_a").as("u"), $"ids_b", $"jaccard")
+        .select($"u", explode($"ids_b").as("v"), $"jaccard")
+        .select(least($"u", $"v").as("doc_a"), greatest($"u", $"v").as("doc_b"),
+                $"jaccard")
+      intra.unionByName(expanded)
         .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
     },
