@@ -83,4 +83,16 @@ object Formats {
     * JSON, healthcare-data-pipeline-main.py:313,432,455). */
   def writeJsonReport(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC round-trip — the second columnar at-rest format (the
+    * reference declares a multi-format surface,
+    * healthcare-pipeline-requirements.txt:19-21; ORC is the one other
+    * splittable columnar format Spark ships a vectorized reader for).
+    * Same contract as the parquet path: schema pinned, never inferred.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

@@ -69,6 +69,35 @@ object EventStreamJob {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("user_id"), col("n_errors"), col("error_value"))
 
+  /** Stream-stream interval join: purchases attributed to the same
+    * user's clicks within the preceding hour — the streaming twin of
+    * q56's as-of join. Both inputs carry watermarks and the join
+    * condition bounds event-time distance, so each side's state store
+    * retains at most (watermark + 1h) of rows — bounded state at any
+    * scale, Structured Streaming's requirement for stream-stream inner
+    * joins. The same function runs in batch (plain range join) because
+    * watermarks are a no-op there; StreamJoinSpec asserts batch ≡
+    * streamed output.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+              col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", WatermarkDelay)
+    val p = purchases
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("value").as("amount"))
+      .withWatermark("purchase_ts", WatermarkDelay)
+    p.join(c,
+        col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+              col("amount"), col("click_id"), col("click_ts"))
+  }
+
   /** Typed JSON payload extraction (the from_json path promised by q38). */
   def typedPayload(events: DataFrame): DataFrame =
     events

@@ -65,4 +65,21 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(q("q60_salted_skew_join"))
     assert(plan.contains("__salt"), plan.take(2000))
   }
+
+  test("directory partitioning prunes at the scan (PartitionFilters)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val orders = Tables.load(spark, SparkSpec.Sf0001, "orders")
+      .withColumn("yr", year($"o_orderdate"))
+    sources.Formats.writeParquetPartitioned(
+      orders, tmp, partitionCols = Seq("yr"), sortWithin = Seq("o_custkey"))
+    val filtered = spark.read.parquet(tmp).filter($"yr" === 1995)
+    filtered.collect()
+    val scan = filtered.queryExecution.executedPlan
+      .collectLeaves().map(_.toString)
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("PartitionFilters: [isnotnull(yr"), scan)
+    assert(scan.contains("(yr"), scan) // the =1995 predicate, pruned pre-scan
+  }
 }

@@ -31,6 +31,17 @@ class FormatsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("orc round-trip preserves schema and rows under declared schema") {
+    val dir = tmp("graft-orc")
+    Formats.writeOrc(orders, s"$dir/orders")
+    val back = Formats.readOrc(spark, s"$dir/orders", Tables.schemas("orders"))
+    assert(back.schema === Tables.schemas("orders"))
+    assert(back.count() === orders.count())
+    val a = orders.agg(sum($"o_orderkey"), max($"o_orderdate")).collect()(0)
+    val b = back.agg(sum($"o_orderkey"), max($"o_orderdate")).collect()(0)
+    assert(a === b)
+  }
+
   test("json round-trip preserves schema and rows under declared schema") {
     val dir = tmp("graft-json")
     orders.write.mode("overwrite").json(s"$dir/orders")
