@@ -601,5 +601,100 @@ object TextQueries {
       |FROM t GROUP BY 1, 2 ORDER BY lang, split""".stripMargin),
     doc = "sampling: deterministic md5 train/val/test split, stratified report")
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61)
+  /** q66 — SimHash near-duplicate PAIRS (closing the loop q46 opens:
+    * fingerprints → actual duplicate detection). 32-bit simhash (one
+    * bit per md5 hex char), candidates via 4×8-bit band buckets —
+    * pigeonhole-lossless for hamming ≤ 2 (two bit errors can dirty at
+    * most two bands, so ≥ 2 of 4 still collide) — then exact
+    * `bit_count(xor)` verify. Candidate generation reuses the skew-safe
+    * [[lshCandidatePairs]] (lengthRatio 0 disables the PPJoin pruning —
+    * hamming has no length bound); lang is folded into the bucket value
+    * as a blocking key. The ORACLE deliberately runs the quadratic
+    * all-pairs form: passing proves the banding lossless, not just
+    * plausible. Output is aggregated per lang (pair lists at 0.99-dup
+    * corpora are quadratic in clique size).
+    */
+  val q66 = Q(
+    "q66_simhash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      // One aggregation computes all 32 bit votes as columns — no ×32
+      // bit-position explode, no per-(doc,bit) shuffle: the token rows
+      // shuffle ONCE on doc_id and the 32 sums are map-side partials.
+      // (q46 keeps the explode formulation for the narrow-shuffle
+      // documentation contrast; this is the form to scale.)
+      val votes = (0 until 32).map(i =>
+        sum(when(ascii(substring($"h", i + 1, 1)) % 2 === 1, 1L)
+          .otherwise(-1L)).as(s"s$i"))
+      val h32 = (0 until 32)
+        .map(i => when(col(s"s$i") >= 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+      val sim = docs(s, dir)
+        .select($"doc_id", $"lang", explode(array_distinct(toks)).as("tok"))
+        .withColumn("h", md5($"tok".cast("binary")))
+        .groupBy($"doc_id", $"lang")
+        .agg(votes.head, votes.tail: _*)
+        .select($"doc_id", $"lang", h32.as("h32"))
+      // Fingerprint collapse (the q45 trick, here in WEIGHTED form
+      // because the output is aggregated): docs sharing (lang, h32) are
+      // a hamming-0 clique — C(k,2) intra pairs in closed form, no pair
+      // emission at all — and banding runs over DISTINCT fingerprints
+      // with the group size carried as the pair weight. Cross-group
+      // pairs contribute k_a·k_b pairs each and always have ham ≥ 1.
+      val groups = sim.groupBy($"lang", $"h32")
+        .agg(count(lit(1)).as("k"), min($"doc_id").as("rep"))
+        .cache()
+      val intra = groups.groupBy($"lang")
+        .agg(sum($"k" * ($"k" - 1) / 2).as("n_intra"))
+      val bands = groups
+        .select($"rep".as("doc_id"), $"k".as("n"), $"lang", $"h32",
+                explode(sequence(lit(0), lit(3))).as("band_id"))
+        .select($"doc_id", $"n", $"band_id",
+          concat($"lang", lit("|"),
+                 expr("(h32 div shiftleft(1L, 8 * band_id)) % 256")).as("band_val"))
+      // lengthRatio 0 disables the PPJoin pruning (hamming has no
+      // length bound); na/nb come back as the two group sizes.
+      val cand = lshCandidatePairs(bands, lengthRatio = 0.0)
+      val cross = cand
+        .join(groups.select($"rep".as("doc_a"), $"lang", $"h32".as("ha")), Seq("doc_a"))
+        .join(groups.select($"rep".as("doc_b"), $"h32".as("hb")), Seq("doc_b"))
+        .withColumn("ham", expr("bit_count(ha ^ hb)"))
+        .filter($"ham" <= 2)
+        .groupBy($"lang")
+        .agg(sum($"na" * $"nb").as("n_cross"),
+             sum($"ham" * $"na" * $"nb").as("ham_sum"))
+      intra.join(cross, Seq("lang"), "left_outer")
+        .select($"lang",
+          ($"n_intra" + coalesce($"n_cross", lit(0L))).as("n_pairs"),
+          $"n_intra".as("n_exact"),
+          (coalesce($"ham_sum", lit(0L)).cast("double") /
+            ($"n_intra" + coalesce($"n_cross", lit(0L)))).as("avg_hamming"))
+        .filter($"n_pairs" > 0)
+        .orderBy($"lang")
+    },
+    Some("""WITH tokens AS (
+      |  SELECT DISTINCT doc_id, lang, s FROM (
+      |    SELECT doc_id, lang, UNNEST(string_split(text,' ')) AS s FROM documents)),
+      |bits AS (
+      |  SELECT doc_id, lang, b.b,
+      |         CASE WHEN ascii(substr(md5(s), b.b + 1, 1)) % 2 = 1 THEN 1 ELSE -1 END AS vote
+      |  FROM tokens CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS b) b),
+      |votes AS (
+      |  SELECT doc_id, lang, b, SUM(vote) AS s FROM bits GROUP BY doc_id, lang, b),
+      |sim AS (
+      |  SELECT doc_id, lang,
+      |         CAST(SUM(CASE WHEN s >= 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS h32
+      |  FROM votes GROUP BY doc_id, lang),
+      |pairs AS (
+      |  SELECT a.lang, bit_count(xor(a.h32, b.h32)) AS ham
+      |  FROM sim a JOIN sim b
+      |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.h32, b.h32)) <= 2)
+      |SELECT lang, COUNT(*) AS n_pairs,
+      |       CAST(COUNT(CASE WHEN ham = 0 THEN 1 END) AS BIGINT) AS n_exact,
+      |       CAST(SUM(ham) AS DOUBLE) / COUNT(*) AS avg_hamming
+      |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin),
+    doc = "dedup: 32-bit SimHash pairs, banded candidates vs all-pairs oracle")
+
+  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 65 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 65)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 65)
+  test("registry has 66 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 66)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 66)
   }
 
   test("every query has a DuckDB oracle") {
