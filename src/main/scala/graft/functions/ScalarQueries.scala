@@ -170,5 +170,55 @@ object ScalarQueries {
       |ORDER BY patient_id""".stripMargin),
     doc = "S3: deterministic hash-based synthetic generator (partition-independent)")
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35)
+  /** q67 — the one-pass typed-Aggregator data-quality profile
+    * ([[QualityAggregator]]; §2.9 UDAF surface). Two jobs total: a
+    * scalar IQR-bounds fetch on the profile sample, then ONE scan of
+    * the audited table computing completeness + validity together —
+    * q26 computes identical numbers from composed built-ins in two
+    * full passes. Same oracle formulas.
+    */
+  val q67 = Q(
+    "q67_quality_onepass",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val b = li.agg(
+        expr("percentile(l_quantity, 0.25)").as("q1"),
+        expr("percentile(l_quantity, 0.75)").as("q3")).first()
+      val (q1, q3) = (b.getDouble(0), b.getDouble(1))
+      val agg = new QualityAggregator(
+        q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      li.select($"l_quantity".as("qty"), $"l_discount".as("disc"),
+                $"l_tax".as("tax"))
+        .as[QualityIn]
+        .select(agg.toColumn)
+        .toDF()
+        .select($"n_rows", $"completeness", $"validity", $"overall_quality")
+    },
+    Some("""WITH agg AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |         COUNT(NULLIF(l_discount, 0.0)) AS disc_filled,
+      |         COUNT(NULLIF(l_tax, 0.0)) AS tax_filled,
+      |         COUNT(l_quantity) AS qty_filled,
+      |         CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q1,
+      |         CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q3
+      |  FROM lineitem),
+      |bounds AS (SELECT *, q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM agg),
+      |valid AS (
+      |  SELECT CAST(COUNT(*) FILTER (WHERE l_quantity BETWEEN lo AND hi) AS BIGINT)
+      |           AS qty_valid,
+      |         MIN(n_rows) AS n_rows, MIN(disc_filled) AS disc_filled,
+      |         MIN(tax_filled) AS tax_filled, MIN(qty_filled) AS qty_filled
+      |  FROM lineitem CROSS JOIN bounds),
+      |m AS (
+      |  SELECT n_rows,
+      |         (disc_filled + tax_filled + qty_filled) * 1.0 / (n_rows * 3) AS completeness,
+      |         qty_valid * 1.0 / n_rows AS validity
+      |  FROM valid)
+      |SELECT n_rows, completeness, validity,
+      |       (completeness + validity) / 2.0 AS overall_quality
+      |FROM m""".stripMargin),
+    doc = "A13/§2.9: one-pass typed Aggregator quality profile (UDAF surface)")
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q67)
 }

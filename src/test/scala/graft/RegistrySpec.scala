@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 66 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 66)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 66)
+  test("registry has 67 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 67)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 67)
   }
 
   test("every query has a DuckDB oracle") {
