@@ -744,6 +744,35 @@ object AggQueries {
       |FROM long GROUP BY metric ORDER BY metric""".stripMargin),
     doc = "UNPIVOT wide→long (native melt, one table pass) + per-metric stats")
 
+  /** q70 — INTERSECT / EXCEPT (§2.7 extension — the reference has only
+    * UNION ALL; cohort retention/churn is the natural set-op use).
+    * Spark `intersect`/`except` are SET-semantic (dedup built in),
+    * planned as left-semi/anti joins over distincts — at scale the same
+    * shuffle cost as the explicit joins they sugar.
+    */
+  val q70 = Q(
+    "q70_intersect_except",
+    (s, dir) => {
+      import s.implicits._
+      val o = orders(s, dir)
+      def custs(yr: Int) =
+        o.filter(year($"o_orderdate") === yr).select($"o_custkey")
+      val c95 = custs(1995)
+      val c96 = custs(1996)
+      val retained = c95.intersect(c96).agg(count(lit(1)).as("n_retained"))
+      val churned = c95.except(c96).agg(count(lit(1)).as("n_churned"))
+      val acquired = c96.except(c95).agg(count(lit(1)).as("n_acquired"))
+      retained.crossJoin(churned).crossJoin(acquired)
+    },
+    Some("""SELECT
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |    INTERSECT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_retained,
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |    EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)) AS n_churned,
+      |  (SELECT COUNT(*) FROM (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |    EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)) AS n_acquired""".stripMargin),
+    doc = "INTERSECT/EXCEPT cohort retention + churn (set semantics)")
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q57, q58, q59, q62, q63, q64, q65)
+    q25, q26, q27, q28, q29, q30, q57, q58, q59, q62, q63, q64, q65, q70)
 }

@@ -98,6 +98,18 @@ object EventStreamJob {
               col("amount"), col("click_id"), col("click_ts"))
   }
 
+  /** Streaming exactly-once dedup: at-least-once sources re-deliver on
+    * retry; dropping replays by event_id inside the watermark horizon
+    * bounds the dedup state (vs plain dropDuplicates, whose state grows
+    * forever on a stream). Replays older than the watermark are late
+    * data and dropped by the watermark itself — either path emits each
+    * event_id exactly once (StreamDedupSpec).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Typed JSON payload extraction (the from_json path promised by q38). */
   def typedPayload(events: DataFrame): DataFrame =
     events

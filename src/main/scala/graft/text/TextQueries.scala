@@ -696,5 +696,85 @@ object TextQueries {
       |FROM pairs GROUP BY lang ORDER BY lang""".stripMargin),
     doc = "dedup: 32-bit SimHash pairs, banded candidates vs all-pairs oracle")
 
-  val all: Seq[Q] = Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66)
+  /** q68 — deterministic source-mixture resampling: re-weight a corpus
+    * to target per-source proportions (the dataset-mixing step of every
+    * training run) by hash acceptance, not rand() — any doc's keep
+    * decision is a pure function of its id, so the mix is reproducible
+    * across runs/engines and stable under corpus growth. Integer
+    * thresholds per mille avoid float-boundary drift.
+    */
+  val q68 = Q(
+    "q68_source_mixture",
+    (s, dir) => {
+      import s.implicits._
+      val threshold =
+        when(expr("cast(substring(source, 4) as int) % 2 = 0"), 800)
+          .otherwise(300) // even sources: keep 80%; odd: 30%
+      docs(s, dir)
+        .withColumn("bucket",
+          pmod(expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
+            lit(1000L)))
+        .withColumn("kept", ($"bucket" < threshold).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+             sum($"kept").as("n_kept"),
+             sum(when($"kept" === 1, $"n_chars").otherwise(0L)).as("kept_chars"))
+        .orderBy($"source")
+    },
+    Some("""WITH t AS (
+      |  SELECT source, n_chars,
+      |         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+      |              THEN 800 ELSE 300 END AS threshold,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 1000 AS bucket
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_total,
+      |       CAST(SUM(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_kept,
+      |       CAST(SUM(CASE WHEN bucket < threshold THEN n_chars ELSE 0 END) AS BIGINT)
+      |         AS kept_chars
+      |FROM t GROUP BY source ORDER BY source""".stripMargin),
+    doc = "sampling: deterministic per-source mixture re-weighting (hash acceptance)")
+
+  /** q69 — vocabulary coverage: global token frequencies, top-20 by
+    * count, with cumulative corpus coverage — the vocab-build/coverage
+    * curve of a tokenizer pipeline. The cumulative sum runs on the
+    * AGGREGATED frame (|vocab| rows, not |tokens|) under a total order
+    * (count desc, token asc) so both engines agree on ties.
+    */
+  val q69 = Q(
+    "q69_vocab_coverage",
+    (s, dir) => {
+      import s.implicits._
+      val freq = docs(s, dir)
+        .select(explode(toks).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+      val total = freq.agg(sum($"n").as("total"))
+      val w = Window.orderBy($"n".desc, $"tok")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      freq
+        .withColumn("cum", sum($"n").over(w))
+        .orderBy($"n".desc, $"tok").limit(20)
+        .crossJoin(broadcast(total))
+        .select($"tok", $"n",
+                ($"cum".cast("double") / $"total").as("coverage"))
+        .orderBy($"n".desc, $"tok")
+    },
+    Some("""WITH freq AS (
+      |  SELECT s AS tok, COUNT(*) AS n FROM (
+      |    SELECT UNNEST(string_split(text, ' ')) AS s FROM documents)
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT tok, n,
+      |         SUM(n) OVER (ORDER BY n DESC, tok
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |         SUM(n) OVER () AS total
+      |  FROM freq)
+      |SELECT tok, n, CAST(cum AS DOUBLE) / total AS coverage
+      |FROM c ORDER BY n DESC, tok LIMIT 20""".stripMargin),
+    doc = "text: vocab build — top-20 token frequencies + cumulative coverage")
+
+  val all: Seq[Q] =
+    Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69)
 }
