@@ -337,11 +337,17 @@ object TextQueries {
       val sig = sh.groupBy($"doc_id", $"n").agg(mins.head, mins.tail: _*)
       // Bands via a single explode (the unionByName formulation would
       // re-evaluate the whole signature aggregation once per band).
+      // Band values re-hashed to 64-bit longs: the pair generator
+      // shuffles/compares band_val twice, and a long beats a 128-char
+      // hex string. SAFE here (unlike q51's inverted index, where row
+      // counts are intersection sizes): a 64-bit collision only merges
+      // two buckets, adding spurious CANDIDATES that exact verification
+      // removes — the result set is collision-proof by construction.
       val bands = sig.select($"doc_id", $"n", explode(array(
           struct(lit(1).as("band_id"),
-                 concat($"m1", $"m2", $"m3", $"m4").as("band_val")),
+                 xxhash64(concat($"m1", $"m2", $"m3", $"m4")).as("band_val")),
           struct(lit(2).as("band_id"),
-                 concat($"m5", $"m6", $"m7", $"m8").as("band_val")))).as("b"))
+                 xxhash64(concat($"m5", $"m6", $"m7", $"m8")).as("band_val")))).as("b"))
         .select($"doc_id", $"n", $"b.band_id", $"b.band_val")
       val cand = lshCandidatePairs(bands, lengthRatio = 0.99)
       // Exact verify on representative pairs only: attach the two token
