@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Input row for the bounded top-k aggregate: the ranked value plus a
+  * unique tiebreak key (determinism requires a TOTAL order — doubles
+  * alone would make ties engine-dependent).
+  */
+final case class TopIn(value: Double, key: Long)
+
+/** Buffer/output: at most k items, sorted (value desc, key asc). */
+final case class TopBuf(items: Seq[TopIn])
+
+/** Bounded top-k-per-group aggregate (A14/W2 at scale). The window
+  * formulation (`row_number` ≤ k) shuffles and sorts EVERY row of every
+  * group; this aggregate's partial buffers carry at most k rows per
+  * map-side partition — at 100 TB that's the difference between
+  * shuffling the fact table and shuffling k·partitions rows. Buffer ops
+  * are insert-into-sorted-k (O(k) per row) and merge-two-sorted-k; the
+  * aggregate is associative + commutative, so shuffle order can't
+  * change the result (ties resolved by the total order).
+  *
+  * Exposed via `functions.udaf` — see q71, whose DuckDB oracle is the
+  * window formulation, proving the two semantics identical.
+  */
+final class TopKAggregator(k: Int)
+    extends Aggregator[TopIn, TopBuf, TopBuf] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  private implicit val ord: Ordering[TopIn] =
+    Ordering.by((r: TopIn) => (-r.value, r.key))
+
+  override def zero: TopBuf = TopBuf(Nil)
+
+  override def reduce(b: TopBuf, r: TopIn): TopBuf =
+    if (b.items.lengthCompare(k) >= 0 && ord.lteq(b.items.last, r)) b
+    else TopBuf(insertSorted(b.items, r))
+
+  override def merge(a: TopBuf, b: TopBuf): TopBuf = {
+    // merge of two sorted runs, truncated at k
+    val out = Seq.newBuilder[TopIn]
+    var (x, y) = (a.items, b.items)
+    var n = 0
+    while (n < k && (x.nonEmpty || y.nonEmpty)) {
+      if (y.isEmpty || (x.nonEmpty && ord.lteq(x.head, y.head))) {
+        out += x.head; x = x.tail
+      } else { out += y.head; y = y.tail }
+      n += 1
+    }
+    TopBuf(out.result())
+  }
+
+  override def finish(b: TopBuf): TopBuf = b
+
+  private def insertSorted(xs: Seq[TopIn], r: TopIn): Seq[TopIn] = {
+    val (lo, hi) = xs.span(ord.lt(_, r))
+    (lo ++ (r +: hi)).take(k)
+  }
+
+  override def bufferEncoder: Encoder[TopBuf] = Encoders.product
+  override def outputEncoder: Encoder[TopBuf] = Encoders.product
+}

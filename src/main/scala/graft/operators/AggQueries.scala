@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -773,6 +773,39 @@ object AggQueries {
       |    EXCEPT SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)) AS n_acquired""".stripMargin),
     doc = "INTERSECT/EXCEPT cohort retention + churn (set semantics)")
 
+  /** q71 — bounded top-k per group via the custom
+    * [[graft.functions.TopKAggregator]] (A14/W2 at scale): partial
+    * buffers carry ≤ k rows per map-side partition instead of window-
+    * sorting every group's full row set. The oracle IS the window
+    * formulation — passing proves the aggregate ≡ row_number ≤ k.
+    */
+  val q71 = Q(
+    "q71_topk_per_group",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{TopIn, TopKAggregator}
+      val topk = udaf(new TopKAggregator(3), Encoders.product[TopIn])
+      orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(topk($"o_totalprice", $"o_orderkey").as("tk"))
+        .select($"o_orderpriority", posexplode($"tk.items"))
+        .select($"o_orderpriority",
+          ($"pos" + 1).cast("int").as("rank"),
+          $"col.key".as("o_orderkey"),
+          $"col.value".as("o_totalprice"))
+        .orderBy($"o_orderpriority", $"rank")
+    },
+    Some("""WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                ORDER BY o_totalprice DESC, o_orderkey)
+      |              AS INTEGER) AS rank
+      |  FROM orders)
+      |SELECT o_orderpriority, rank, o_orderkey, o_totalprice
+      |FROM r WHERE rank <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin),
+    doc = "custom bounded top-k aggregate ≡ window row_number ≤ k (oracle-proven)")
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q57, q58, q59, q62, q63, q64, q65, q70)
+    q25, q26, q27, q28, q29, q30, q57, q58, q59, q62, q63, q64, q65, q70, q71)
 }

@@ -194,4 +194,24 @@ object PropertySpec extends Properties("graft") {
         .as[(Long, Option[Long])].collect().toSeq.sorted
       fast == slow
     }
+
+  // Bounded top-k aggregate ≡ global sort-take for any data, any
+  // buffer split, either merge order (associative + commutative — the
+  // property that makes its map-side partials shuffle-order-proof).
+  property("top-k aggregate equals sort-take under arbitrary splits") = {
+    import graft.functions.{TopIn, TopKAggregator}
+    Prop.forAll(
+      Gen.listOf(Gen.chooseNum(-1000.0, 1000.0)),
+      Gen.chooseNum(1, 5),
+      Gen.chooseNum(0.0, 1.0)) { (vs, k, cut) =>
+      val rows = vs.zipWithIndex.map { case (v, i) => TopIn(v, i.toLong) }
+      val agg = new TopKAggregator(k)
+      val (l, r) = rows.splitAt((rows.length * cut).toInt)
+      val bufL = l.foldLeft(agg.zero)(agg.reduce)
+      val bufR = r.foldLeft(agg.zero)(agg.reduce)
+      val expect = rows.sortBy(t => (-t.value, t.key)).take(k)
+      agg.merge(bufL, bufR).items == expect &&
+        agg.merge(bufR, bufL).items == expect
+    }
+  }
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 70 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 70)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 70)
+  test("registry has 71 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 71)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 71)
   }
 
   test("every query has a DuckDB oracle") {
