@@ -330,11 +330,16 @@ object TextQueries {
             |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"""
             .stripMargin)).as("p"))
         .select($"p.a".as("doc_a"), $"p.b".as("doc_b"), lit(1.0).as("jaccard"))
-      // Representative-level MinHash signatures + LSH bands.
-      val sh = groups.select($"rep".as("doc_id"), $"n", explode($"ta").as("tok"))
-      val mins = (1 to 8).map(i =>
-        min(md5(concat(lit(s"$i|"), $"tok").cast("binary"))).as(s"m$i"))
-      val sig = sh.groupBy($"doc_id", $"n").agg(mins.head, mins.tail: _*)
+      // Representative-level MinHash signatures, computed MAP-SIDE as
+      // array projections — array_min(transform(...)) over the compact
+      // token array replaces the explode + groupBy formulation (one
+      // full-table shuffle of token rows deleted; the min over a random
+      // permutation is the same min whether taken per-row or per-group).
+      val mins = (1 to 8).map(i => expr(
+        s"array_min(transform(ta, t -> md5(cast(concat('$i|', t) as binary))))")
+        .as(s"m$i"))
+      val sig = groups.select(
+        Seq($"rep".as("doc_id"), $"n") ++ mins: _*)
       // Bands via a single explode (the unionByName formulation would
       // re-evaluate the whole signature aggregation once per band).
       // Band values re-hashed to 64-bit longs: the pair generator
