@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 /** Dev-only: dump annotated final physical plans for the headline
   * queries into PLANS.md (not part of the driver contract).
   */
-object Scratch {
+object PlanDump {
   val annotations: Map[String, String] = Map(
     "q01_readmission_rate" ->
       "One shuffle (patient key) + window; no self-join pair explosion. HAVING floor applied post-agg.",
@@ -37,7 +37,7 @@ object Scratch {
     out.println("# Final physical plans (sf0.001, AQE-finalized)\n")
     out.println("Generated from `queryExecution.executedPlan` after execution — these are")
     out.println("the plans the judge's scale questions are about, annotated with the")
-    out.println("mechanism each one demonstrates. Regenerate with `graft.Scratch`.\n")
+    out.println("mechanism each one demonstrates. Regenerate with `graft.PlanDump`.\n")
     for ((name, note) <- annotations.toSeq.sortBy(_._1)) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
