@@ -98,6 +98,20 @@ object EventStreamJob {
               col("amount"), col("click_id"), col("click_ts"))
   }
 
+  /** Stream-static enrichment: each micro-batch joins the (small,
+    * broadcast) static dimension — no streaming state at all, the
+    * static side is re-resolvable per batch. Completes the join matrix
+    * beside [[clickAttribution]]'s stream-stream interval join.
+    */
+  def enrichWithUsers(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(
+        org.apache.spark.sql.functions.broadcast(
+          users.select(col("c_custkey"), col("c_mktsegment"))),
+        events("user_id") === col("c_custkey"), "left_outer")
+      .select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"),
+              col("c_mktsegment").as("segment"))
+
   /** Streaming exactly-once dedup: at-least-once sources re-deliver on
     * retry; dropping replays by event_id inside the watermark horizon
     * bounds the dedup state (vs plain dropDuplicates, whose state grows

@@ -45,4 +45,24 @@ class StreamJoinSpec extends SparkSpec {
     assert(streamed.length == batch.length)
     assert(sortedRows(streamed) == sortedRows(batch))
   }
+
+  test("stream-static broadcast enrichment ≡ batch left join") {
+    val events = graft.Tables.load(spark, SparkSpec.Sf0001, "events")
+    val users = graft.Tables.load(spark, SparkSpec.Sf0001, "customer")
+    val batch = EventStreamJob.enrichWithUsers(events, users).collect()
+
+    val q = EventStreamJob.enrichWithUsers(
+        EventStreamJob.readEventStream(spark, streamDir), users)
+      .writeStream
+      .queryName("stream_enrich")
+      .outputMode("append")
+      .format("memory")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.sql("SELECT * FROM stream_enrich").collect()
+    assert(streamed.length == batch.length)
+    assert(sortedRows(streamed) == sortedRows(batch))
+  }
 }
