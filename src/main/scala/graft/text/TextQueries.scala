@@ -463,21 +463,20 @@ object TextQueries {
       |FROM sim GROUP BY lang ORDER BY lang""".stripMargin),
     doc = "dedup: 16-bit SimHash fingerprints (md5-parity bit votes)")
 
-  /** q51 — n-gram (3-token shingle) Jaccard near-duplicate pairs: the
-    * inverted-index exact variant (vs q45's MinHash approximation).
-    * Shingles are far more selective than single tokens on a small
-    * vocabulary, so the shingle-equality self-join generates few
+  /** Exact n-gram (3-token shingle) Jaccard near-duplicate pairs at
+    * threshold `t` — the inverted-index exact variant (vs q45's MinHash
+    * approximation); shared by q51 and q72 (columns doc_a, doc_b,
+    * jaccard). Shingles are far more selective than single tokens on a
+    * small vocabulary, so the shingle-equality self-join generates few
     * candidates; the PPJoin length filter (J ≥ t ⇒ t·|B| ≤ |A|) is
     * applied INSIDE the join condition — lossless, and at 100 TB it is
     * what keeps hot shingles from exploding the candidate set. Exact
     * intersection counts come from the same inverted index (one
     * groupBy), never an all-pairs product.
     */
-  val q51 = Q(
-    "q51_ngram_jaccard",
-    (s, dir) => {
+  private[graft] def ngramJaccardPairs(s: SparkSession, dir: String,
+                                       t: Double): DataFrame = {
       import s.implicits._
-      val t = 0.8 // Jaccard threshold
       // Shingle set per doc as a compact array, CACHED before the
       // explode: the cache is a barrier that stops CollapseProject from
       // inlining the expensive transform(...) into BOTH its consumers
@@ -509,10 +508,15 @@ object TextQueries {
       inter
         .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
         .filter($"jaccard" >= t)
-        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
-        .orderBy($"doc_a", $"doc_b")
-    },
-    Some("""WITH tk AS (
+        .select($"doc_a", $"doc_b", $"jaccard")
+  }
+
+  /** Oracle-side CTE chain matching [[ngramJaccardPairs]] at t = 0.8,
+    * ending in `pairs(doc_a, doc_b)` — composed into q51's and q72's
+    * oracles (q72 prepends RECURSIVE).
+    */
+  private val NgramPairsCtes: String =
+    """tk AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (
       |  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i
@@ -529,10 +533,22 @@ object TextQueries {
       |  FROM sized a JOIN sized b
       |    ON a.sh = b.sh AND a.doc_id < b.doc_id
       |   AND a.n >= b.n * 0.8 AND b.n >= a.n * 0.8
-      |  GROUP BY 1, 2, 3, 4)
-      |SELECT doc_a, doc_b, ROUND(i * 1.0 / (na + nb - i), 4) AS jaccard
-      |FROM inter
-      |WHERE i * 1.0 / (na + nb - i) >= 0.8
+      |  GROUP BY 1, 2, 3, 4),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, i * 1.0 / (na + nb - i) AS jaccard
+      |  FROM inter WHERE i * 1.0 / (na + nb - i) >= 0.8)""".stripMargin
+
+  val q51 = Q(
+    "q51_ngram_jaccard",
+    (s, dir) => {
+      import s.implicits._
+      ngramJaccardPairs(s, dir, t = 0.8)
+        .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+    },
+    Some(s"""WITH $NgramPairsCtes
+      |SELECT doc_a, doc_b, ROUND(jaccard, 4) AS jaccard
+      |FROM pairs
       |ORDER BY doc_a, doc_b""".stripMargin),
     doc = "dedup: exact 3-gram shingle Jaccard via inverted-index join + length filter")
 
@@ -786,6 +802,67 @@ object TextQueries {
       |FROM c ORDER BY n DESC, tok LIMIT 20""".stripMargin),
     doc = "text: vocab build — top-20 token frequencies + cumulative coverage")
 
+  /** q72 — duplicate-cluster assignment: connected components over the
+    * near-dup pair graph (the step every dedup pipeline needs AFTER
+    * pair generation — "keep one doc per cluster", where transitivity
+    * matters: A≈B and B≈C put A,C in one cluster even if A̸≈C).
+    * Distributed min-label propagation: each iteration is one
+    * join+union+groupBy over (labels, symmetric edges), converging in
+    * O(component diameter) rounds — near-dup clusters are clique-like,
+    * so diameters stay small at any corpus size; `localCheckpoint`
+    * truncates the growing lineage each round. Labels converge to the
+    * component's min doc_id — order-independent, hence deterministic.
+    * The ORACLE computes components via a recursive transitive-closure
+    * CTE — an entirely different algorithm, so agreement is strong
+    * evidence of correctness.
+    */
+  val q72 = Q(
+    "q72_dedup_components",
+    (s, dir) => {
+      import s.implicits._
+      val edges = ngramJaccardPairs(s, dir, t = 0.8)
+        .select($"doc_a", $"doc_b").cache()
+      val sym = edges
+        .unionByName(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      var labels = edges
+        .select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
+        .withColumn("lab", $"node")
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0) {
+        rounds += 1
+        require(rounds <= 25, s"label propagation did not converge in 25 rounds")
+        val prop = labels.join(sym, labels("node") === sym("doc_a"))
+          .select($"doc_b".as("node"), $"lab")
+          .unionByName(labels)
+          .groupBy($"node").agg(min($"lab").as("lab"))
+          .localCheckpoint()
+        changed = prop.as("p")
+          .join(labels.as("o"), "node")
+          .filter($"p.lab" =!= $"o.lab")
+          .count()
+        labels = prop
+      }
+      labels.groupBy($"lab".as("cluster_root"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .orderBy($"cluster_root")
+    },
+    Some(s"""WITH RECURSIVE $NgramPairsCtes,
+      |sym AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |closure(node, reach) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT c.node, s.b FROM closure c JOIN sym s ON s.a = c.reach),
+      |roots AS (
+      |  SELECT node, MIN(reach) AS cluster_root FROM closure GROUP BY node)
+      |SELECT cluster_root, COUNT(*) AS cluster_size
+      |FROM roots GROUP BY cluster_root
+      |ORDER BY cluster_root""".stripMargin),
+    doc = "dedup: connected-component cluster assignment (label propagation vs recursive-CTE oracle)")
+
   val all: Seq[Q] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72)
 }
