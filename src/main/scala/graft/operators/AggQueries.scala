@@ -806,6 +806,51 @@ object AggQueries {
       |ORDER BY o_orderpriority, rank""".stripMargin),
     doc = "custom bounded top-k aggregate ≡ window row_number ≤ k (oracle-proven)")
 
-  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q57, q58, q59, q62, q63, q64, q65, q70, q71)
+  /** q74 — cohort retention: customers grouped by first-order month,
+    * retention measured as distinct actives at +1/+2/+3 months. Month
+    * distance is explicit integer arithmetic (year·12+month), never
+    * engine-specific months_between rounding. Two shuffles total: the
+    * per-customer first-order aggregate, then the cohort rollup (the
+    * join back is on the aggregate's own key, co-partitioned).
+    */
+  val q74 = Q(
+    "q74_cohort_retention",
+    (s, dir) => {
+      import s.implicits._
+      val o = orders(s, dir)
+      val first = o.groupBy($"o_custkey").agg(min($"o_orderdate").as("first_dt"))
+      val mdiff = (year($"o_orderdate") * 12 + month($"o_orderdate")) -
+        (year($"first_dt") * 12 + month($"first_dt"))
+      o.join(first, Seq("o_custkey"))
+        .withColumn("m", mdiff)
+        .groupBy(date_format($"first_dt", "yyyy-MM").as("cohort"))
+        .agg(
+          countDistinct($"o_custkey").as("n_customers"),
+          countDistinct(when($"m" === 1, $"o_custkey")).as("active_m1"),
+          countDistinct(when($"m" === 2, $"o_custkey")).as("active_m2"),
+          countDistinct(when($"m" === 3, $"o_custkey")).as("active_m3"),
+          (countDistinct(when($"m" === 1, $"o_custkey")) * 100.0 /
+            countDistinct($"o_custkey")).as("retention_m1_pct"))
+        .orderBy($"cohort")
+    },
+    Some("""WITH first AS (
+      |  SELECT o_custkey, MIN(o_orderdate) AS first_dt
+      |  FROM orders GROUP BY o_custkey),
+      |c AS (
+      |  SELECT o.o_custkey, strftime(f.first_dt, '%Y-%m') AS cohort,
+      |         (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+      |         - (year(f.first_dt) * 12 + month(f.first_dt)) AS m
+      |  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey)
+      |SELECT cohort,
+      |       COUNT(DISTINCT o_custkey) AS n_customers,
+      |       COUNT(DISTINCT CASE WHEN m = 1 THEN o_custkey END) AS active_m1,
+      |       COUNT(DISTINCT CASE WHEN m = 2 THEN o_custkey END) AS active_m2,
+      |       COUNT(DISTINCT CASE WHEN m = 3 THEN o_custkey END) AS active_m3,
+      |       COUNT(DISTINCT CASE WHEN m = 1 THEN o_custkey END) * 100.0
+      |         / COUNT(DISTINCT o_custkey) AS retention_m1_pct
+      |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin),
+    doc = "cohort retention by first-order month (+1/+2/+3 active rates)")
+
+  val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
+    q27, q28, q29, q30, q57, q58, q59, q62, q63, q64, q65, q70, q71, q74)
 }

@@ -16,6 +16,63 @@ object EventQueries {
 
   private def events(s: SparkSession, dir: String) = Tables.load(s, dir, "events")
 
+  /** q73 — ordered funnel: view → click → purchase, where each stage
+    * must happen strictly AFTER the previous one for the same user
+    * (ordering is the whole point — a purchase before any view is not a
+    * conversion). Per-user stage times come from conditional min
+    * aggregates over ONE shuffle: min(view), then min(click > first
+    * view), then min(purchase > that click). Two-phase conditional
+    * aggregation (min-per-stage, then recheck) replaces a 3-way
+    * self-join — at scale the event table is scanned once and shuffled
+    * once on user_id.
+    */
+  val q73 = Q(
+    "q73_event_funnel",
+    (s, dir) => {
+      import s.implicits._
+      val ev = events(s, dir)
+        .select($"user_id", $"event_type", expr("unix_micros(ts)").as("us"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("t_view"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, Seq("user_id"))
+        .filter($"us" > $"t_view")
+        .groupBy($"user_id").agg(min($"us").as("t_click"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, Seq("user_id"))
+        .filter($"us" > $"t_click")
+        .groupBy($"user_id").agg(min($"us").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left_outer")
+        .join(p, Seq("user_id"), "left_outer")
+        .agg(
+          count(lit(1)).as("n_viewed"),
+          count($"t_click").as("n_clicked"),
+          count($"t_purchase").as("n_purchased"),
+          (count($"t_click") * 100.0 / count(lit(1))).as("view_to_click_pct"),
+          (count($"t_purchase") * 100.0 / count(lit(1))).as("view_to_purchase_pct"))
+    },
+    Some("""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(us) AS t_view FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT ev.user_id, MIN(us) AS t_click
+      |  FROM ev JOIN v ON ev.user_id = v.user_id
+      |  WHERE event_type = 'click' AND us > t_view GROUP BY ev.user_id),
+      |p AS (
+      |  SELECT ev.user_id, MIN(us) AS t_purchase
+      |  FROM ev JOIN c ON ev.user_id = c.user_id
+      |  WHERE event_type = 'purchase' AND us > t_click GROUP BY ev.user_id)
+      |SELECT COUNT(*) AS n_viewed,
+      |       COUNT(t_click) AS n_clicked,
+      |       COUNT(t_purchase) AS n_purchased,
+      |       COUNT(t_click) * 100.0 / COUNT(*) AS view_to_click_pct,
+      |       COUNT(t_purchase) * 100.0 / COUNT(*) AS view_to_purchase_pct
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin),
+    doc = "ordered funnel view→click→purchase (stage-min aggregates, one event scan)")
+
   /** q36 — tumbling-window aggregation (1 hour). Spark `window()` starts
     * align to the epoch hour grid = date_trunc('hour') for a 1h tumble.
     * Output bucket as string (timestamp-representation-free compare).
@@ -194,5 +251,5 @@ object EventQueries {
       |ORDER BY user_id, session_start""".stripMargin),
     doc = "sessionization: 120-min-gap islands (window batch; stateful streaming twin)")
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q54)
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q54, q73)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 72 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 72)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 72)
+  test("registry has 74 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 74)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 74)
   }
 
   test("every query has a DuckDB oracle") {
