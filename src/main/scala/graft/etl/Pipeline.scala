@@ -149,11 +149,25 @@ object Pipeline {
     val encounters = generateEncounters(spark, nPatients)
     val labs = generateLabs(spark, nPatients * 5)
 
-    // Load: parallel columnar write, the faithful batch equivalent of
-    // the reference's warehouse upsert (SURVEY.md §2.1 S4).
-    patients.write.mode("overwrite").parquet(s"$outDir/dim_patient")
-    encounters.write.mode("overwrite").parquet(s"$outDir/fact_encounters")
-    labs.write.mode("overwrite").parquet(s"$outDir/fact_lab_results")
+    // Load: parallel columnar write. A first run is a plain overwrite;
+    // a re-run over an existing warehouse is a true key-based upsert
+    // ([[graft.operators.Upsert.mergeByKey]] — the distributed
+    // equivalent of the reference's row-at-a-time session.merge,
+    // SURVEY.md §2.1 S4): same-key rows take the new version, unknown
+    // keys append, untouched history survives.
+    def load(df: DataFrame, table: String, key: String): Unit = {
+      val path = s"$outDir/$table"
+      val merged =
+        if (new java.io.File(path).exists()) {
+          val base = spark.read.parquet(path)
+          graft.operators.Upsert.mergeByKey(base, df, Seq(key))
+            .localCheckpoint() // materialize before overwriting the input
+        } else df
+      merged.write.mode("overwrite").parquet(path)
+    }
+    load(patients, "dim_patient", "patient_id")
+    load(encounters, "fact_encounters", "encounter_id")
+    load(labs, "fact_lab_results", "lab_id")
 
     val enc = spark.read.parquet(s"$outDir/fact_encounters")
     val rca = analyzeReadmissions(enc).collect()

@@ -35,6 +35,16 @@ class PipelineSpec extends SparkSpec {
     assert(report.contains("readmission_analysis"))
   }
 
+  test("re-run upserts the warehouse: overlapping keys replaced, new appended") {
+    val out = Files.createTempDirectory("graft-pipeline-upsert").toString
+    Pipeline.run(spark, out, nPatients = 100)
+    Pipeline.run(spark, out, nPatients = 150) // keys 1..100 overlap, 101..150 new
+    val patients = spark.read.parquet(s"$out/dim_patient")
+    assert(patients.count() == 150)
+    assert(patients.select("patient_id").distinct().count() == 150)
+    assert(spark.read.parquet(s"$out/fact_encounters").count() == 750)
+  }
+
   test("generation is deterministic: same ids ⇒ same rows, any partitioning") {
     val a = Pipeline.generateEncounters(spark, 100).repartition(7)
       .orderBy("encounter_id").collect()
