@@ -604,6 +604,40 @@ object CoreQueries {
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
     doc = "salted skew join (8-way deterministic salt; ≡ plain join)")
 
+  /** q75 — fuzzy record linkage (the patient-matching problem at the
+    * heart of healthcare MDM; the reference hashes MRNs but never
+    * fuzzy-matches — this is the extension every real identity pipeline
+    * needs): candidate pairs from an equality BLOCK (name prefix), then
+    * exact Levenshtein verify — never the quadratic all-pairs product.
+    * Blocks here are bounded (≤100 names share a 7-digit prefix); a
+    * skewed blocking key would route through the same skew-split
+    * machinery as the LSH dedup family.
+    */
+  val q75 = Q(
+    "q75_fuzzy_linkage",
+    (s, dir) => {
+      import s.implicits._
+      val c = customer(s, dir).select($"c_custkey", $"c_name",
+        substring($"c_name", 1, 16).as("blk"))
+      c.as("a").join(c.as("b"),
+          $"a.blk" === $"b.blk" && $"a.c_custkey" < $"b.c_custkey")
+        .withColumn("d", levenshtein($"a.c_name", $"b.c_name"))
+        .agg(
+          count(lit(1)).as("n_candidate_pairs"),
+          count_if($"d" <= 1).as("n_matches"),
+          (sum($"d").cast("double") / count(lit(1))).as("avg_distance"))
+    },
+    Some("""WITH c AS (
+      |  SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer),
+      |p AS (
+      |  SELECT levenshtein(a.c_name, b.c_name) AS d
+      |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey)
+      |SELECT COUNT(*) AS n_candidate_pairs,
+      |       CAST(COUNT(CASE WHEN d <= 1 THEN 1 END) AS BIGINT) AS n_matches,
+      |       CAST(SUM(d) AS DOUBLE) / COUNT(*) AS avg_distance
+      |FROM p""".stripMargin),
+    doc = "fuzzy record linkage: prefix-blocked candidates + Levenshtein verify")
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08,
-    q09, q10, q11, q12, q13, q14, q15, q16, q56, q60)
+    q09, q10, q11, q12, q13, q14, q15, q16, q56, q60, q75)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 74 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 74)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 74)
+  test("registry has 75 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 75)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 75)
   }
 
   test("every query has a DuckDB oracle") {
