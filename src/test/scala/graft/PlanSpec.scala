@@ -66,6 +66,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(2000))
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    import spark.implicits._
+    val set = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = set.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      set.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.load(spark, SparkSpec.Sf001, "lineitem")
+      val o = Tables.load(spark, SparkSpec.Sf001, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val joined = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_linestatus").count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") &&
+             optimized.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${optimized.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("directory partitioning prunes at the scan (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
