@@ -251,5 +251,93 @@ object EventQueries {
       |ORDER BY user_id, session_start""".stripMargin),
     doc = "sessionization: 120-min-gap islands (window batch; stateful streaming twin)")
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q54, q73)
+  /** q76 — time-weighted average (the clinical-vitals aggregation the
+    * plain AVG gets wrong: a reading standing for 6 hours must weigh 6×
+    * one standing for an hour). Interval per reading = LAG to the next
+    * event (total order per user), weight = µs duration; the weighted
+    * sum runs in DECIMAL so shuffle order can't perturb the double.
+    */
+  val q76 = Q(
+    "q76_time_weighted_avg",
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"us", $"event_id")
+      val spans = events(s, dir)
+        .filter($"event_type" === "view")
+        .select($"user_id", $"event_id", $"value", expr("unix_micros(ts)").as("us"))
+        .withColumn("next_us", lead($"us", 1).over(w))
+        .filter($"next_us".isNotNull)
+        .withColumn("dur_us", $"next_us" - $"us")
+      spans
+        .groupBy($"user_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          (sum(Q.money($"value") * $"dur_us").cast("double") /
+            sum($"dur_us")).as("tw_avg_value"),
+          (sum(Q.money($"value")).cast("double") / count(lit(1))).as("plain_avg"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          (sum(Q.money($"tw_avg_value")).cast("double") / count(lit(1)))
+            .as("mean_tw_avg"),
+          (sum(Q.money($"plain_avg")).cast("double") / count(lit(1)))
+            .as("mean_plain_avg"))
+    },
+    Some("""WITH spans AS (
+      |  SELECT user_id, value,
+      |         LEAD(epoch_us(ts), 1) OVER w - epoch_us(ts) AS dur_us
+      |  FROM events WHERE event_type = 'view'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+      |per_user AS (
+      |  SELECT user_id, COUNT(*) AS n_spans,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_us) AS DOUBLE)
+      |           / SUM(dur_us) AS tw_avg_value,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |           / COUNT(*) AS plain_avg
+      |  FROM spans WHERE dur_us IS NOT NULL GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users,
+      |       CAST(SUM(CAST(tw_avg_value AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*) AS mean_tw_avg,
+      |       CAST(SUM(CAST(plain_avg AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*) AS mean_plain_avg
+      |FROM per_user""".stripMargin),
+    doc = "time-weighted average vs plain average (decimal-exact weighted sums)")
+
+  /** q77 — event path analysis: each user's first three events in time
+    * order form a path string; paths are ranked by user count. The
+    * per-user sequence comes from ONE groupBy with an order-invariant
+    * sort_array(collect_list(struct)) — no window sort of the full
+    * event table, and collect_list's nondeterministic arrival order is
+    * neutralized by the struct sort (total order: us, event_id).
+    */
+  val q77 = Q(
+    "q77_event_paths",
+    (s, dir) => {
+      import s.implicits._
+      events(s, dir)
+        .select($"user_id",
+          struct(expr("unix_micros(ts)").as("us"), $"event_id", $"event_type").as("e"))
+        .groupBy($"user_id")
+        .agg(sort_array(collect_list($"e")).as("es"))
+        .select($"user_id",
+          concat_ws(">", expr("transform(slice(es, 1, 3), x -> x.event_type)"))
+            .as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path").limit(10)
+    },
+    Some("""WITH ordered AS (
+      |  SELECT user_id, event_type,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY epoch_us(ts), event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id,
+      |         string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM ordered WHERE rn <= 3 GROUP BY user_id)
+      |SELECT path, COUNT(*) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 10""".stripMargin),
+    doc = "event path analysis: first-3-event sequences ranked by user count")
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q54, q73, q76, q77)
 }

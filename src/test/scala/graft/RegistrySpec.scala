@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 75 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 75)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 75)
+  test("registry has 77 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 77)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 77)
   }
 
   test("every query has a DuckDB oracle") {
