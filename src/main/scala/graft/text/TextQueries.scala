@@ -863,6 +863,70 @@ object TextQueries {
       |ORDER BY cluster_root""".stripMargin),
     doc = "dedup: connected-component cluster assignment (label propagation vs recursive-CTE oracle)")
 
+  /** q78 — split drift detection: do q61's train and test splits draw
+    * from the same length distribution? (A biased split silently skews
+    * every eval.) KS statistic (max CDF gap) and total-variation
+    * distance over fixed n_chars bins — ALL math stays in integer
+    * cross-products (|c_t·N_v − c_v·N_t|) until one final division, so
+    * neither engine's float accumulation order can perturb the result.
+    * One scan, one narrow groupBy on bin ids.
+    */
+  val q78 = Q(
+    "q78_split_drift",
+    (s, dir) => {
+      import s.implicits._
+      val binned = docs(s, dir)
+        .withColumn("bucket",
+          pmod(expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
+            lit(100L)))
+        .filter($"bucket" < 80 || $"bucket" >= 90) // train vs test only
+        .withColumn("split", when($"bucket" < 80, "train").otherwise("test"))
+        .withColumn("bin", least(floor($"n_chars" / 100), lit(20L)))
+        .groupBy($"bin")
+        .agg(count_if($"split" === "train").as("ct"),
+             count_if($"split" === "test").as("cv"))
+      val w = Window.orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy() // whole frame, unbounded default
+      binned
+        .withColumn("cum_t", sum($"ct").over(w))
+        .withColumn("cum_v", sum($"cv").over(w))
+        .withColumn("nt", sum($"ct").over(tot))
+        .withColumn("nv", sum($"cv").over(tot))
+        .agg(
+          first($"nt").as("n_train"),
+          first($"nv").as("n_test"),
+          (max(abs($"cum_t" * $"nv" - $"cum_v" * $"nt")).cast("double") /
+            (first($"nt") * first($"nv"))).as("ks_stat"),
+          (sum(abs($"ct" * $"nv" - $"cv" * $"nt")).cast("double") /
+            (lit(2) * first($"nt") * first($"nv"))).as("tv_dist"))
+    },
+    Some("""WITH t AS (
+      |  SELECT n_chars,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 100 AS bucket
+      |  FROM documents),
+      |b AS (
+      |  SELECT LEAST(CAST(FLOOR(n_chars / 100) AS BIGINT), 20) AS bin,
+      |         CAST(COUNT(CASE WHEN bucket < 80 THEN 1 END) AS BIGINT) AS ct,
+      |         CAST(COUNT(CASE WHEN bucket >= 90 THEN 1 END) AS BIGINT) AS cv
+      |  FROM t WHERE bucket < 80 OR bucket >= 90
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT bin, ct, cv,
+      |         SUM(ct) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_t,
+      |         SUM(cv) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_v,
+      |         SUM(ct) OVER () AS nt, SUM(cv) OVER () AS nv
+      |  FROM b)
+      |SELECT MIN(nt) AS n_train, MIN(nv) AS n_test,
+      |       CAST(MAX(ABS(cum_t * nv - cum_v * nt)) AS DOUBLE)
+      |         / (MIN(nt) * MIN(nv)) AS ks_stat,
+      |       CAST(SUM(ABS(ct * nv - cv * nt)) AS DOUBLE)
+      |         / (2 * MIN(nt) * MIN(nv)) AS tv_dist
+      |FROM c""".stripMargin),
+    doc = "drift detection: KS + total-variation between hash splits, integer-exact")
+
   val all: Seq[Q] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72, q78)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 77 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 77)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 77)
+  test("registry has 78 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 78)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 78)
   }
 
   test("every query has a DuckDB oracle") {
