@@ -248,6 +248,19 @@ object TextQueries {
            |            y -> struct(x, y))))""".stripMargin)).as("p"))
       .select(normalized($"p.x", $"p.y").as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
+    // Adaptive short-circuit: probing the (already-cached) buckets frame
+    // costs one cheap action and skips the hot path's four shuffle
+    // stages entirely when no bucket exceeds chunkSize — the common
+    // case once exact-dup collapse has run upstream.
+    val hasHot =
+      buckets.filter(size($"ds") > chunkSize).limit(1).count() > 0
+    if (!hasHot) {
+      val cold = coldPairs
+        .filter($"a.n" >= $"b.n" * lengthRatio && $"b.n" >= $"a.n" * lengthRatio)
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+                $"a.n".as("na"), $"b.n".as("nb"))
+      return if (dedupe) cold.distinct() else cold
+    }
     // Hot buckets: triangle decomposition. posexplode's ordinal over the
     // n-sorted array assigns monotone chunks (all n in chunk i ≤ chunk
     // i+1), so a grid cell (i,j) can be dropped wholesale when even its
