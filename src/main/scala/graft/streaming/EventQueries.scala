@@ -261,46 +261,43 @@ object EventQueries {
     "q76_time_weighted_avg",
     (s, dir) => {
       import s.implicits._
+      // MILLISECOND durations, not µs: the pooled decimal·integer
+      // weighted sum must stay under 2⁵³ units so its double conversion
+      // is exact in both engines (µs sums crossed that line at sf0.001
+      // and the engines' last-ulp decimal→double roundings diverged).
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"us", $"event_id")
+        .partitionBy($"user_id").orderBy($"ms", $"event_id")
       val spans = events(s, dir)
         .filter($"event_type" === "view")
-        .select($"user_id", $"event_id", $"value", expr("unix_micros(ts)").as("us"))
-        .withColumn("next_us", lead($"us", 1).over(w))
-        .filter($"next_us".isNotNull)
-        .withColumn("dur_us", $"next_us" - $"us")
-      spans
-        .groupBy($"user_id")
-        .agg(
-          count(lit(1)).as("n_spans"),
-          (sum(Q.money($"value") * $"dur_us").cast("double") /
-            sum($"dur_us")).as("tw_avg_value"),
-          (sum(Q.money($"value")).cast("double") / count(lit(1))).as("plain_avg"))
-        .agg(
-          count(lit(1)).as("n_users"),
-          (sum(Q.money($"tw_avg_value")).cast("double") / count(lit(1)))
-            .as("mean_tw_avg"),
-          (sum(Q.money($"plain_avg")).cast("double") / count(lit(1)))
-            .as("mean_plain_avg"))
+        .select($"user_id", $"event_id", $"value", expr("unix_millis(ts)").as("ms"))
+        .withColumn("next_ms", lead($"ms", 1).over(w))
+        .filter($"next_ms".isNotNull)
+        .withColumn("dur_ms", $"next_ms" - $"ms")
+      // POOLED statistics, not mean-of-per-user-averages: a per-user
+      // average is a double that would need re-rounding to aggregate
+      // exactly, and double→DECIMAL rounding is half-mode-divergent
+      // across engines on .xx5 boundaries (Q.scala's determinism note —
+      // this query originally hit one at sf0.1). Pooled sums stay in
+      // exact decimal·integer arithmetic until one final division.
+      spans.agg(
+        countDistinct($"user_id").as("n_users"),
+        count(lit(1)).as("n_spans"),
+        (sum(Q.money($"value") * $"dur_ms").cast("double") /
+          sum($"dur_ms")).as("tw_avg_value"),
+        (sum(Q.money($"value")).cast("double") / count(lit(1))).as("plain_avg"))
     },
     Some("""WITH spans AS (
-      |  SELECT user_id, value,
-      |         LEAD(epoch_us(ts), 1) OVER w - epoch_us(ts) AS dur_us
+      |  SELECT user_id, event_id, value,
+      |         LEAD(epoch_ms(ts), 1) OVER w - epoch_ms(ts) AS dur_ms
       |  FROM events WHERE event_type = 'view'
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
-      |per_user AS (
-      |  SELECT user_id, COUNT(*) AS n_spans,
-      |         CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_us) AS DOUBLE)
-      |           / SUM(dur_us) AS tw_avg_value,
-      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-      |           / COUNT(*) AS plain_avg
-      |  FROM spans WHERE dur_us IS NOT NULL GROUP BY user_id)
-      |SELECT COUNT(*) AS n_users,
-      |       CAST(SUM(CAST(tw_avg_value AS DECIMAL(18,2))) AS DOUBLE)
-      |         / COUNT(*) AS mean_tw_avg,
-      |       CAST(SUM(CAST(plain_avg AS DECIMAL(18,2))) AS DOUBLE)
-      |         / COUNT(*) AS mean_plain_avg
-      |FROM per_user""".stripMargin),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+      |SELECT COUNT(DISTINCT user_id) AS n_users,
+      |       COUNT(*) AS n_spans,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2)) * dur_ms) AS DOUBLE)
+      |         / SUM(dur_ms) AS tw_avg_value,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |         / COUNT(*) AS plain_avg
+      |FROM spans WHERE dur_ms IS NOT NULL""".stripMargin),
     doc = "time-weighted average vs plain average (decimal-exact weighted sums)")
 
   /** q77 — event path analysis: each user's first three events in time
