@@ -84,13 +84,20 @@ object CosineSimilarity {
     * DataFrame API (via expr) and Spark SQL can call them. Idempotent.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)),
-      "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    // Skip when already present: createOrReplaceTempFunction logs a
+    // "replacing temporary function" WARN per call, which spammed every
+    // per-query registration in r1's Bench stderr.
+    if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"))) {
+      reg.createOrReplaceTempFunction(
+        "cosine_sim",
+        exprs => CosineSimilarity(exprs(0), exprs(1)),
+        "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "dot_product",
+        exprs => DotProduct(exprs(0), exprs(1)),
+        "scala_udf")
+    }
   }
 }

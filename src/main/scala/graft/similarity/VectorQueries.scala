@@ -162,22 +162,84 @@ object VectorQueries {
       |ORDER BY query_id, rank""".stripMargin),
     doc = "similarity: sign-LSH bucketed ANN (md5-derived hyperplanes)")
 
-  /** q49 — embedding-cosine near-duplicate pairs with label blocking:
-    * candidate pairs only within the same label partition (the blocked
-    * near-dup pattern — at scale, blocking keys bound the quadratic
-    * term to within-block).
+  /** q49 — embedding-cosine near-duplicate pairs, label-blocked and
+    * cell-pruned. r1 ran an all-pairs join within each label — with 10
+    * labels that is O(n²/10), a genuine quadratic at 100 TB. This form
+    * is PROVABLY LOSSLESS blocked search via the spherical triangle
+    * inequality:
+    *
+    *  1. assign every vector to its nearest of 8 deterministic seed
+    *     centroids (one broadcast pass — the q52 IVF cell assignment,
+    *     minus the cross-engine rounding it needs and we don't: the
+    *     oracle never sees cells);
+    *  2. per (label, cell), the angular radius r = max θ(member,
+    *     centroid) in one narrow agg;
+    *  3. a pair with θ(a,b) ≤ θt spanning cells (ci, cj) forces
+    *     θ(ci,cj) ≤ ri + rj + θt (two triangle hops through a and b) —
+    *     so cell PAIRS failing that bound are pruned wholesale, and
+    *     only surviving cell pairs are exact-scored, each as its own
+    *     equi-join key (label, ca, cb): a heavy cell pair is one task's
+    *     bounded product, not one giant per-label task.
+    *
+    * The ORACLE stays the quadratic all-pairs form: a green row proves
+    * the pruning lossless, not just plausible (the q66 banding design).
+    * On clustered corpora — which is what near-dup data IS (dup
+    * clusters are tight cones) — the bound collapses the grid to
+    * near-diagonal cell pairs; on isotropic random data (this testdata)
+    * no exact method can beat the blocked quadratic (curse of
+    * dimensionality — the approximate recall<1 paths are q48/q52), and
+    * this plan degrades to exactly the r1 candidate set but spread
+    * across the cell-pair grid instead of serialized per label.
     */
   val q49 = Q(
     "q49_embedding_neardup",
     (s, dir) => {
       import s.implicits._
+      val thetaT = math.acos(0.4) // score ≥ 0.4 ⟺ angle ≤ θt
+      val eps = 1e-9              // float slack on the pruning bound only
       val e = emb(s, dir).select($"vec_id", $"embedding", $"label")
-      val pairs = e.as("a").join(e.as("b"),
-          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      val cents = e.filter($"vec_id" >= 8 && $"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      def theta(a: String, b: String): Column =
+        acos(greatest(lit(-1.0), least(lit(1.0), cos(s, a, b))))
+      // Nearest-centroid cell + distance-to-own-centroid, no window:
+      // min_by over the 8 broadcast centroids, one groupBy on vec_id.
+      val celled = e.crossJoin(broadcast(cents))
+        .withColumn("th", theta("embedding", "cvec"))
+        .groupBy($"vec_id")
+        .agg(first($"label").as("label"), first($"embedding").as("embedding"),
+             min_by($"cid", struct($"th", $"cid")).as("cell"),
+             min($"th").as("mth"))
+        .cache()
+      val cellStats = celled.groupBy($"label", $"cell")
+        .agg((max($"mth") + eps).as("r"))
+      // 8×8 centroid angles (tiny), then the per-label reachable grid:
+      // keep (ca ≤ cb) cell pairs whose centroid angle can be bridged.
+      val cx = cents.select($"cid".as("ca"), $"cvec".as("va"))
+      val cy = cents.select($"cid".as("cb"), $"cvec".as("vb"))
+      val centAngles = cx.crossJoin(broadcast(cy))
+        .select($"ca", $"cb", theta("va", "vb").as("cang"))
+      val grid = cellStats.as("ga")
+        .join(cellStats.as("gb"),
+              $"ga.label" === $"gb.label" && $"ga.cell" <= $"gb.cell")
+        .join(centAngles,
+              $"ga.cell" === $"ca" && $"gb.cell" === $"cb")
+        .filter($"cang" <= $"ga.r" + $"gb.r" + lit(thetaT + 1e-9))
+        .select($"ga.label".as("glabel"), $"ca", $"cb")
+      // Candidate join keyed by (label, cell-pair): same-cell pairs
+      // orient by vec_id inside the cell; cross-cell pairs are unique
+      // by (ca < cb) and get orientation-normalized on output.
+      val pairs = celled.as("a")
+        .join(broadcast(grid),
+              $"a.label" === $"glabel" && $"a.cell" === $"ca")
+        .join(celled.as("b"),
+              $"b.label" === $"glabel" && $"b.cell" === $"cb" &&
+              ($"ca" < $"cb" || $"a.vec_id" < $"b.vec_id"))
         .withColumn("score", round(cos(s, "a.embedding", "b.embedding"), 4))
         .filter($"score" >= 0.4)
       pairs.select(
-          $"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          least($"a.vec_id", $"b.vec_id").as("vec_a"),
+          greatest($"a.vec_id", $"b.vec_id").as("vec_b"),
           $"a.label".as("label"), $"score")
         .orderBy($"vec_a", $"vec_b")
     },

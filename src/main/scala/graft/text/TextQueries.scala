@@ -259,6 +259,11 @@ object TextQueries {
         .filter($"a.n" >= $"b.n" * lengthRatio && $"b.n" >= $"a.n" * lengthRatio)
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
                 $"a.n".as("na"), $"b.n".as("nb"))
+        // Strictly a<b: a doc listed twice in one bucket (possible when
+        // the caller's bands carry duplicate (doc, value) rows) would
+        // otherwise pair with itself — the naive a<b self-join never
+        // emits such rows.
+        .filter($"doc_a" < $"doc_b")
       return if (dedupe) cold.distinct() else cold
     }
     // Hot buckets: triangle decomposition. posexplode's ordinal over the
@@ -294,6 +299,7 @@ object TextQueries {
       .filter($"a.n" >= $"b.n" * lengthRatio && $"b.n" >= $"a.n" * lengthRatio)
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
               $"a.n".as("na"), $"b.n".as("nb"))
+      .filter($"doc_a" < $"doc_b") // no self-pairs (see cold path note)
     if (dedupe) pairs.distinct() else pairs
   }
 
@@ -684,8 +690,11 @@ object TextQueries {
       val groups = sim.groupBy($"lang", $"h32")
         .agg(count(lit(1)).as("k"), min($"doc_id").as("rep"))
         .cache()
+      // `div` keeps the closed-form pair count integral: Column `/` on
+      // integrals returns DOUBLE, which would ship n_pairs/n_exact as
+      // DOUBLE while the oracle emits BIGINT (hash mismatch r1).
       val intra = groups.groupBy($"lang")
-        .agg(sum($"k" * ($"k" - 1) / 2).as("n_intra"))
+        .agg(sum(expr("k * (k - 1) div 2")).as("n_intra"))
       val bands = groups
         .select($"rep".as("doc_id"), $"k".as("n"), $"lang", $"h32",
                 explode(sequence(lit(0), lit(3))).as("band_id"))
@@ -791,11 +800,17 @@ object TextQueries {
         .select(explode(toks).as("tok"))
         .groupBy($"tok").agg(count(lit(1)).as("n"))
       val total = freq.agg(sum($"n").as("total"))
+      // Top-20 FIRST via orderBy+limit → TakeOrderedAndProject (each
+      // task keeps a 20-row heap, driver merges 20×tasks rows) — the
+      // cumulative sum at rank i ≤ 20 only ever sums rows ranked ≤ i,
+      // all inside the top 20, so windowing the 20 survivors is exact.
+      // (r1 ran the unpartitioned window over the FULL vocab frame: a
+      // single task sorting |vocab| rows — billions at 100 TB.)
       val w = Window.orderBy($"n".desc, $"tok")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       freq
-        .withColumn("cum", sum($"n").over(w))
         .orderBy($"n".desc, $"tok").limit(20)
+        .withColumn("cum", sum($"n").over(w))
         .crossJoin(broadcast(total))
         .select($"tok", $"n",
                 ($"cum".cast("double") / $"total").as("coverage"))
@@ -932,7 +947,7 @@ object TextQueries {
       |         SUM(cv) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum_v,
       |         SUM(ct) OVER () AS nt, SUM(cv) OVER () AS nv
       |  FROM b)
-      |SELECT MIN(nt) AS n_train, MIN(nv) AS n_test,
+      |SELECT CAST(MIN(nt) AS BIGINT) AS n_train, CAST(MIN(nv) AS BIGINT) AS n_test,
       |       CAST(MAX(ABS(cum_t * nv - cum_v * nt)) AS DOUBLE)
       |         / (MIN(nt) * MIN(nv)) AS ks_stat,
       |       CAST(SUM(ABS(ct * nv - cv * nt)) AS DOUBLE)

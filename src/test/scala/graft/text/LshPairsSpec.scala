@@ -55,6 +55,23 @@ class LshPairsSpec extends SparkSpec {
     }
   }
 
+  for (cs <- Seq(1, 2, 1000); dd <- Seq(true, false)) {
+    test(s"duplicate doc in one bucket emits no self-pair (chunkSize=$cs, dedupe=$dd)") {
+      // doc 7 appears twice in bucket "dup" (a caller passing duplicate
+      // (doc, value) rows — e.g. a repeated shingle without upstream
+      // array_distinct); a naive a<b self-join never yields (7,7).
+      val dup = Seq((7L, 60L, 1, "dup"), (7L, 60L, 1, "dup"),
+                    (8L, 60L, 1, "dup"), (9L, 61L, 1, "dup"))
+        .toDF("doc_id", "n", "band_id", "band_val")
+      val got = TextQueries
+        .lshCandidatePairs(dup, lengthRatio = 0.9, chunkSize = cs, dedupe = dd)
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      assert(got.forall { case (a, b) => a < b },
+        s"self or misordered pair in ${got.toSeq}")
+      assert(got.toSet === Set((7L, 8L), (7L, 9L), (8L, 9L)))
+    }
+  }
+
   test("dedupe=false keeps one row per shared bucket (intersection counts)") {
     val rows = TextQueries
       .lshCandidatePairs(bands, lengthRatio = 0.9, chunkSize = 2, dedupe = false)

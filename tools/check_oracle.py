@@ -15,6 +15,20 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def canon_dtype(dt):
+    """Collapse a pandas dtype to the class the driver's hash distinguishes.
+
+    The r1 q66/q78 escapes were DOUBLE-vs-BIGINT drifts that norm()'s
+    %.17g masked (3.0 == 3); comparing the canonical class first makes
+    this gate as strict as the driver's.
+    """
+    k = dt.kind  # numpy kind: i/u int, f float, b bool, M datetime, O object
+    if k in "iu":
+        return "int"
+    return {"f": "float", "b": "bool", "M": "datetime", "m": "timedelta",
+            "O": "object"}.get(k, str(dt))
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -50,6 +64,14 @@ def main(sf_dir, out_dir):
         gcols, wcols = sorted(got.columns), sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} vs {wcols}")
+            n_fail += 1
+            continue
+        gtypes = [canon_dtype(got[c].dtype) for c in gcols]
+        wtypes = [canon_dtype(want[c].dtype) for c in wcols]
+        if gtypes != wtypes:
+            bad = [(c, a, b) for c, a, b in zip(gcols, gtypes, wtypes)
+                   if a != b]
+            print(f"FAIL {name}: dtype mismatch {bad}")
             n_fail += 1
             continue
         g = [tuple(norm(v) for v in row) for row in
