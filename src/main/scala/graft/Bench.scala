@@ -78,12 +78,19 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> samples.min
+      val sorted = samples.sorted
+      name -> (sorted.head, sorted(sorted.length / 2))
     }
-    val qJson = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qJson = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    // Median alongside the min for noise transparency: min is the
+    // intrinsic-cost estimate the totals use; a median far above its min
+    // flags a sample set polluted by scheduler/GC interference.
+    val medJson = results.map { case (k, (_, md)) => "\"" + k + "\":" + md }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val totalMed = results.map(_._2._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,7 +25,8 @@ object SparkEntry {
     streaming.EventQueries.all ++
     text.TextQueries.all ++
     similarity.VectorQueries.all ++
-    multimodal.MultimodalQueries.all
+    multimodal.MultimodalQueries.all ++
+    operators.Search.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -220,5 +220,37 @@ object ScalarQueries {
       |FROM m""".stripMargin),
     doc = "A13/§2.9: one-pass typed Aggregator quality profile (UDAF surface)")
 
-  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q67)
+  /** q81 — F11 completed to token-exact framing: every customer name
+    * encrypts to a spec-shaped [[Fernet]] token (version byte, embedded
+    * timestamp, HMAC) and round-trips through authenticated decryption.
+    * The oracle is the same trivially-true-count shape as q34: the
+    * invariant lives Spark-side, the oracle pins the group sizes.
+    */
+  val q81 = Q(
+    "q81_fernet_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      Fernet.register(s)
+      // 32-byte key, base64url — fixed so runs are reproducible
+      val key = java.util.Base64.getUrlEncoder.encodeToString(
+        (0 until 32).map(_.toByte).toArray)
+      Tables.load(s, dir, "customer")
+        .withColumn("tok",
+          expr(s"fernet_encrypt(c_name, '$key', 1700000000L)"))
+        .withColumn("rt", expr(s"fernet_decrypt(tok, '$key')"))
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when($"rt" === $"c_name" &&
+                   substring($"tok", 1, 4) === "gAAA", 1L)
+            .otherwise(0L)).as("n_roundtrip_ok"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n, COUNT(*) AS n_roundtrip_ok
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin),
+    doc = "F11: spec-exact Fernet token framing round-trip invariant")
+
+  val all: Seq[Q] = Seq(q31, q32, q33, q34, q35, q67, q81)
 }

@@ -27,7 +27,19 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** @param key      equi-join key column (same name on both sides)
+  /** All `carry` columns travel inside ONE struct through a single
+    * running `last(ignoreNulls)`, so the latest right row wins
+    * atomically: if that row has a NULL in a carry column, the NULL is
+    * carried (exactly what the naive join+rank returns) instead of an
+    * older row's non-null value leaking through per-column.
+    *
+    * Precondition: right-side (key, rightTime) pairs should be unique —
+    * ties between right rows at the same timestamp resolve
+    * nondeterministically (the same is true of the naive encoding
+    * without a tiebreak). Add a tiebreak column to `rightTime` upstream
+    * if the source has same-instant rows.
+    *
+    * @param key      equi-join key column (same name on both sides)
     * @param leftTime  left timestamp/ordering column name
     * @param rightTime right timestamp/ordering column name
     * @param carry    right columns to carry onto left rows; names must
@@ -40,27 +52,24 @@ object AsofJoin {
     val collisions = carry.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"carry collides with left columns: $collisions")
 
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val carryType = org.apache.spark.sql.types.StructType(
+      carry.map(c => right.schema(c).copy(name = c)))
     // Right rows sort BEFORE left rows at equal time (side 0 < 1) so
     // "at-or-before" is inclusive.
     val sideR = right.select(
-      col(key) +: col(rightTime).cast("timestamp").as("_t") +:
-      lit(0).as("_side") +:
-      (carry.map(col) ++ left.columns.filterNot(_ == key).map(c =>
-        lit(null).cast(left.schema(c).dataType).as(c))): _*)
+      col(key), col(rightTime).cast("timestamp").as("_t"),
+      lit(0).as("_side"), struct(carry.map(col): _*).as("_carry"))
     val sideL = left.select(
       col(key) +: col(leftTime).cast("timestamp").as("_t") +:
-      lit(1).as("_side") +:
-      (carry.map(c => lit(null).cast(rightTypes(c)).as(c)) ++
-        left.columns.filterNot(_ == key).map(col)): _*)
+      lit(1).as("_side") +: lit(null).cast(carryType).as("_carry") +:
+      left.columns.filterNot(_ == key).map(col): _*)
 
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = sideR.unionByName(sideL)
-      .select(
-        (left.columns.map(col) ++
-         carry.map(c => last(col(c), ignoreNulls = true).over(w).as(c)) :+
-         col("_side")): _*)
-    carried.filter(col("_side") === 1).drop("_side")
+    val carried = sideR.unionByName(sideL, allowMissingColumns = true)
+      .withColumn("_carry", last(col("_carry"), ignoreNulls = true).over(w))
+    carried.filter(col("_side") === 1)
+      .select(left.columns.map(col) ++
+        carry.map(c => col("_carry").getField(c).as(c)): _*)
   }
 }

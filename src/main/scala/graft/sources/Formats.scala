@@ -95,4 +95,33 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).orc(path)
+
+  /** JDBC source — the reference's literal ingestion path
+    * (`pd.read_sql` against a live RDBMS,
+    * healthcare-data-pipeline-main.py:152,303-304,429-430), Spark-first:
+    * `spark.read.jdbc` pushes projections and filters into the remote
+    * database and, unlike `pd.read_sql`'s single driver-memory frame,
+    * streams rows executor-side.
+    *
+    * The single-partition form is for dimension-sized tables. For fact
+    * tables use [[readJdbcPartitioned]]: Spark issues one range query
+    * per partition (`partitionCol BETWEEN ...`), so a 1000-executor
+    * cluster ingests in parallel instead of through one connection —
+    * the engine-native replacement for the reference's batched
+    * single-connection loop (healthcare-data-pipeline-main.py:657-664).
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties)
+      : DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Range-partitioned parallel JDBC read over `partitionCol` (must be
+    * numeric/date/timestamp): `numPartitions` concurrent range queries.
+    */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          partitionCol: String, lower: Long, upper: Long,
+                          numPartitions: Int,
+                          props: java.util.Properties = new java.util.Properties)
+      : DataFrame =
+    spark.read.jdbc(url, table, partitionCol, lower, upper, numPartitions, props)
 }

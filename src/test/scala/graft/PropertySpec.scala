@@ -195,6 +195,39 @@ object PropertySpec extends Properties("graft") {
       fast == slow
     }
 
+  // The latest right row must win ATOMICALLY: when it carries a NULL in
+  // one column, that NULL is the answer — an older row's non-null value
+  // must not leak through per-column (the struct-carry guarantee).
+  property("asof join carries the latest row atomically, NULL fields included") =
+    Prop.forAll(asofGen) { rows =>
+      val base = rows.zipWithIndex.map { case ((k, off, isL), i) =>
+        (i.toLong, k.toLong, off, isL)
+      }.toDF("id", "k", "off", "is_left")
+        .withColumn("t", expr("timestamp_seconds(1700000000 + off)"))
+      val left = base.filter($"is_left").select($"id", $"k", $"t".as("lt"))
+      val right = base.filter(!$"is_left")
+        .select($"k", $"t".as("rt"), $"id".as("rid"),
+          // v is NULL on every third right row — including, sometimes,
+          // the genuinely-latest one
+          when($"id" % 3 =!= 0, $"id" * 10).as("v"))
+      val fast = graft.operators.AsofJoin
+        .latestBefore(left, right, key = "k",
+          leftTime = "lt", rightTime = "rt", carry = Seq("rid", "v"))
+        .select($"id", $"rid", $"v")
+        .as[(Long, Option[Long], Option[Long])].collect().toSeq.sorted
+      left.createOrReplaceTempView("asof_l")
+      right.createOrReplaceTempView("asof_r")
+      val slow = spark.sql(
+        """SELECT id, rid, v FROM (
+          |  SELECT l.id, r.rid, r.v,
+          |         ROW_NUMBER() OVER (PARTITION BY l.id ORDER BY r.rt DESC) AS rn
+          |  FROM asof_l l LEFT JOIN asof_r r
+          |    ON l.k = r.k AND r.rt <= l.lt)
+          |WHERE rn = 1""".stripMargin)
+        .as[(Long, Option[Long], Option[Long])].collect().toSeq.sorted
+      fast == slow
+    }
+
   // Bounded top-k aggregate ≡ global sort-take for any data, any
   // buffer split, either merge order (associative + commutative — the
   // property that makes its map-side partials shuffle-order-proof).

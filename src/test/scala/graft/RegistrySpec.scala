@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 78 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 78)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 78)
+  test("registry has 81 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 81)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 81)
   }
 
   test("every query has a DuckDB oracle") {
