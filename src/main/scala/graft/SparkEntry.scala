@@ -26,7 +26,8 @@ object SparkEntry {
     text.TextQueries.all ++
     similarity.VectorQueries.all ++
     multimodal.MultimodalQueries.all ++
-    operators.Search.all
+    operators.Search.all ++
+    security.SecurityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -1,0 +1,120 @@
+package graft.security
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** HS256 JWT issue/verify — the reference's API authentication surface
+  * (`generate_token`/`verify_token`,
+  * healthcare-data-pipeline-main.py:56-70; bearer verification + RBAC,
+  * healthcare-api-main.py:149-176). Engine-side this is a utility, not
+  * an operator: batch jobs that publish to the reference's API tier (or
+  * validate tokens embedded in ingested audit feeds) need the same
+  * token math, nothing more. Rate limiting (healthcare-api-main.py:
+  * 178-206) stays out — it is request-path state with no analog in a
+  * batch/stream engine.
+  *
+  * Claims are a flat String→String map (the reference uses user_id,
+  * role, exp). `exp`/`iat` are epoch seconds. No external JSON
+  * dependency: the claim values the reference uses are scalar, so a
+  * minimal escaped-string codec suffices and keeps the module
+  * dependency-free.
+  */
+object Jwt {
+
+  private val HeaderB64 = b64(
+    """{"alg":"HS256","typ":"JWT"}""".getBytes(UTF_8))
+
+  private def b64(b: Array[Byte]): String =
+    Base64.getUrlEncoder.withoutPadding.encodeToString(b)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def sign(secret: String, signingInput: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(secret.getBytes(UTF_8), "HmacSHA256"))
+    mac.doFinal(signingInput.getBytes(UTF_8))
+  }
+
+  /** Issue a token: sorted-key JSON payload (deterministic), HS256
+    * signature. Numeric-looking claims (exp/iat) are emitted as JSON
+    * numbers, everything else as strings — matching what PyJWT produces
+    * for the reference's payload.
+    */
+  def issue(secret: String, claims: Map[String, String]): String = {
+    val body = claims.toSeq.sortBy(_._1).map { case (k, v) =>
+      val vj =
+        if (v.nonEmpty && v.forall(_.isDigit)) v else "\"" + esc(v) + "\""
+      "\"" + esc(k) + "\":" + vj
+    }.mkString("{", ",", "}")
+    val signingInput = HeaderB64 + "." + b64(body.getBytes(UTF_8))
+    signingInput + "." + b64(sign(secret, signingInput))
+  }
+
+  /** Verify signature + expiry; returns the claims, or None for ANY
+    * invalid token (the reference maps all failures to a single 401,
+    * healthcare-api-main.py:154-159).
+    *
+    * @param now epoch seconds for the `exp` check — injectable so
+    *            policies and tests are deterministic
+    */
+  def verify(secret: String, token: String, now: Long): Option[Map[String, String]] =
+    token.split('.') match {
+      case Array(h, p, sig) if h == HeaderB64 =>
+        val signingInput = h + "." + p
+        val expect = sign(secret, signingInput)
+        val got =
+          try Base64.getUrlDecoder.decode(sig)
+          catch { case _: IllegalArgumentException => Array.empty[Byte] }
+        if (!MessageDigest.isEqual(expect, got)) None
+        else {
+          val claims = parseFlat(new String(Base64.getUrlDecoder.decode(p), UTF_8))
+          claims match {
+            case Some(c) if c.get("exp").forall(e => e.toLong > now) => Some(c)
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+
+  /** RBAC gate (healthcare-api-main.py:162-176): does the token's role
+    * claim appear in the allowed set?
+    */
+  def hasRole(claims: Map[String, String], allowed: Set[String]): Boolean =
+    claims.get("role").exists(allowed)
+
+  /** Minimal flat-object JSON parse (string or integer values only —
+    * the shapes [[issue]] emits). Returns None on anything else.
+    */
+  private[security] def parseFlat(json: String): Option[Map[String, String]] = {
+    val t = json.trim
+    if (!t.startsWith("{") || !t.endsWith("}")) return None
+    val inner = t.substring(1, t.length - 1).trim
+    if (inner.isEmpty) return Some(Map.empty)
+    val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*(?:"((?:[^"\\]|\\.)*)"|(-?\d+))"""
+    val re = (pair + """\s*(?:,|$)""").r
+    val ms = re.findAllMatchIn(inner).toSeq
+    val consumed = ms.map(_.matched.length).sum
+    if (ms.isEmpty || consumed != inner.length) None
+    else Some(ms.map { m =>
+      unesc(m.group(1)) -> (if (m.group(3) != null) m.group(3)
+                            else unesc(m.group(2)))
+    }.toMap)
+  }
+
+  private def unesc(s: String): String =
+    """\\(u[0-9a-fA-F]{4}|.)""".r.replaceAllIn(s, m => {
+      val g = m.group(1)
+      java.util.regex.Matcher.quoteReplacement(
+        if (g.startsWith("u")) Integer.parseInt(g.drop(1), 16).toChar.toString
+        else g)
+    })
+}

@@ -1,0 +1,76 @@
+package graft.security
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Security-surveillance analytics (SURVEY §2 F12 / reference query #9):
+  * the access-audit classifier over an audit feed
+  * (healthcare-sql-analytics.sql:713-756) — flag each access event as
+  * After Hours / High Volume / No Relationship / Normal, in the
+  * reference's CASE precedence.
+  *
+  * Role mapping onto the testdata: `events` is the audit feed (user_id
+  * = accessing user, props.k = accessed patient, ts = access time);
+  * the user_patient_relationship table is derived as the distinct
+  * (user, patient) pairs with a `signup` event — the reference's
+  * treatment-relationship whitelist.
+  *
+  * Scale design: the reference computes High Volume with a correlated
+  * per-row COUNT(DISTINCT) subquery (healthcare-sql-analytics.sql:
+  * 743-748) — O(n) subquery executions on a row store. Here it is one
+  * (user, day) aggregate joined back on the same key — two narrow
+  * shuffles total; the relationship whitelist is a distinct projection
+  * that broadcasts when small and shuffles on (user, patient) when not.
+  */
+object SecurityQueries {
+
+  val q82 = Q(
+    "q82_access_audit",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "events")
+        .withColumn("patient",
+          regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .withColumn("day", to_date($"ts"))
+      val rel = e.filter($"event_type" === "signup")
+        .select($"user_id", $"patient").distinct()
+        .withColumn("has_rel", lit(1))
+      val vol = e.groupBy($"user_id", $"day")
+        .agg(countDistinct($"patient").as("n_day"))
+      e.join(vol, Seq("user_id", "day"))
+        .join(rel, Seq("user_id", "patient"), "left_outer")
+        .withColumn("access_flag",
+          when(hour($"ts") < 8 || hour($"ts") >= 20, "After Hours")
+            .when($"n_day" > 5, "High Volume")
+            .when($"has_rel".isNull, "No Relationship")
+            .otherwise("Normal"))
+        .groupBy($"access_flag")
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct($"user_id").as("n_users"))
+        .orderBy($"access_flag")
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, ts, event_type, CAST(ts AS DATE) AS day,
+      |         CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS patient
+      |  FROM events),
+      |rel AS (
+      |  SELECT DISTINCT user_id, patient FROM e WHERE event_type = 'signup'),
+      |vol AS (
+      |  SELECT user_id, day, COUNT(DISTINCT patient) AS n_day
+      |  FROM e GROUP BY user_id, day),
+      |f AS (
+      |  SELECT e.user_id,
+      |         CASE WHEN hour(e.ts) < 8 OR hour(e.ts) >= 20 THEN 'After Hours'
+      |              WHEN v.n_day > 5 THEN 'High Volume'
+      |              WHEN r.user_id IS NULL THEN 'No Relationship'
+      |              ELSE 'Normal' END AS access_flag
+      |  FROM e
+      |  JOIN vol v ON e.user_id = v.user_id AND e.day = v.day
+      |  LEFT JOIN rel r ON e.user_id = r.user_id AND e.patient = r.patient)
+      |SELECT access_flag, COUNT(*) AS n_events,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM f GROUP BY access_flag ORDER BY access_flag""".stripMargin),
+    doc = "F12: access-audit surveillance (after-hours / high-volume / no-relationship)")
+
+  val all: Seq[Q] = Seq(q82)
+}

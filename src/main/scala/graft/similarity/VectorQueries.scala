@@ -260,8 +260,9 @@ object VectorQueries {
     * query touches nprobe/k of the data instead of all of it.
     *
     * Centroids here are a deterministic seed subset (vec_id 8..15) so
-    * the DuckDB oracle reproduces the exact assignment; a production
-    * build would k-means them — the pipeline shape is identical (the
+    * the DuckDB oracle reproduces the exact assignment; the production
+    * trainer is [[KMeans.train]] (distributed spherical Lloyd's,
+    * bit-deterministic) — the pipeline shape is identical (the
     * centroid table is broadcast either way). Assignment scores round
     * to 6dp with a centroid-id tiebreak: bit-stable argmax across
     * engines.

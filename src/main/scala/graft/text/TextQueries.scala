@@ -955,6 +955,181 @@ object TextQueries {
       |FROM c""".stripMargin),
     doc = "drift detection: KS + total-variation between hash splits, integer-exact")
 
+  /** q83 — benchmark decontamination: the overlap check every training
+    * corpus needs before an eval is trustworthy — which training docs
+    * contain 5-token shingles that also appear in the held-out
+    * benchmark? Benchmark membership is a stable hash split (the
+    * q61/q78 convention, ~2% of docs); a doc is flagged contaminated
+    * when ≥10% of its distinct shingles are benchmark shingles
+    * (integer cross-product compare — no float edge).
+    *
+    * Scale design: the benchmark side is ~2% of the corpus and only its
+    * DISTINCT shingles survive — at 100 TB that set broadcasts or, at
+    * worst, shuffles as narrow (shingle) keys; the training side
+    * streams through one explode → semi-match → per-doc count. Never
+    * doc×doc: contamination is doc×benchmark-set, inverted-index
+    * shaped, one shuffle on shingle + one on doc_id.
+    */
+  val q83 = Q(
+    "q83_decontamination",
+    (s, dir) => {
+      import s.implicits._
+      val shingled = docs(s, dir)
+        .withColumn("bucket",
+          pmod(expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
+            lit(50L)))
+        .select($"doc_id", $"source", ($"bucket" === 0L).as("is_bench"),
+          array_distinct(expr(
+            """CASE WHEN size(split(text, ' ')) >= 5
+              |  THEN transform(sequence(1, size(split(text, ' ')) - 4),
+              |    i -> concat_ws(' ',
+              |      slice(split(text, ' '), i, 5)))
+              |  ELSE array() END""".stripMargin)).as("shs"))
+        .filter(size($"shs") > 0)
+        .cache()
+      val benchShingles = shingled.filter($"is_bench")
+        .select(explode($"shs").as("sh")).distinct()
+      val trainRows = shingled.filter(!$"is_bench")
+        .select($"doc_id", $"source", size($"shs").cast("long").as("n_sh"),
+                explode($"shs").as("sh"))
+      val matched = trainRows
+        .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
+      shingled.filter(!$"is_bench")
+        .select($"doc_id", $"source", size($"shs").cast("long").as("n_sh"))
+        .join(matched, Seq("doc_id"), "left_outer")
+        .withColumn("n_hit", coalesce($"n_hit", lit(0L)))
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_train_docs"),
+          count_if($"n_hit" > 0).as("n_overlapping"),
+          count_if($"n_hit" * 10 >= $"n_sh").as("n_contaminated"),
+          sum($"n_hit").as("n_hit_shingles"))
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 50 = 0 AS is_bench
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, is_bench,
+      |         array_to_string(t[i:i+4], ' ') AS sh
+      |  FROM (SELECT doc_id, source, is_bench, t,
+      |               UNNEST(generate_series(1, len(t) - 4)) AS i
+      |        FROM d WHERE len(t) >= 5)),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE is_bench),
+      |train AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_sh FROM sh
+      |  WHERE NOT is_bench GROUP BY 1, 2),
+      |hits AS (
+      |  SELECT s.doc_id, COUNT(*) AS n_hit
+      |  FROM sh s JOIN bench b ON s.sh = b.sh
+      |  WHERE NOT s.is_bench GROUP BY 1)
+      |SELECT t.source,
+      |       COUNT(*) AS n_train_docs,
+      |       CAST(COUNT(CASE WHEN COALESCE(h.n_hit, 0) > 0 THEN 1 END)
+      |            AS BIGINT) AS n_overlapping,
+      |       CAST(COUNT(CASE WHEN COALESCE(h.n_hit, 0) * 10 >= t.n_sh THEN 1 END)
+      |            AS BIGINT) AS n_contaminated,
+      |       CAST(SUM(COALESCE(h.n_hit, 0)) AS BIGINT) AS n_hit_shingles
+      |FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |GROUP BY t.source ORDER BY t.source""".stripMargin),
+    doc = "decontamination: 5-gram benchmark overlap per source (hash-split benchmark)")
+
+  /** q84 — deterministic training-order shuffle: the global permutation
+    * a training run reads in. Every doc gets a 60-bit md5 sort key
+    * (seeded — reshuffling is a seed change, not a code change) and a
+    * 16-way shard; the writer pattern at scale is
+    * `repartitionByRange(shard, key).sortWithinPartitions(key)` — an
+    * even range-partitioned external sort with NO single-task global
+    * sort, NO rand() (re-runs and retries see the identical order).
+    * The verified output is the per-shard fingerprint: sizes balance
+    * and an order-insensitive modular checksum pins membership, so both
+    * engines must agree on every doc's (shard, key) without shipping
+    * the permutation itself.
+    */
+  val q84 = Q(
+    "q84_training_order",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"doc_id", expr(
+          "cast(conv(substring(md5(concat('ord42_', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+        ).as("key"))
+        .withColumn("shard", pmod($"key", lit(16L)))
+        .groupBy($"shard")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min($"key").as("min_key"),
+          max($"key").as("max_key"),
+          sum(pmod($"key", lit(1000000007L))).as("key_checksum"))
+        .orderBy($"shard")
+    },
+    Some("""WITH k AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substr(md5('ord42_' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS key
+      |  FROM documents)
+      |SELECT key % 16 AS shard,
+      |       COUNT(*) AS n_docs,
+      |       MIN(key) AS min_key,
+      |       MAX(key) AS max_key,
+      |       CAST(SUM(key % 1000000007) AS BIGINT) AS key_checksum
+      |FROM k GROUP BY 1 ORDER BY shard""".stripMargin),
+    doc = "training order: seeded hash permutation + 16-way sharding, checksum-verified")
+
+  /** q85 — intra-document repetition scoring (the Gopher-style quality
+    * signal: boilerplate and looping generations repeat their own
+    * n-grams): per doc, the fraction of 3-gram occurrences that are
+    * duplicates of an earlier one; per source, how many docs exceed 20%
+    * repetition and the corpus-wide duplicate-shingle rate. All ratios
+    * stay in integer cross-products until one final division. Pure
+    * map-side per-doc math + one narrow groupBy — no joins at any
+    * scale.
+    */
+  val q85 = Q(
+    "q85_repetition_score",
+    (s, dir) => {
+      import s.implicits._
+      val scored = docs(s, dir)
+        .select($"source", expr(
+          """CASE WHEN size(split(text, ' ')) >= 3
+            |  THEN transform(sequence(1, size(split(text, ' ')) - 2),
+            |    i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
+            |  ELSE array() END""".stripMargin).as("shs"))
+        .filter(size($"shs") > 0)
+        .select($"source", size($"shs").cast("long").as("m"),
+                size(array_distinct($"shs")).cast("long").as("u"))
+      scored.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_if(($"m" - $"u") * 5 >= $"m").as("n_repetitive"),
+          sum($"m" - $"u").as("n_dup_shingles"),
+          (sum($"m" - $"u").cast("double") / sum($"m")).as("dup_rate"))
+        .orderBy($"source")
+    },
+    Some("""WITH sh AS (
+      |  SELECT doc_id, source, array_to_string(t[i:i+2], ' ') AS sh
+      |  FROM (SELECT doc_id, source, t,
+      |               UNNEST(generate_series(1, len(t) - 2)) AS i
+      |        FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+      |              FROM documents)
+      |        WHERE len(t) >= 3)),
+      |scored AS (
+      |  SELECT doc_id, source, COUNT(*) AS m, COUNT(DISTINCT sh) AS u
+      |  FROM sh GROUP BY 1, 2)
+      |SELECT source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(COUNT(CASE WHEN (m - u) * 5 >= m THEN 1 END) AS BIGINT)
+      |         AS n_repetitive,
+      |       CAST(SUM(m - u) AS BIGINT) AS n_dup_shingles,
+      |       CAST(SUM(m - u) AS DOUBLE) / SUM(m) AS dup_rate
+      |FROM scored GROUP BY source ORDER BY source""".stripMargin),
+    doc = "quality: Gopher-style intra-doc 3-gram repetition rate per source")
+
   val all: Seq[Q] =
-    Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72, q78)
+    Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
+        q78, q83, q84, q85)
 }
