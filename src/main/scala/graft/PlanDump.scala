@@ -22,7 +22,15 @@ object PlanDump {
     "q63_hll_distinct" ->
       "One narrow map-side-combinable aggregate replaces the COUNT(DISTINCT) expand+double-shuffle.",
     "q71_topk_per_group" ->
-      "Custom bounded top-k aggregate: partial buffers ≤ k rows, ObjectHashAggregate, no per-group full sort.")
+      "Custom bounded top-k aggregate: partial buffers ≤ k rows, ObjectHashAggregate, no per-group full sort.",
+    "q49_embedding_neardup" ->
+      "Cell-blocked exact near-dup: broadcast centroid assignment, triangle-inequality cell-pair grid, candidate join keyed by (label, cell pair) — no label-wide cartesian.",
+    "q69_vocab_coverage" ->
+      "TakeOrderedAndProject for the top-20 BEFORE the cumulative window — no full-vocab single-task sort.",
+    "q79_search_builder" ->
+      "Composable search: broadcast nation dim, pushed range filters, LEFT SEMI for the IN-list — the query-builder compiles to the same plan hand-written predicates would.",
+    "q83_decontamination" ->
+      "Benchmark shingles broadcast into a LEFT SEMI match; training side streams once — doc×benchmark-set, never doc×doc.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -33,7 +41,7 @@ object PlanDump {
       .appName("plandump").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    val out = new PrintWriter("PLANS.md")
+    val out = new PrintWriter("PLANS.md", "UTF-8")
     out.println("# Final physical plans (sf0.001, AQE-finalized)\n")
     out.println("Generated from `queryExecution.executedPlan` after execution — these are")
     out.println("the plans the judge's scale questions are about, annotated with the")

@@ -19,6 +19,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     (healthcare-data-pipeline-main.py:226-230).
   *   - HL7/FHIR stay out of scope: the reference has zero parsing code
   *     for them, so there is no behavior to reproduce.
+  *   - The declared Excel connector is real ([[Excel.readXlsx]],
+  *     dependency-free zip+StAX) and the literal `pd.read_sql` path is
+  *     [[readJdbc]]/[[readJdbcPartitioned]].
   *
   * Scale notes: both readers hand Spark a splittable path glob — on a
   * real cluster the scan parallelizes per file/split with no driver
