@@ -591,9 +591,12 @@ object AggQueries {
       val spend = orders(s, dir)
         .groupBy($"o_custkey")
         .agg(sum(Q.money($"o_totalprice")).as("spend_dec"))
-      val w = Window.orderBy($"spend_dec".desc, $"o_custkey")
-      spend
-        .withColumn("quartile", ntile(4).over(w))
+      // DistributedRank, not Window.orderBy: the frame is per-customer
+      // (row cardinality at 100 TB) — the unpartitioned NTILE window
+      // would sort it in ONE task; this is a range-sort + offset
+      // ranking with identical SQL semantics.
+      DistributedRank
+        .withNtile(spend, 4, Seq($"spend_dec".desc, $"o_custkey"), "quartile")
         .groupBy($"quartile")
         .agg(count(lit(1)).as("n_customers"),
              min($"spend_dec").cast("double").as("min_spend"),

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [[DistributedRank]] must reproduce the single-task window's
+  * row_number and NTILE values exactly, for any row count, tile count,
+  * and input partitioning — including the N < n and N % n != 0 edges.
+  */
+class DistributedRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data(n: Int, parts: Int) =
+    (1 to n).map(i => ((i * 37) % n, i.toLong)).toDF("v", "id")
+      .repartition(parts)
+
+  for (n <- Seq(1, 5, 16, 100); parts <- Seq(1, 7)) {
+    test(s"row_number matches window ordering (n=$n, parts=$parts)") {
+      val df = data(n, parts)
+      val got = DistributedRank
+        .withRowNumber(df, Seq($"v".desc, $"id"), "rn")
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      val want = df
+        .withColumn("rn", row_number().over(Window.orderBy($"v".desc, $"id")))
+        .select($"id", $"rn".cast("long")).as[(Long, Long)].collect().toMap
+      assert(got === want)
+    }
+  }
+
+  for (n <- Seq(1, 3, 4, 7, 100); k <- Seq(1, 3, 4, 8)) {
+    test(s"ntile($k) matches window NTILE (n=$n)") {
+      val df = data(n, 5)
+      val got = DistributedRank
+        .withNtile(df, k, Seq($"v".desc, $"id"), "tile")
+        .select($"id", $"tile").as[(Long, Int)].collect().toMap
+      val want = df
+        .withColumn("tile", ntile(k).over(Window.orderBy($"v".desc, $"id")))
+        .select($"id", $"tile").as[(Long, Int)].collect().toMap
+      assert(got === want)
+    }
+  }
+
+  test("result is identical under different input partitionings") {
+    val a = DistributedRank.withRowNumber(data(50, 2), Seq($"v", $"id"))
+      .select($"id", $"rn").as[(Long, Long)].collect().toSet
+    val b = DistributedRank.withRowNumber(data(50, 9), Seq($"v", $"id"))
+      .select($"id", $"rn").as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+}
