@@ -8,13 +8,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * extensions) is registered here as a named query with, where
   * SQL-expressible, a DuckDB oracle equivalent. Registries live in the
   * per-domain modules:
-  *   - operators.CoreQueries   q01–q16, q56  filters/predicates/joins (§2.2-2.3, as-of)
-  *   - operators.AggQueries    q17–q30  aggregates/windows/set ops (§2.4-2.7)
-  *   - functions.ScalarQueries q31–q35  scalar fns + synthetic gen (§2.8, S3)
-  *   - streaming.EventQueries  q36–q39  event windows (§2.10 batch-equivalents)
-  *   - text.TextQueries        q40–q46  text analysis + dedup (extensions)
-  *   - similarity.VectorQueries q47–q49 embedding similarity (extensions)
-  *   - multimodal.MultimodalQueries q50 binary-column plumbing (extensions)
+  *   - operators.CoreQueries   q01–q16, q56, q75, q77  filters/predicates/joins (§2.2-2.3)
+  *   - operators.AggQueries    q17–q30, q57–q65, q70–q71, q76  aggregates/windows/set ops (§2.4-2.7)
+  *   - operators.Search        q79–q80  E2 parameterized query builders
+  *   - functions.ScalarQueries q31–q35, q67, q81  scalar fns, UDAF, Fernet (§2.8-2.9, S3)
+  *   - streaming.EventQueries  q36–q39, q54, q73–q74  event windows/sessions (§2.10)
+  *   - text.TextQueries        q40–q46, q51, q55, q61, q66, q68–q69, q72, q78, q83–q85  text/dedup/sampling
+  *   - similarity.VectorQueries q47–q49, q52  embedding similarity + ANN
+  *   - multimodal.MultimodalQueries q50, q53  binary-column plumbing
+  *   - security.SecurityQueries q82  access-audit surveillance (F12)
   */
 object SparkEntry {
 

@@ -37,6 +37,34 @@ object DistributedRank {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Append the inclusive running sum of `value` in `sortCols` order —
+    * the distributed prefix sum: range sort, one lightweight pass for
+    * per-partition totals (driver sees P longs), then a streaming
+    * second pass adds each partition's offset. Same single-task-window
+    * avoidance as [[withRowNumber]], same total-order requirement.
+    */
+  def withPrefixSum(df: DataFrame, sortCols: Seq[Column], value: Column,
+                    out: String = "psum"): DataFrame = {
+    val sorted = df.withColumn("__v", value.cast("long"))
+      .orderBy(sortCols: _*).cache()
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val partSums = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.foldLeft(0L)(_ + _.getLong(vIdx))))
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix of partition totals
+    val schema = sorted.schema
+      .add(out, LongType, nullable = false)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      it.map { r =>
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema).drop("__v")
+  }
+
   /** Append NTILE(n) over the whole frame in `sortCols` order — SQL
     * semantics: the first (N mod n) tiles get one extra row.
     */

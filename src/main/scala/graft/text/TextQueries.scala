@@ -1129,7 +1129,76 @@ object TextQueries {
       |FROM scored GROUP BY source ORDER BY source""".stripMargin),
     doc = "quality: Gopher-style intra-doc 3-gram repetition rate per source")
 
+  /** q86 — sequence packing: the concatenate-and-split step every LLM
+    * pretraining pipeline runs — lay all documents out in the
+    * deterministic training order (the q84 seeded-hash permutation) and
+    * split the token stream every 4096 tokens. A doc's sequence is
+    * `start_offset div 4096`; docs whose span crosses a boundary are
+    * the straddle set (they get split across two training sequences).
+    *
+    * Scale design: the only global computation is the running token
+    * offset, which goes through [[graft.operators.DistributedRank
+    * .withPrefixSum]] — a distributed range sort + per-partition offset
+    * pass, NOT an unpartitioned window (the oracle uses the window
+    * form: same values, single-node is fine there). Everything after
+    * the offset is map-side arithmetic + one tiny aggregate.
+    */
+  val q86 = Q(
+    "q86_sequence_packing",
+    (s, dir) => {
+      import s.implicits._
+      val B = 4096L
+      val d = docs(s, dir).select(
+        $"doc_id",
+        size(toks).cast("long").as("nt"),
+        expr(
+          "cast(conv(substring(md5(concat('pack42_', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+        ).as("key"))
+      val packed = graft.operators.DistributedRank
+        .withPrefixSum(d, Seq($"key", $"doc_id"), $"nt", "cum")
+        .withColumn("seq_id", expr(s"(cum - nt) div $B"))
+        .withColumn("straddle", expr(s"(cum - nt) div $B != (cum - 1) div $B"))
+      val perSeq = packed.groupBy($"seq_id")
+        .agg(count(lit(1)).as("docs_in_seq"))
+        .agg(max($"docs_in_seq").as("max_docs_per_seq"))
+      packed.agg(
+          count(lit(1)).as("n_docs"),
+          sum($"nt").as("total_tokens"),
+          expr(s"(max(cum) + ${B - 1}) div $B").as("n_sequences"),
+          count_if($"straddle").as("n_straddle"))
+        .crossJoin(broadcast(perSeq))
+        .withColumn("fill_rate",
+          $"total_tokens".cast("double") / ($"n_sequences" * B))
+        .select($"n_docs", $"total_tokens", $"n_sequences", $"n_straddle",
+                $"max_docs_per_seq", $"fill_rate")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |         CAST(('0x' || substr(md5('pack42_' || CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS key
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, nt,
+      |         SUM(nt) OVER (ORDER BY key, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM d),
+      |p AS (
+      |  SELECT doc_id, nt, cum,
+      |         (cum - nt) // 4096 AS seq_id,
+      |         (cum - nt) // 4096 != (cum - 1) // 4096 AS straddle
+      |  FROM c),
+      |per_seq AS (
+      |  SELECT seq_id, COUNT(*) AS docs_in_seq FROM p GROUP BY 1)
+      |SELECT COUNT(*) AS n_docs,
+      |       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+      |       CAST((MAX(cum) + 4095) // 4096 AS BIGINT) AS n_sequences,
+      |       CAST(COUNT(CASE WHEN straddle THEN 1 END) AS BIGINT) AS n_straddle,
+      |       (SELECT MAX(docs_in_seq) FROM per_seq) AS max_docs_per_seq,
+      |       CAST(SUM(nt) AS DOUBLE)
+      |         / (((MAX(cum) + 4095) // 4096) * 4096) AS fill_rate
+      |FROM p""".stripMargin),
+    doc = "training: sequence packing at 4096 tokens over the seeded order (distributed prefix sum)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
-        q78, q83, q84, q85)
+        q78, q83, q84, q85, q86)
 }

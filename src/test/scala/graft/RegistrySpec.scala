@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 85 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 85)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 85)
+  test("registry has 86 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 86)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 86)
   }
 
   test("every query has a DuckDB oracle") {

@@ -41,6 +41,21 @@ class DistributedRankSpec extends SparkSpec {
     }
   }
 
+  for (n <- Seq(1, 16, 100); parts <- Seq(1, 7)) {
+    test(s"prefix sum matches window running sum (n=$n, parts=$parts)") {
+      val df = data(n, parts).withColumn("w", ($"id" % 13) + 1)
+      val got = DistributedRank
+        .withPrefixSum(df, Seq($"v".desc, $"id"), $"w", "ps")
+        .select($"id", $"ps").as[(Long, Long)].collect().toMap
+      val win = Window.orderBy($"v".desc, $"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df
+        .withColumn("ps", sum($"w").over(win))
+        .select($"id", $"ps").as[(Long, Long)].collect().toMap
+      assert(got === want)
+    }
+  }
+
   test("result is identical under different input partitionings") {
     val a = DistributedRank.withRowNumber(data(50, 2), Seq($"v", $"id"))
       .select($"id", $"rn").as[(Long, Long)].collect().toSet
