@@ -154,5 +154,68 @@ object MultimodalQueries {
       |GROUP BY source ORDER BY source""".stripMargin),
     doc = "multimodal: frame sampling + resize stub via typed flatMap generator")
 
-  val all: Seq[Q] = Seq(q50, q53)
+  /** One embedded payload: 8 integer feature dims (a quantized
+    * embedding — integer so both engines agree bit-for-bit).
+    */
+  final case class Embedded(doc_id: Long, source: String, emb: Array[Long])
+
+  val EncoderBatch = 32
+
+  /** STUB BATCH ENCODER — stands in for a model-inference call (CLIP,
+    * an audio encoder, …): takes a BATCH of payloads, returns one
+    * embedding per input, order-preserving. Deterministic on the bytes:
+    * dim d = sum of bytes at positions ≡ d (mod 8). The call-per-batch
+    * contract is the real one — a GPU model amortizes per-call overhead
+    * across the batch, so the plumbing must hand it bounded batches,
+    * never single rows and never a whole partition as one array.
+    */
+  def encodeBatch(batch: Seq[MediaRecord]): Seq[Embedded] =
+    batch.map { m =>
+      val dims = new Array[Long](8)
+      var i = 0
+      while (i < m.payload.length) {
+        dims(i % 8) += (m.payload(i) & 0xffL)
+        i += 1
+      }
+      Embedded(m.doc_id, m.source, dims)
+    }
+
+  /** q87 — batched embedding inference plumbing: binary payloads →
+    * `mapPartitions` with `Iterator.grouped(32)` → one encoder call per
+    * ≤32-record batch → one embedding row per input. This is the
+    * Scala analog of `mapInPandas` batch inference: per-partition
+    * iterators keep memory at batch granularity (never materializing a
+    * partition), the encoder sees real batches, and the verified output
+    * is partition-layout-independent (counts + a dim-weighted checksum
+    * — batch boundaries cannot affect it).
+    */
+  val q87 = Q(
+    "q87_batch_embed",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
+        .as[MediaRecord]
+      val embedded = media.mapPartitions { it =>
+        it.grouped(EncoderBatch).flatMap(b => encodeBatch(b))
+      }
+      embedded
+        .select($"doc_id", $"source",
+          expr("aggregate(zip_with(emb, sequence(1L, 8L), (x, w) -> x * w), 0L, (a, x) -> a + x)")
+            .as("wsum"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_embedded"),
+             sum($"wsum").as("emb_checksum"))
+        .orderBy($"source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_embedded,
+      |       CAST(SUM((SELECT SUM(ascii(substr(text, g.i, 1)) * ((g.i - 1) % 8 + 1))
+      |                 FROM UNNEST(generate_series(1, length(text))) AS g(i)))
+      |            AS BIGINT) AS emb_checksum
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin),
+    doc = "multimodal: batched encoder inference (grouped mapPartitions, 32-record batches)")
+
+  val all: Seq[Q] = Seq(q50, q53, q87)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 86 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 86)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 86)
+  test("registry has 87 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 87)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 87)
   }
 
   test("every query has a DuckDB oracle") {

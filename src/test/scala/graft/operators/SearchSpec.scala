@@ -101,6 +101,20 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("hostile param values are literals, never SQL (injection-proof by construction)") {
+    // the reference's injection test is a placeholder ("in real
+    // implementation, we'd use parameterized queries",
+    // healthcare-tests.py:442-452); here params become Column literals
+    // inside the plan — there is no string-SQL surface to inject into
+    val p = SearchParams(
+      mktSegment = Some("BUILDING'; DROP TABLE customer; --"),
+      orderPriorities = Some(Seq("1-URGENT' OR '1'='1")))
+    val got = Search.customers(spark, dir, p)
+    assert(got.count() === 0) // matches nothing; parses nothing
+    // and the tables are still there
+    assert(cust.count() > 0)
+  }
+
   test("optional status filter scopes the metrics") {
     def tot(st: Option[String]): Long =
       Search.encounterMetrics(spark, dir,
