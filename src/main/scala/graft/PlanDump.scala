@@ -30,7 +30,7 @@ object PlanDump {
     "q79_search_builder" ->
       "Composable search: broadcast nation dim, pushed range filters, LEFT SEMI for the IN-list — the query-builder compiles to the same plan hand-written predicates would.",
     "q83_decontamination" ->
-      "Benchmark shingles broadcast into a LEFT SEMI match; training side streams once — doc×benchmark-set, never doc×doc.")
+      "Benchmark shingles LEFT SEMI match (AQE broadcasts while small, shuffles when not); training side streams once — doc×benchmark-set, never doc×doc.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

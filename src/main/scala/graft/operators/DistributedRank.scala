@@ -45,7 +45,12 @@ object DistributedRank {
     */
   def withPrefixSum(df: DataFrame, sortCols: Seq[Column], value: Column,
                     out: String = "psum"): DataFrame = {
-    val sorted = df.withColumn("__v", value.cast("long"))
+    // null values contribute 0 (SQL SUM semantics) — getLong on a null
+    // cell would otherwise NPE mid-stage with an opaque executor error
+    val sorted = df
+      .withColumn("__v", org.apache.spark.sql.functions
+        .coalesce(value.cast("long"),
+          org.apache.spark.sql.functions.lit(0L)))
       .orderBy(sortCols: _*).cache()
     val vIdx = sorted.schema.fieldIndex("__v")
     val partSums = sorted.rdd
@@ -77,10 +82,13 @@ object DistributedRank {
     val r = total % n
     val cut = r * (q + 1) // rows 1..cut live in the (q+1)-sized tiles
     import org.apache.spark.sql.functions._
+    // integer `div`, never Column `/`: double division loses integer
+    // exactness past 2^53 rows (the q66-class trap)
     val tile =
       if (q == 0) col("__rn") // fewer rows than tiles: tile i = row i
-      else when(col("__rn") <= cut, (col("__rn") - 1) / (q + 1) + 1)
-        .otherwise(lit(r) + (col("__rn") - cut - 1) / q + 1)
+      else when(col("__rn") <= cut,
+          expr(s"(__rn - 1) div ${q + 1} + 1"))
+        .otherwise(expr(s"$r + (__rn - $cut - 1) div $q + 1"))
     ranked.withColumn(out, tile.cast("int")).drop("__rn")
   }
 }

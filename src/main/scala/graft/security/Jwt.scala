@@ -44,15 +44,28 @@ object Jwt {
     mac.doFinal(signingInput.getBytes(UTF_8))
   }
 
+  /** Registered numeric claims (RFC 7519 §4.1) — the only keys emitted
+    * as JSON numbers, and only when the value is a canonical ASCII
+    * integer (no leading zeros, fits a Long). Everything else is a JSON
+    * string: a digit-looking user_id like "007" must NOT be retyped
+    * (PyJWT would decode it as an int — or reject the leading-zero
+    * literal outright).
+    */
+  private val NumericClaims = Set("exp", "iat", "nbf")
+  private def canonicalLong(v: String): Boolean =
+    v.matches("0|[1-9][0-9]{0,18}") &&
+      (v.length < 19 || BigInt(v).isValidLong)
+
   /** Issue a token: sorted-key JSON payload (deterministic), HS256
-    * signature. Numeric-looking claims (exp/iat) are emitted as JSON
-    * numbers, everything else as strings — matching what PyJWT produces
-    * for the reference's payload.
+    * signature. exp/iat/nbf are emitted as JSON numbers (what PyJWT
+    * produces for the reference's payload); all other claims are
+    * strings.
     */
   def issue(secret: String, claims: Map[String, String]): String = {
     val body = claims.toSeq.sortBy(_._1).map { case (k, v) =>
       val vj =
-        if (v.nonEmpty && v.forall(_.isDigit)) v else "\"" + esc(v) + "\""
+        if (NumericClaims(k) && canonicalLong(v)) v
+        else "\"" + esc(v) + "\""
       "\"" + esc(k) + "\":" + vj
     }.mkString("{", ",", "}")
     val signingInput = HeaderB64 + "." + b64(body.getBytes(UTF_8))
@@ -76,10 +89,20 @@ object Jwt {
           catch { case _: IllegalArgumentException => Array.empty[Byte] }
         if (!MessageDigest.isEqual(expect, got)) None
         else {
-          val claims = parseFlat(new String(Base64.getUrlDecoder.decode(p), UTF_8))
+          val claims =
+            try parseFlat(new String(Base64.getUrlDecoder.decode(p), UTF_8))
+            catch { case _: IllegalArgumentException => None } // bad base64
           claims match {
-            case Some(c) if c.get("exp").forall(e => e.toLong > now) => Some(c)
-            case _ => None
+            // a present-but-non-numeric (or overflowing) exp is an
+            // invalid token, not an exception — the single-401 contract
+            case Some(c) => c.get("exp") match {
+              case None => Some(c)
+              case Some(e) => e.toLongOption match {
+                case Some(exp) if exp > now => Some(c)
+                case _ => None
+              }
+            }
+            case None => None
           }
         }
       case _ => None
@@ -113,8 +136,19 @@ object Jwt {
   private def unesc(s: String): String =
     """\\(u[0-9a-fA-F]{4}|.)""".r.replaceAllIn(s, m => {
       val g = m.group(1)
-      java.util.regex.Matcher.quoteReplacement(
-        if (g.startsWith("u")) Integer.parseInt(g.drop(1), 16).toChar.toString
-        else g)
+      // the full JSON escape table — \n must become a newline, not the
+      // letter n (PyJWT's json.dumps emits these for control chars)
+      val out = g match {
+        case "n" => "\n"
+        case "t" => "\t"
+        case "r" => "\r"
+        case "b" => "\b"
+        case "f" => "\f"
+        case "/" => "/"
+        case other if other.startsWith("u") =>
+          Integer.parseInt(other.drop(1), 16).toChar.toString
+        case other => other // \" \\
+      }
+      java.util.regex.Matcher.quoteReplacement(out)
     })
 }

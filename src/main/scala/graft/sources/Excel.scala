@@ -95,14 +95,26 @@ object Excel {
     val out = mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var inSi = false
+    var inT = false
+    var phonetic = 0 // <rPh>/<phoneticPr> depth — their text is NOT the value
     while (r.hasNext) {
       r.next() match {
-        case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
-          inSi = true; cur.clear()
-        case XMLStreamConstants.CHARACTERS if inSi =>
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "si" => inSi = true; cur.clear()
+          case "rPh" | "phoneticPr" => phonetic += 1
+          case "t" if inSi && phonetic == 0 => inT = true
+          case _ => ()
+        }
+        // only <t> content counts: rich-text runs concatenate, phonetic
+        // hints and pretty-print whitespace between elements do not
+        case XMLStreamConstants.CHARACTERS if inT =>
           cur.append(r.getText)
-        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
-          inSi = false; out += cur.toString
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "si" => inSi = false; out += cur.toString
+          case "rPh" | "phoneticPr" => phonetic -= 1
+          case "t" => inT = false
+          case _ => ()
+        }
         case _ => ()
       }
     }
@@ -113,7 +125,11 @@ object Excel {
   private[sources] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
 
-  /** Each row → dense array of (type, rawValue) by column index. */
+  /** Each row → dense array of (type, rawValue) by column index. Text
+    * accumulates PER CELL across `<v>`/`<t>` children, so rich-text
+    * inline strings with several runs concatenate instead of the last
+    * run overwriting the rest; phonetic `<rPh>` runs are skipped.
+    */
   private def parseSheet(in: InputStream): Seq[Array[Option[(String, String)]]] = {
     val r = xmlReader(in)
     val rows = mutable.ArrayBuffer[Array[Option[(String, String)]]]()
@@ -121,6 +137,8 @@ object Excel {
     var cellCol = -1
     var cellType = "n"
     var inV = false
+    var hasVal = false
+    var phonetic = 0
     val v = new StringBuilder
     while (r.hasNext) {
       r.next() match {
@@ -130,14 +148,20 @@ object Excel {
             cellCol = Option(r.getAttributeValue(null, "r"))
               .map(colIndex).getOrElse(cellCol + 1)
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-          case "v" | "t" => inV = true; v.clear()
+            v.clear(); hasVal = false
+          case "rPh" | "phoneticPr" => phonetic += 1
+          case "v" | "t" if phonetic == 0 => inV = true
           case _ => ()
         }
         case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
         case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
           case "v" | "t" =>
-            if (inV && cellCol >= 0) row += ((cellCol, cellType, v.toString))
+            if (inV) hasVal = true
             inV = false
+          case "rPh" | "phoneticPr" => phonetic -= 1
+          case "c" =>
+            if (hasVal && cellCol >= 0 && row != null)
+              row += ((cellCol, cellType, v.toString))
           case "row" =>
             val width = if (row.isEmpty) 0 else row.map(_._1).max + 1
             val dense = Array.fill[Option[(String, String)]](width)(None)

@@ -993,8 +993,11 @@ object TextQueries {
       val trainRows = shingled.filter(!$"is_bench")
         .select($"doc_id", $"source", size($"shs").cast("long").as("n_sh"),
                 explode($"shs").as("sh"))
+      // no broadcast() hint: AQE broadcasts the benchmark set while it
+      // fits and falls back to a shuffled semi-join when it doesn't —
+      // a forced hint would OOM the driver at 100 TB instead
       val matched = trainRows
-        .join(broadcast(benchShingles), Seq("sh"), "left_semi")
+        .join(benchShingles, Seq("sh"), "left_semi")
         .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
       shingled.filter(!$"is_bench")
         .select($"doc_id", $"source", size($"shs").cast("long").as("n_sh"))

@@ -56,6 +56,14 @@ class DistributedRankSpec extends SparkSpec {
     }
   }
 
+  test("prefix sum treats null values as 0 (SQL SUM semantics), no NPE") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(7L)))
+      .toDF("id", "w")
+    val got = DistributedRank.withPrefixSum(df, Seq($"id"), $"w", "ps")
+      .select($"id", $"ps").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
+  }
+
   test("result is identical under different input partitionings") {
     val a = DistributedRank.withRowNumber(data(50, 2), Seq($"v", $"id"))
       .select($"id", $"rn").as[(Long, Long)].collect().toSet

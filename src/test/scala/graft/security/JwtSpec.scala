@@ -55,6 +55,31 @@ class JwtSpec extends SparkSpec {
     assert(Jwt.verify(secret, tok, 0L) === Some(nasty))
   }
 
+  test("PyJWT-style JSON escapes decode to control characters, not letters") {
+    // json.dumps emits \n for a newline — it must parse back as \n
+    assert(Jwt.parseFlat("""{"a":"x\ny","b":"t\tz"}""") ===
+      Some(Map("a" -> "x\ny", "b" -> "t\tz")))
+  }
+
+  test("non-numeric or overflowing exp yields None, never an exception") {
+    assert(Jwt.verify(secret,
+      Jwt.issue(secret, Map("exp" -> "not-a-number")), 0L).isEmpty)
+    assert(Jwt.verify(secret,
+      Jwt.issue(secret, Map("exp" -> "")), 0L).isEmpty)
+    assert(Jwt.verify(secret,
+      Jwt.issue(secret, Map("exp" -> "99999999999999999999")), 0L).isEmpty)
+  }
+
+  test("digit-looking string claims stay strings (no retyping, no bad JSON)") {
+    val c = Map("user_id" -> "007", "role" -> "viewer", "exp" -> "2000000000")
+    val tok = Jwt.issue(secret, c)
+    val payload = new String(
+      java.util.Base64.getUrlDecoder.decode(tok.split('.')(1)), "UTF-8")
+    assert(payload.contains("\"user_id\":\"007\"")) // quoted — 007 bare is invalid JSON
+    assert(payload.contains("\"exp\":2000000000"))  // registered claim: number
+    assert(Jwt.verify(secret, tok, 0L) === Some(c))
+  }
+
   test("q82 access-audit executes and partitions all events") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -96,6 +96,35 @@ class ExcelSpec extends SparkSpec {
     assert(Excel.colIndex("BC23") === 54)
   }
 
+  test("rich-text runs concatenate; phonetic runs and whitespace are ignored") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-rich").toString
+    val z = new ZipOutputStream(new FileOutputStream(s"$dir/rich.xlsx"))
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    // shared string 0: two <r> runs + an <rPh> phonetic hint + pretty-print whitespace
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst>
+        |  <si>
+        |    <r><t>Hello </t></r>
+        |    <r><t>World</t></r>
+        |    <rPh sb="0" eb="5"><t>ファントム</t></rPh>
+        |  </si>
+        |</sst>""".stripMargin)
+    // inline rich-text cell with two runs in the sheet itself
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="inlineStr"><is><r><t>foo</t></r><r><t>bar</t></r></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+    val df = Excel.readXlsx(spark, s"$dir/rich.xlsx",
+      StructType(Seq(StructField("a", StringType), StructField("b", StringType))),
+      header = false)
+    val r = df.collect().head
+    assert(r.getString(0) === "Hello World") // runs joined, no rPh, no indentation
+    assert(r.getString(1) === "foobar")      // inline runs concatenated, not overwritten
+  }
+
   test("workbook without a sheet fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-bad").toString
     val z = new ZipOutputStream(new FileOutputStream(s"$dir/bad.xlsx"))
