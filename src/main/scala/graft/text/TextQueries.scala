@@ -1201,7 +1201,133 @@ object TextQueries {
       |FROM p""".stripMargin),
     doc = "training: sequence packing at 4096 tokens over the seeded order (distributed prefix sum)")
 
+  /** q88 — incremental dedup: the every-crawl production pattern —
+    * dedup an INCOMING batch against the EXISTING corpus without
+    * re-deduping the corpus itself. Membership is a stable hash split
+    * (existing = bucket < 70, incoming = rest); an incoming doc is
+    * dropped as an exact dup when its sorted-token fingerprint already
+    * exists, else as a near dup when MinHash banding (the q45 scheme:
+    * 8 salted hashes, 2 bands of 4) collides with an existing doc and
+    * exact Jaccard verifies ≥ 0.99.
+    *
+    * Scale design: everything is ASYMMETRIC new⋈old — the exact check
+    * is a semi-join on a 128-bit fingerprint, the near check joins only
+    * the incoming batch's band keys against the corpus band index
+    * (which a real pipeline persists and appends to, never rebuilds),
+    * and only colliding pairs pay the exact-verify intersect. Cost
+    * scales with the batch, not the corpus.
+    */
+  val q88 = Q(
+    "q88_incremental_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val mins = (1 to 8).map(i => expr(
+        s"array_min(transform(ta, t -> md5(cast(concat('$i|', t) as binary))))")
+        .as(s"m$i"))
+      val base = docs(s, dir)
+        .withColumn("bucket",
+          pmod(expr(
+            "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
+            lit(100L)))
+        .select($"doc_id", $"source", ($"bucket" < 70).as("is_old"),
+                array_distinct(toks).as("ta"))
+        .withColumn("n", size($"ta").cast("long"))
+        .withColumn("fp",
+          md5(concat_ws(" ", array_sort($"ta")).cast("binary")))
+        .cache()
+      val old = base.filter($"is_old")
+      val inc = base.filter(!$"is_old")
+      // exact layer: fingerprint semi-join against the corpus
+      val exactDup = inc.join(old.select($"fp"), Seq("fp"), "left_semi")
+        .select($"doc_id")
+      val survivors = inc.join(exactDup, Seq("doc_id"), "left_anti")
+      // near layer: incoming band keys vs the corpus band index
+      def bands(df: DataFrame) = df
+        .select(Seq($"doc_id", $"n", $"ta") ++ mins: _*)
+        .select($"doc_id", $"n", $"ta", explode(array(
+          struct(lit(1).as("band_id"),
+                 concat($"m1", $"m2", $"m3", $"m4").as("band_val")),
+          struct(lit(2).as("band_id"),
+                 concat($"m5", $"m6", $"m7", $"m8").as("band_val")))).as("b"))
+        .select($"doc_id", $"n", $"ta", $"b.band_id", $"b.band_val")
+      val nearDup = bands(survivors).as("i")
+        .join(bands(old).as("o"),
+          $"i.band_id" === $"o.band_id" && $"i.band_val" === $"o.band_val" &&
+          $"i.n" >= $"o.n" * 0.99 && $"o.n" >= $"i.n" * 0.99)
+        .select($"i.doc_id".as("doc_id"), $"i.ta".as("tia"),
+                $"o.ta".as("toa"), $"i.n".as("ni"), $"o.n".as("no"))
+        .distinct()
+        .withColumn("i", size(array_intersect($"tia", $"toa")).cast("long"))
+        .filter($"i" * 1.0 / ($"ni" + $"no" - $"i") >= 0.99)
+        .select($"doc_id").distinct()
+      inc.select($"doc_id", $"source")
+        .join(exactDup.withColumn("ex", lit(1)), Seq("doc_id"), "left_outer")
+        .join(nearDup.withColumn("nr", lit(1)), Seq("doc_id"), "left_outer")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_incoming"),
+          count_if($"ex".isNotNull).as("n_exact_dup"),
+          count_if($"nr".isNotNull).as("n_near_dup"),
+          count_if($"ex".isNull && $"nr".isNull).as("n_kept"))
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |           % 100 < 70 AS is_old
+      |  FROM documents),
+      |tok AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS s FROM documents)),
+      |fps AS (
+      |  SELECT doc_id, COUNT(*) AS n,
+      |         md5(string_agg(s, ' ' ORDER BY s)) AS fp,
+      |         MIN(md5('1|' || s)) AS m1, MIN(md5('2|' || s)) AS m2,
+      |         MIN(md5('3|' || s)) AS m3, MIN(md5('4|' || s)) AS m4,
+      |         MIN(md5('5|' || s)) AS m5, MIN(md5('6|' || s)) AS m6,
+      |         MIN(md5('7|' || s)) AS m7, MIN(md5('8|' || s)) AS m8
+      |  FROM tok GROUP BY doc_id),
+      |b AS (
+      |  SELECT d.doc_id, d.source, d.is_old, f.n, f.fp,
+      |         f.m1 || f.m2 || f.m3 || f.m4 AS b1,
+      |         f.m5 || f.m6 || f.m7 || f.m8 AS b2
+      |  FROM d JOIN fps f ON d.doc_id = f.doc_id),
+      |exact_dup AS (
+      |  SELECT DISTINCT i.doc_id
+      |  FROM b i JOIN b o ON NOT i.is_old AND o.is_old AND i.fp = o.fp),
+      |cand AS (
+      |  SELECT DISTINCT i.doc_id, o.doc_id AS old_id, i.n AS ni, o.n AS no
+      |  FROM b i JOIN b o
+      |    ON NOT i.is_old AND o.is_old
+      |   AND (i.b1 = o.b1 OR i.b2 = o.b2)
+      |   AND i.n >= o.n * 0.99 AND o.n >= i.n * 0.99
+      |  WHERE i.doc_id NOT IN (SELECT doc_id FROM exact_dup)),
+      |near_dup AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM cand c
+      |  JOIN (SELECT c2.doc_id, c2.old_id, COUNT(*) AS isz
+      |        FROM cand c2
+      |        JOIN tok ti ON ti.doc_id = c2.doc_id
+      |        JOIN tok t2 ON t2.doc_id = c2.old_id AND t2.s = ti.s
+      |        GROUP BY 1, 2) x
+      |    ON x.doc_id = c.doc_id AND x.old_id = c.old_id
+      |  WHERE x.isz * 1.0 / (c.ni + c.no - x.isz) >= 0.99)
+      |SELECT d.source,
+      |       COUNT(*) AS n_incoming,
+      |       CAST(COUNT(CASE WHEN e.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+      |         AS n_exact_dup,
+      |       CAST(COUNT(CASE WHEN nr.doc_id IS NOT NULL THEN 1 END) AS BIGINT)
+      |         AS n_near_dup,
+      |       CAST(COUNT(CASE WHEN e.doc_id IS NULL AND nr.doc_id IS NULL THEN 1 END)
+      |            AS BIGINT) AS n_kept
+      |FROM d
+      |LEFT JOIN exact_dup e ON d.doc_id = e.doc_id
+      |LEFT JOIN near_dup nr ON d.doc_id = nr.doc_id
+      |WHERE NOT d.is_old
+      |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    doc = "dedup: incremental — incoming batch vs existing corpus (exact fp semi-join + MinHash band index)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
-        q78, q83, q84, q85, q86)
+        q78, q83, q84, q85, q86, q88)
 }
