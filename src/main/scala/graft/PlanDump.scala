@@ -30,7 +30,9 @@ object PlanDump {
     "q79_search_builder" ->
       "Composable search: broadcast nation dim, pushed range filters, LEFT SEMI for the IN-list — the query-builder compiles to the same plan hand-written predicates would.",
     "q83_decontamination" ->
-      "Benchmark shingles LEFT SEMI match (AQE broadcasts while small, shuffles when not); training side streams once — doc×benchmark-set, never doc×doc.")
+      "Benchmark shingles LEFT SEMI match (AQE broadcasts while small, shuffles when not); training side streams once — doc×benchmark-set, never doc×doc.",
+    "q88_incremental_dedup" ->
+      "Asymmetric new-vs-old: exact-dup LEFT SEMI on the fingerprint, band-index equi-join for near candidates, map-side array_intersect verify — batch-scaled cost.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
