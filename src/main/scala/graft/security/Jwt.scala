@@ -93,15 +93,17 @@ object Jwt {
             try parseFlat(new String(Base64.getUrlDecoder.decode(p), UTF_8))
             catch { case _: IllegalArgumentException => None } // bad base64
           claims match {
-            // a present-but-non-numeric (or overflowing) exp is an
+            // a present-but-non-numeric (or overflowing) exp/nbf is an
             // invalid token, not an exception — the single-401 contract
-            case Some(c) => c.get("exp") match {
-              case None => Some(c)
-              case Some(e) => e.toLongOption match {
-                case Some(exp) if exp > now => Some(c)
-                case _ => None
-              }
-            }
+            case Some(c) =>
+              def timeOk(key: String, ok: Long => Boolean): Boolean =
+                c.get(key) match {
+                  case None => true
+                  case Some(v) => v.toLongOption.exists(ok)
+                }
+              val live = timeOk("exp", _ > now) && // expired at exp
+                timeOk("nbf", _ <= now) // not valid before nbf (RFC 7519 §4.1.5)
+              if (live) Some(c) else None
             case None => None
           }
         }

@@ -1229,8 +1229,11 @@ object TextQueries {
           pmod(expr(
             "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
             lit(100L)))
+        // coalesce: a NULL text means an empty token set in BOTH engines
+        // (DuckDB's UNNEST(NULL) would silently drop the doc from the
+        // fingerprint CTE while Spark kept it — cross-engine divergence)
         .select($"doc_id", $"source", ($"bucket" < 70).as("is_old"),
-                array_distinct(toks).as("ta"))
+                array_distinct(split(coalesce($"text", lit("")), " ")).as("ta"))
         .withColumn("n", size($"ta").cast("long"))
         .withColumn("fp",
           md5(concat_ws(" ", array_sort($"ta")).cast("binary")))
@@ -1254,9 +1257,11 @@ object TextQueries {
         .join(bands(old).as("o"),
           $"i.band_id" === $"o.band_id" && $"i.band_val" === $"o.band_val" &&
           $"i.n" >= $"o.n" * 0.99 && $"o.n" >= $"i.n" * 0.99)
+        // no pair-level distinct here: it would shuffle full token
+        // arrays as dedup keys to save at most one duplicate intersect
+        // per both-bands collision; the final doc_id distinct dedups
         .select($"i.doc_id".as("doc_id"), $"i.ta".as("tia"),
                 $"o.ta".as("toa"), $"i.n".as("ni"), $"o.n".as("no"))
-        .distinct()
         .withColumn("i", size(array_intersect($"tia", $"toa")).cast("long"))
         .filter($"i" * 1.0 / ($"ni" + $"no" - $"i") >= 0.99)
         .select($"doc_id").distinct()
@@ -1278,7 +1283,8 @@ object TextQueries {
       |  FROM documents),
       |tok AS (
       |  SELECT DISTINCT doc_id, s FROM (
-      |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS s FROM documents)),
+      |    SELECT doc_id, UNNEST(string_split(COALESCE(text, ''), ' ')) AS s
+      |    FROM documents)),
       |fps AS (
       |  SELECT doc_id, COUNT(*) AS n,
       |         md5(string_agg(s, ' ' ORDER BY s)) AS fp,

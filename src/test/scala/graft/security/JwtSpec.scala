@@ -70,6 +70,15 @@ class JwtSpec extends SparkSpec {
       Jwt.issue(secret, Map("exp" -> "99999999999999999999")), 0L).isEmpty)
   }
 
+  test("nbf gates validity: not-yet-valid tokens are rejected (RFC 7519 §4.1.5)") {
+    val tok = Jwt.issue(secret, Map("role" -> "admin", "nbf" -> "1000"))
+    assert(Jwt.verify(secret, tok, now = 999L).isEmpty)   // before nbf
+    assert(Jwt.verify(secret, tok, now = 1000L).isDefined) // at nbf
+    // malformed nbf is an invalid token, same as exp
+    assert(Jwt.verify(secret,
+      Jwt.issue(secret, Map("nbf" -> "soon")), 0L).isEmpty)
+  }
+
   test("digit-looking string claims stay strings (no retyping, no bad JSON)") {
     val c = Map("user_id" -> "007", "role" -> "viewer", "exp" -> "2000000000")
     val tok = Jwt.issue(secret, c)
