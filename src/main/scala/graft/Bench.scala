@@ -13,7 +13,10 @@ object Bench {
   /** Headline set: the flagship + the heaviest operator per family
     * (self-join window, star join, decorrelated join, time buckets,
     * two-level agg, z-score scan, event windows, MinHash LSH, exact
-    * n-gram dedup, cosine top-k, LSH ANN, sessionization, as-of join).
+    * n-gram dedup, cosine top-k, LSH ANN, sessionization, as-of join)
+    * + the heavy LLM-pipeline operators (embedding near-dup,
+    * decontamination, sequence packing, incremental dedup) so a
+    * regression in them is visible in BENCH_r*.json, not silent.
     */
   val headline: Seq[String] = Seq(
     "q01_readmission_rate",
@@ -26,12 +29,16 @@ object Bench {
     "q45_minhash_lsh_neardup",
     "q47_cosine_topk",
     "q48_ann_lsh",
+    "q49_embedding_neardup",
     "q51_ngram_jaccard",
     "q54_event_sessions",
     "q56_asof_join",
     "q57_rolling_window",
     "q60_salted_skew_join",
-    "q63_hll_distinct")
+    "q63_hll_distinct",
+    "q83_decontamination",
+    "q86_sequence_packing",
+    "q88_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,19 +85,20 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val sorted = samples.sorted
-      name -> (sorted.head, sorted(sorted.length / 2))
+      name -> samples.sorted
     }
-    val qJson = results.map { case (k, (mn, _)) => "\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
-    // Median alongside the min for noise transparency: min is the
-    // intrinsic-cost estimate the totals use; a median far above its min
-    // flags a sample set polluted by scheduler/GC interference.
-    val medJson = results.map { case (k, (_, md)) => "\"" + k + "\":" + md }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    val totalMed = results.map(_._2._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"sf":"$sfDir"}""")
+    // Self-describing variance: min (the intrinsic-cost estimate the
+    // totals use), median and max per query, plus the rep count — a
+    // median far above its min flags a sample set polluted by
+    // scheduler/GC interference without digging through logs.
+    def json(f: Seq[Double] => Double): String = results
+      .map { case (k, s) => "\"" + k + "\":" + f(s) }.mkString("{", ",", "}")
+    val qJson = json(_.head)
+    val medJson = json(s => s(s.length / 2))
+    val maxJson = json(_.last)
+    val total = results.map(_._2.head).sum
+    val totalMed = results.map { case (_, s) => s(s.length / 2) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"queries_max":$maxJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,11 +22,19 @@ import javax.crypto.{Cipher, Mac}
   * with the 32-byte key split per spec: bytes 0–15 sign, 16–31 encrypt.
   *
   * One deliberate, documented divergence for the VERIFIED path:
-  * [[deriveIv]] derives the IV from SHA-256(plaintext ‖ ts) instead of
-  * the spec's random IV, making encrypted columns reproducible across
-  * runs/engines (determinism is non-negotiable for verified queries —
-  * SURVEY.md §7.3). Interoperability is unaffected: any Fernet decrypts
-  * these tokens; [[decrypt]] accepts random-IV tokens all the same.
+  * [[deriveIv]] derives the IV from a KEYED PRF —
+  * HMAC-SHA256(signKey, plaintext ‖ ts)[0..16] — instead of the spec's
+  * random IV, making encrypted columns reproducible across runs/engines
+  * (determinism is non-negotiable for verified queries — SURVEY.md
+  * §7.3). The PRF MUST be keyed: an unkeyed digest of the plaintext
+  * would publish a plaintext commitment in the clear-text IV bytes of
+  * every token, letting anyone confirm plaintext guesses offline — a
+  * dictionary-attack break for low-entropy PII (names, SSNs). With the
+  * keyed form, nothing about the plaintext is computable without the
+  * key; the remaining (documented) tradeoff is only SIV-style
+  * determinism: equal (plaintext, ts) pairs yield equal tokens.
+  * Interoperability is unaffected: any Fernet decrypts these tokens;
+  * [[decrypt]] accepts random-IV tokens all the same.
   *
   * A plain Scala UDF, not a Catalyst expression, per SURVEY.md §7.2:
   * crypto is not a codegen hot path.
@@ -41,12 +49,19 @@ object Fernet {
     (k.slice(0, 16), k.slice(16, 32))
   }
 
-  /** Deterministic IV: first 16 bytes of SHA-256(plaintext ‖ ts). */
-  def deriveIv(plaintext: Array[Byte], ts: Long): Array[Byte] = {
-    val md = MessageDigest.getInstance("SHA-256")
-    md.update(plaintext)
-    md.update(ByteBuffer.allocate(8).putLong(ts).array())
-    md.digest().take(16)
+  /** Deterministic keyed IV: HMAC-SHA256(signKey, plaintext ‖ ts)
+    * truncated to 16 bytes. Keyed so the IV leaks nothing about the
+    * plaintext without the key (see the class doc's attack note); uses
+    * the key's signing half — the IV is public framing, like the HMAC
+    * tag, never key material the encryption half depends on.
+    */
+  def deriveIv(keyB64: String, plaintext: Array[Byte], ts: Long): Array[Byte] = {
+    val (signKey, _) = keys(keyB64)
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(signKey, "HmacSHA256"))
+    mac.update(plaintext)
+    mac.update(ByteBuffer.allocate(8).putLong(ts).array())
+    mac.doFinal().take(16)
   }
 
   def encrypt(keyB64: String, plaintext: Array[Byte], ts: Long,
@@ -102,7 +117,7 @@ object Fernet {
       spark.udf.register("fernet_encrypt",
         (plain: String, key: String, ts: Long) => {
           val pb = plain.getBytes("UTF-8")
-          encrypt(key, pb, ts, deriveIv(pb, ts))
+          encrypt(key, pb, ts, deriveIv(key, pb, ts))
         })
       spark.udf.register("fernet_decrypt",
         (token: String, key: String) =>

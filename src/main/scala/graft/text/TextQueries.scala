@@ -248,24 +248,17 @@ object TextQueries {
            |            y -> struct(x, y))))""".stripMargin)).as("p"))
       .select(normalized($"p.x", $"p.y").as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
-    // Adaptive short-circuit: probing the (already-cached) buckets frame
-    // costs one cheap action and skips the hot path's four shuffle
-    // stages entirely when no bucket exceeds chunkSize — the common
-    // case once exact-dup collapse has run upstream.
-    val hasHot =
-      buckets.filter(size($"ds") > chunkSize).limit(1).count() > 0
-    if (!hasHot) {
-      val cold = coldPairs
-        .filter($"a.n" >= $"b.n" * lengthRatio && $"b.n" >= $"a.n" * lengthRatio)
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-                $"a.n".as("na"), $"b.n".as("nb"))
-        // Strictly a<b: a doc listed twice in one bucket (possible when
-        // the caller's bands carry duplicate (doc, value) rows) would
-        // otherwise pair with itself — the naive a<b self-join never
-        // emits such rows.
-        .filter($"doc_a" < $"doc_b")
-      return if (dedupe) cold.distinct() else cold
-    }
+    // NO adaptive probe: round 2 short-circuited the hot path behind a
+    // driver-side `buckets.filter(size > chunkSize).limit(1).count()`
+    // probe — measured at sf0.1 that probe IS the round-2 bench
+    // regression (~+0.4s best-of-N): real dup-heavy corpora DO have hot
+    // buckets (sf0.1's largest band bucket holds 1,435 representative
+    // groups), so the probe never short-circuits and its only effect is
+    // a blocking cache-materialization wave before the main job. When
+    // there are no hot buckets the hot-path stages run on EMPTY inputs,
+    // which AQE schedules in milliseconds — strictly cheaper than an
+    // extra action in every case. Declarative union beats a driver
+    // branch here.
     // Hot buckets: triangle decomposition. posexplode's ordinal over the
     // n-sorted array assigns monotone chunks (all n in chunk i ≤ chunk
     // i+1), so a grid cell (i,j) can be dropped wholesale when even its
@@ -1151,9 +1144,13 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       val B = 4096L
+      // coalesce before split: Spark size(split(NULL)) = -1 would
+      // silently corrupt the token total where DuckDB's len(NULL) is
+      // NULL — both engines must see a NULL doc as the one-empty-token
+      // array the coalesce produces (the q88 convention)
       val d = docs(s, dir).select(
         $"doc_id",
-        size(toks).cast("long").as("nt"),
+        size(split(coalesce($"text", lit("")), " ")).cast("long").as("nt"),
         expr(
           "cast(conv(substring(md5(concat('pack42_', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
         ).as("key"))
@@ -1176,7 +1173,7 @@ object TextQueries {
                 $"max_docs_per_seq", $"fill_rate")
     },
     Some("""WITH d AS (
-      |  SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |  SELECT doc_id, len(string_split(COALESCE(text, ''), ' ')) AS nt,
       |         CAST(('0x' || substr(md5('pack42_' || CAST(doc_id AS VARCHAR)), 1, 15))
       |              AS BIGINT) AS key
       |  FROM documents),
@@ -1212,10 +1209,16 @@ object TextQueries {
     *
     * Scale design: everything is ASYMMETRIC new⋈old — the exact check
     * is a semi-join on a 128-bit fingerprint, the near check joins only
-    * the incoming batch's band keys against the corpus band index
-    * (which a real pipeline persists and appends to, never rebuilds),
-    * and only colliding pairs pay the exact-verify intersect. Cost
-    * scales with the batch, not the corpus.
+    * the incoming batch's band keys against the corpus band index, and
+    * only colliding pairs pay the exact-verify intersect. The band join
+    * itself carries COMPACT keys only — (doc_id, n, 64-bit band hash) —
+    * never token arrays; arrays attach to the few colliding pairs
+    * afterward via narrow joins against the cached base (the q45
+    * repHash pattern), so shuffle volume scales with the batch, not the
+    * corpus. The persisted form of the corpus side — a band index
+    * written once as bucketed parquet and appended per batch, never
+    * rebuilt — is [[graft.etl.BandIndex]]; this query computes it
+    * inline because the oracle needs a self-contained expression.
     */
   val q88 = Q(
     "q88_incremental_dedup",
@@ -1244,24 +1247,38 @@ object TextQueries {
       val exactDup = inc.join(old.select($"fp"), Seq("fp"), "left_semi")
         .select($"doc_id")
       val survivors = inc.join(exactDup, Seq("doc_id"), "left_anti")
-      // near layer: incoming band keys vs the corpus band index
+      // near layer: incoming band keys vs the corpus band index. The
+      // shuffle carries (doc_id, n, band_id, band_val) ONLY — band
+      // values re-hashed to 64-bit longs (a collision just merges two
+      // buckets, adding spurious candidates that exact verify removes,
+      // exactly q45's argument) and token arrays stay OUT of the join:
+      // at 100 TB the corpus side of this exchange is the whole-corpus
+      // cost center, and a long beats a 128-char concat beats an array.
       def bands(df: DataFrame) = df
-        .select(Seq($"doc_id", $"n", $"ta") ++ mins: _*)
-        .select($"doc_id", $"n", $"ta", explode(array(
+        .select(Seq($"doc_id", $"n") ++ mins: _*)
+        .select($"doc_id", $"n", explode(array(
           struct(lit(1).as("band_id"),
-                 concat($"m1", $"m2", $"m3", $"m4").as("band_val")),
+                 xxhash64(concat($"m1", $"m2", $"m3", $"m4")).as("band_val")),
           struct(lit(2).as("band_id"),
-                 concat($"m5", $"m6", $"m7", $"m8").as("band_val")))).as("b"))
-        .select($"doc_id", $"n", $"ta", $"b.band_id", $"b.band_val")
-      val nearDup = bands(survivors).as("i")
+                 xxhash64(concat($"m5", $"m6", $"m7", $"m8")).as("band_val")))).as("b"))
+        .select($"doc_id", $"n", $"b.band_id", $"b.band_val")
+      // pair-level distinct BEFORE attaching arrays: on compact keys it
+      // is a narrow-row shuffle and saves a duplicate intersect for
+      // every pair that collides in both bands
+      val candPairs = bands(survivors).as("i")
         .join(bands(old).as("o"),
           $"i.band_id" === $"o.band_id" && $"i.band_val" === $"o.band_val" &&
           $"i.n" >= $"o.n" * 0.99 && $"o.n" >= $"i.n" * 0.99)
-        // no pair-level distinct here: it would shuffle full token
-        // arrays as dedup keys to save at most one duplicate intersect
-        // per both-bands collision; the final doc_id distinct dedups
-        .select($"i.doc_id".as("doc_id"), $"i.ta".as("tia"),
-                $"o.ta".as("toa"), $"i.n".as("ni"), $"o.n".as("no"))
+        .select($"i.doc_id".as("doc_id"), $"o.doc_id".as("old_id"),
+                $"i.n".as("ni"), $"o.n".as("no"))
+        .distinct()
+      // attach token arrays to colliding pairs only — narrow joins
+      // against the cached base; tokens pre-hashed to 64-bit so the
+      // per-pair intersect runs on longs (the q45 repHash pattern)
+      val th = base.select($"doc_id", transform($"ta", t => xxhash64(t)).as("th"))
+      val nearDup = candPairs
+        .join(th.select($"doc_id", $"th".as("tia")), Seq("doc_id"))
+        .join(th.select($"doc_id".as("old_id"), $"th".as("toa")), Seq("old_id"))
         .withColumn("i", size(array_intersect($"tia", $"toa")).cast("long"))
         .filter($"i" * 1.0 / ($"ni" + $"no" - $"i") >= 0.99)
         .select($"doc_id").distinct()

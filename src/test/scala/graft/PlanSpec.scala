@@ -1,7 +1,11 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+import org.apache.spark.sql.execution.joins.BaseJoinExec
+import org.apache.spark.sql.types.ArrayType
 
 /** Physical-plan regression guards: the scale-critical plan shapes the
   * builder prompt calls out (broadcast the dims, push filters into the
@@ -108,6 +112,48 @@ class PlanSpec extends SparkSpec {
     // cell columns — a plain within-label join degrades to O(n²/|labels|)
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(plan.contains("cell"), plan.take(3000))
+  }
+
+  /** Flatten an (AQE-finalized) physical plan into every node, descending
+    * through materialized query stages and reused exchanges — `collect`
+    * alone stops at stage boundaries.
+    */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => allNodes(a.finalPhysicalPlan)
+      case q: QueryStageExec => q +: allNodes(q.plan)
+      case r: ReusedExchangeExec => r +: allNodes(r.child)
+      case other => other +: other.children.flatMap(allNodes)
+    }
+    self ++ p.subqueries.flatMap(allNodes)
+  }
+
+  test("q88 band join shuffles compact keys only — no array column crosses an exchange") {
+    // AQE off: at tiny SFs the near-dup branch is empty and adaptive
+    // re-optimization erases it (PropagateEmptyRelation), hiding the
+    // very join under test — the static plan keeps the shape data-free
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val nodes = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      allNodes(q("q88_incremental_dedup").queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // the band join: an equi-join keyed (in part) by band_val
+    val bandJoins = nodes.collect {
+      case j: BaseJoinExec
+        if j.leftKeys.exists(_.references.exists(_.name == "band_val")) => j
+    }
+    assert(bandJoins.nonEmpty,
+      s"no band_val-keyed join found:\n${nodes.map(_.nodeName).mkString("\n")}")
+    // every exchange feeding it must carry scalar columns only — a token
+    // array in this shuffle is the corpus-scaled cost the design forbids
+    bandJoins.foreach { j =>
+      val exchanges = allNodes(j).collect { case e: Exchange => e }
+      exchanges.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"band-join exchange carries array columns ${arrays.map(_.name)}:\n$e")
+      }
+    }
   }
 
   test("directory partitioning prunes at the scan (PartitionFilters)") {
