@@ -17,8 +17,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     into a `_corrupt_record` column (audit path) — the Spark-native
   *     equivalent of the reference's row-level quality warnings
   *     (healthcare-data-pipeline-main.py:226-230).
-  *   - HL7/FHIR stay out of scope: the reference has zero parsing code
-  *     for them, so there is no behavior to reproduce.
+  *   - The declared HL7 v2 connector is real ([[Hl7.readHl7]] —
+  *     dependency-free pipe-and-hat parser against the public v2
+  *     encoding rules, one file per task). FHIR stays out of scope:
+  *     it is a REST/JSON API surface, and its resource-bundle JSON
+  *     form is already covered by [[readJson]] with a declared schema.
   *   - The declared Excel connector is real ([[Excel.readXlsx]],
   *     dependency-free zip+StAX) and the literal `pd.read_sql` path is
   *     [[readJdbc]]/[[readJdbcPartitioned]].

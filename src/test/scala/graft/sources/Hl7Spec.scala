@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+import org.apache.spark.SparkException
+
+/** [[Hl7]] — the v2 pipe-and-hat encoding rules must hold: MSH's
+  * off-by-one field numbering, components/repetitions/subcomponents,
+  * delimiter escapes, NULL for absent positions, FAILFAST on values
+  * that don't convert, one row per repeating segment when asked.
+  */
+class Hl7Spec extends SparkSpec {
+
+  private val Msg1 =
+    "MSH|^~\\&|LAB|FAC|EHR|HOSP|20240101120000||ORU^R01|MSG0001|P|2.5.1\r" +
+    "PID|1||12345~67890||Smith^John^Q||19800115|M\r" +
+    "OBX|1|NM|GLU^Glucose||98.5|mg/dL|70-110|N|||F\r" +
+    "OBX|2|NM|HGB^Hemoglobin||13.2|g/dL|12-16|N|||F\r"
+
+  private val Msg2 =
+    "MSH|^~\\&|LAB|FAC|EHR|HOSP|20240102080000||ORU^R01|MSG0002|P|2.5.1\r" +
+    "PID|1||55555||Doe^Jane|||F\r" +
+    "OBX|1|NM|GLU^Glucose||101.25|mg/dL|70-110|H|||F\r"
+
+  private def writeFeed(msgs: String*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hl7")
+    msgs.zipWithIndex.foreach { case (m, i) =>
+      java.nio.file.Files.writeString(dir.resolve(s"feed$i.hl7"), m)
+    }
+    dir.toString
+  }
+
+  private val labFields = Seq(
+    Hl7.Hl7Field("msg_id", "MSH-10", StringType),
+    Hl7.Hl7Field("msg_type", "MSH-9.1", StringType),
+    Hl7.Hl7Field("msg_ts", "MSH-7", TimestampType),
+    Hl7.Hl7Field("patient_id", "PID-3", StringType),
+    Hl7.Hl7Field("family_name", "PID-5.1", StringType),
+    Hl7.Hl7Field("given_name", "PID-5.2", StringType),
+    Hl7.Hl7Field("birth_date", "PID-7", DateType),
+    Hl7.Hl7Field("test_code", "OBX-3.1", StringType),
+    Hl7.Hl7Field("value", "OBX-5", DoubleType),
+    Hl7.Hl7Field("abnormal", "OBX-8", StringType))
+
+  test("one row per OBX with message-level fields repeated; typed values") {
+    val df = Hl7.readHl7(spark, writeFeed(Msg1, Msg2), labFields,
+      repeatSegment = Some("OBX"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(7), r.getDouble(8))).toSet
+    assert(rows === Set(
+      ("MSG0001", "GLU", 98.5), ("MSG0001", "HGB", 13.2), ("MSG0002", "GLU", 101.25)))
+    val m1 = df.filter(df("msg_id") === "MSG0001").collect().head
+    assert(m1.getAs[String]("msg_type") === "ORU")
+    assert(m1.getAs[java.sql.Timestamp]("msg_ts").toString === "2024-01-01 12:00:00.0")
+    assert(m1.getAs[String]("patient_id") === "12345") // first repetition of 12345~67890
+    assert(m1.getAs[String]("family_name") === "Smith")
+    assert(m1.getAs[String]("given_name") === "John")
+    assert(m1.getAs[java.sql.Date]("birth_date").toString === "1980-01-15")
+  }
+
+  test("absent positions are NULL (positional optionality)") {
+    val df = Hl7.readHl7(spark, writeFeed(Msg2), labFields,
+      repeatSegment = Some("OBX"))
+    val r = df.collect().head
+    assert(r.isNullAt(r.fieldIndex("birth_date"))) // PID-7 empty
+    assert(r.getAs[String]("family_name") === "Doe")
+  }
+
+  test("MSH off-by-one: MSH-1 is the separator, MSH-2 the encoding chars") {
+    val df = Hl7.readHl7(spark, writeFeed(Msg1), Seq(
+      Hl7.Hl7Field("sep", "MSH-1", StringType),
+      Hl7.Hl7Field("enc", "MSH-2", StringType),
+      Hl7.Hl7Field("app", "MSH-3", StringType)))
+    val r = df.collect().head
+    assert((r.getString(0), r.getString(1), r.getString(2)) === ("|", "^~\\&", "LAB"))
+  }
+
+  test("delimiter escapes decode last") {
+    val msg =
+      "MSH|^~\\&|A|B|C|D|20240101000000||ADT^A01|M1|P|2.5.1\r" +
+      "PID|1||X||Left\\F\\Right\\S\\Up\\T\\Amp\\R\\Tilde\\E\\Back\r"
+    val df = Hl7.readHl7(spark, writeFeed(msg), Seq(
+      Hl7.Hl7Field("name", "PID-5", StringType)))
+    assert(df.collect().head.getString(0) === "Left|Right^Up&Amp~Tilde\\Back")
+  }
+
+  test("FAILFAST: unconvertible value and pre-MSH garbage fail the read") {
+    val bad =
+      "MSH|^~\\&|A|B|C|D|20240101000000||ORU^R01|M1|P|2.5.1\r" +
+      "OBX|1|NM|GLU^G||not-a-number|mg/dL\r"
+    intercept[SparkException] {
+      Hl7.readHl7(spark, writeFeed(bad), Seq(
+        Hl7.Hl7Field("v", "OBX-5", DoubleType))).collect()
+    }
+    intercept[SparkException] {
+      Hl7.readHl7(spark, writeFeed("PID|1||X\rMSH|^~\\&|A\r"), Seq(
+        Hl7.Hl7Field("v", "PID-1", StringType))).collect()
+    }
+  }
+
+  test("without repeatSegment: one row per message, first OBX wins") {
+    val df = Hl7.readHl7(spark, writeFeed(Msg1, Msg2), labFields)
+    assert(df.count() === 2)
+    val m1 = df.filter(df("msg_id") === "MSG0001").collect().head
+    assert(m1.getAs[String]("test_code") === "GLU")
+  }
+
+  test("bad path spec is rejected eagerly") {
+    intercept[IllegalArgumentException] {
+      Hl7.readHl7(spark, "/nonexistent", Seq(
+        Hl7.Hl7Field("x", "pid5", StringType)))
+    }
+  }
+}
