@@ -17,11 +17,16 @@ import scala.collection.mutable
   * Scale design: xlsx is NOT splittable (like gzip), so the unit of
   * parallelism is the FILE — `binaryFiles` distributes one workbook per
   * task and a directory of workbooks parallelizes across the cluster;
-  * parsing is streaming (StAX, constant memory in rows) and happens
-  * executor-side, never on the driver. Schema is declared, not
-  * inferred, per the Formats contract: values are converted straight
-  * off the shared-strings/number text, and a cell that cannot convert
-  * fails the task (FAILFAST — the load-gate semantics of readCsv).
+  * parsing happens executor-side, never on the driver, in TWO passes
+  * over the zip: pass 1 loads the shared-strings dictionary (held in
+  * memory by nature — it is the string table sheet cells point into),
+  * pass 2 streams sheet rows off the StAX pull parser one row at a
+  * time, so per-file memory is the dictionary plus ONE row — a
+  * million-row workbook never materializes as a Seq. Schema is
+  * declared, not inferred, per the Formats contract: values are
+  * converted straight off the shared-strings/number text, and a cell
+  * that cannot convert fails the task (FAILFAST — the load-gate
+  * semantics of readCsv).
   *
   * Supported cell types: shared strings (t="s"), inline strings
   * (t="inlineStr"/"str"), numbers (default), booleans (t="b"). Dates
@@ -40,46 +45,45 @@ object Excel {
     val rows = spark.sparkContext
       .binaryFiles(path, spark.sparkContext.defaultParallelism)
       .flatMap { case (_, stream) =>
-        val raw = parseWorkbook(stream.open())
+        val raw = parseWorkbook(() => stream.open())
         val data = if (header) raw.drop(1) else raw
         data.map(cells => convert(cells, schema))
       }
     spark.createDataFrame(rows, schema)
   }
 
-  /** Parse the first worksheet into raw string cells (None = empty). */
-  private[sources] def parseWorkbook(in: InputStream): Seq[Array[Option[String]]] = {
-    val zin = new ZipInputStream(in)
-    var shared: IndexedSeq[String] = IndexedSeq.empty
-    var sheetRows: Seq[Array[Option[(String, String)]]] = Seq.empty
-    try {
-      var entry = zin.getNextEntry
-      // entry order is not guaranteed: buffer the sheet bytes if they
-      // arrive before sharedStrings
-      var sheetBytes: Array[Byte] = null
-      while (entry != null) {
-        entry.getName match {
-          case "xl/sharedStrings.xml" => shared = parseSharedStrings(zin)
-          case "xl/worksheets/sheet1.xml" => sheetBytes = readAll(zin)
-          case _ => ()
-        }
-        entry = zin.getNextEntry
-      }
-      require(sheetBytes != null, "no xl/worksheets/sheet1.xml in workbook")
-      sheetRows = parseSheet(new java.io.ByteArrayInputStream(sheetBytes))
-    } finally zin.close()
-    sheetRows.map(_.map(_.map {
+  /** Parse the first worksheet into raw string cells (None = empty),
+    * streamed one row at a time. `open` must yield a fresh stream per
+    * call (PortableDataStream.open does): pass 1 reads sharedStrings,
+    * pass 2 positions on the sheet entry and hands back a row iterator
+    * — zip entry order never forces buffering a whole part.
+    */
+  private[sources] def parseWorkbook(
+      open: () => InputStream): Iterator[Array[Option[String]]] = {
+    val shared: IndexedSeq[String] = {
+      val zin = new ZipInputStream(open())
+      try {
+        Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+          .find(_.getName == "xl/sharedStrings.xml")
+          .map(_ => parseSharedStrings(zin))
+          .getOrElse(IndexedSeq.empty)
+      } finally zin.close()
+    }
+    val zin = new ZipInputStream(open())
+    val sheetEntry = Iterator.continually(zin.getNextEntry)
+      .takeWhile(_ != null).find(_.getName == "xl/worksheets/sheet1.xml")
+    if (sheetEntry.isEmpty) {
+      zin.close()
+      throw new IllegalArgumentException("no xl/worksheets/sheet1.xml in workbook")
+    }
+    // close with the task (limit/take may abandon the iterator early);
+    // outside a task (unit tests), exhaustion closes it below
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => zin.close()))
+    sheetRows(zin, onExhausted = () => zin.close()).map(_.map(_.map {
       case ("s", v) => shared(v.toInt)
       case (_, v) => v
     }))
-  }
-
-  private def readAll(in: InputStream): Array[Byte] = {
-    val buf = new java.io.ByteArrayOutputStream()
-    val tmp = new Array[Byte](8192)
-    var n = in.read(tmp)
-    while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-    buf.toByteArray
   }
 
   private def xmlReader(in: InputStream) = {
@@ -125,56 +129,77 @@ object Excel {
   private[sources] def colIndex(ref: String): Int =
     ref.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
 
-  /** Each row → dense array of (type, rawValue) by column index. Text
-    * accumulates PER CELL across `<v>`/`<t>` children, so rich-text
-    * inline strings with several runs concatenate instead of the last
-    * run overwriting the rest; phonetic `<rPh>` runs are skipped.
+  /** Streaming row iterator over a positioned sheet stream: each row →
+    * dense array of (type, rawValue) by column index, produced on
+    * demand from the StAX pull parser — only the current row is ever
+    * in memory. Text accumulates PER CELL across `<v>`/`<t>` children,
+    * so rich-text inline strings with several runs concatenate instead
+    * of the last run overwriting the rest; phonetic `<rPh>` runs are
+    * skipped.
     */
-  private def parseSheet(in: InputStream): Seq[Array[Option[(String, String)]]] = {
-    val r = xmlReader(in)
-    val rows = mutable.ArrayBuffer[Array[Option[(String, String)]]]()
-    var row: mutable.ArrayBuffer[(Int, String, String)] = null
-    var cellCol = -1
-    var cellType = "n"
-    var inV = false
-    var hasVal = false
-    var phonetic = 0
-    val v = new StringBuilder
-    while (r.hasNext) {
-      r.next() match {
-        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-          case "row" => row = mutable.ArrayBuffer()
-          case "c" =>
-            cellCol = Option(r.getAttributeValue(null, "r"))
-              .map(colIndex).getOrElse(cellCol + 1)
-            cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-            v.clear(); hasVal = false
-          case "rPh" | "phoneticPr" => phonetic += 1
-          case "v" | "t" if phonetic == 0 => inV = true
-          case _ => ()
+  private def sheetRows(in: InputStream, onExhausted: () => Unit)
+      : Iterator[Array[Option[(String, String)]]] =
+    new scala.collection.AbstractIterator[Array[Option[(String, String)]]] {
+      private val r = xmlReader(in)
+      private var nextRow: Array[Option[(String, String)]] = _
+      private var finished = false
+      private var row: mutable.ArrayBuffer[(Int, String, String)] = null
+      private var cellCol = -1
+      private var cellType = "n"
+      private var inV = false
+      private var hasVal = false
+      private var phonetic = 0
+      private val v = new StringBuilder
+
+      private def advance(): Unit = {
+        while (nextRow == null && r.hasNext) {
+          r.next() match {
+            case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+              case "row" => row = mutable.ArrayBuffer(); cellCol = -1
+              case "c" =>
+                cellCol = Option(r.getAttributeValue(null, "r"))
+                  .map(colIndex).getOrElse(cellCol + 1)
+                cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+                v.clear(); hasVal = false
+              case "rPh" | "phoneticPr" => phonetic += 1
+              case "v" | "t" if phonetic == 0 => inV = true
+              case _ => ()
+            }
+            case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
+            case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+              case "v" | "t" =>
+                if (inV) hasVal = true
+                inV = false
+              case "rPh" | "phoneticPr" => phonetic -= 1
+              case "c" =>
+                if (hasVal && cellCol >= 0 && row != null)
+                  row += ((cellCol, cellType, v.toString))
+              case "row" =>
+                val width = if (row.isEmpty) 0 else row.map(_._1).max + 1
+                val dense = Array.fill[Option[(String, String)]](width)(None)
+                row.foreach { case (i, t, raw) => dense(i) = Some((t, raw)) }
+                row = null
+                nextRow = dense
+              case _ => ()
+            }
+            case _ => ()
+          }
         }
-        case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
-        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
-          case "v" | "t" =>
-            if (inV) hasVal = true
-            inV = false
-          case "rPh" | "phoneticPr" => phonetic -= 1
-          case "c" =>
-            if (hasVal && cellCol >= 0 && row != null)
-              row += ((cellCol, cellType, v.toString))
-          case "row" =>
-            val width = if (row.isEmpty) 0 else row.map(_._1).max + 1
-            val dense = Array.fill[Option[(String, String)]](width)(None)
-            row.foreach { case (i, t, raw) => dense(i) = Some((t, raw)) }
-            rows += dense
-            row = null; cellCol = -1
-          case _ => ()
-        }
-        case _ => ()
+        if (nextRow == null && !finished) { finished = true; onExhausted() }
+      }
+
+      def hasNext: Boolean = {
+        if (nextRow == null && !finished) advance()
+        nextRow != null
+      }
+
+      def next(): Array[Option[(String, String)]] = {
+        if (!hasNext) throw new NoSuchElementException("sheet exhausted")
+        val out = nextRow
+        nextRow = null
+        out
       }
     }
-    rows.toSeq
-  }
 
   /** 1899-12-30-based Excel serial day → java LocalDate. */
   private def serialToDate(d: Double): java.sql.Date =

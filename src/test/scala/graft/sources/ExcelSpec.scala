@@ -125,6 +125,30 @@ class ExcelSpec extends SparkSpec {
     assert(r.getString(1) === "foobar")      // inline runs concatenated, not overwritten
   }
 
+  test("sheet rows stream as a lazy iterator (large sheet, partial consumption)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-big").toString
+    val body = (1 to 5000)
+      .map(i => s"""<row r="$i"><c r="A$i"><v>$i</v></c></row>""").mkString
+    val z = new ZipOutputStream(new FileOutputStream(s"$dir/big.xlsx"))
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(s"""<?xml version="1.0"?><worksheet><sheetData>$body</sheetData></worksheet>"""
+      .getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    // direct parse: an Iterator whose partial consumption reads only the
+    // head of the sheet — the materializing form would have built all
+    // 5000 rows before returning
+    val it = Excel.parseWorkbook(
+      () => new java.io.FileInputStream(s"$dir/big.xlsx"))
+    val head = it.take(3).toSeq
+    assert(head.map(_.apply(0).get) === Seq("1", "2", "3"))
+    // and the full DataFrame path streams through every row
+    val df = Excel.readXlsx(spark, s"$dir/big.xlsx",
+      StructType(Seq(StructField("a", IntegerType))), header = false)
+    assert(df.count() === 5000)
+    assert(df.agg(org.apache.spark.sql.functions.sum("a")).collect()
+      .head.getLong(0) === 5000L * 5001 / 2)
+  }
+
   test("workbook without a sheet fails fast") {
     val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-bad").toString
     val z = new ZipOutputStream(new FileOutputStream(s"$dir/bad.xlsx"))
