@@ -37,6 +37,48 @@ class KMeansSpec extends SparkSpec {
     assert(cells.size >= 2, s"degenerate clustering: $cells")
   }
 
+  test("end-to-end IVF: train -> assign -> nprobe=2 search recalls the true top-1") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.CosineSimilarity.register(spark)
+    // the real pipeline: trained centroids (not q52's oracle seeds) feed
+    // the exact q52 search shape — broadcast centroid scoring, top-1
+    // cell per vector, nprobe=2 cells per probe, search inside cells
+    val cents = KMeans.train(emb, k = 8, iters = 3)
+    val centsDf = spark.createDataFrame(cents.map(c => (c.cid, c.cvec)))
+      .toDF("cid", "cvec")
+    val scored = emb.crossJoin(broadcast(centsDf))
+      .withColumn("cscore", expr("cosine_sim(embedding, cvec)"))
+    val byVec = Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"cid")
+    val cells = scored.withColumn("r", row_number().over(byVec))
+      .filter($"r" === 1).select($"cid", $"vec_id", $"embedding")
+    val probes = scored.filter($"vec_id" < 8)
+      .withColumn("r", row_number().over(byVec)).filter($"r" <= 2)
+      .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val wq = Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")
+    val ivf = cells.join(broadcast(probes), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("score", expr("cosine_sim(qvec, embedding)"))
+      .withColumn("rank", row_number().over(wq)).filter($"rank" === 1)
+      .select($"query_id", $"vec_id".as("ivf_nn"))
+    val brute = emb.select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      .filter($"query_id" < 8)
+      .crossJoin(emb.select($"vec_id", $"embedding"))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("score", expr("cosine_sim(qvec, embedding)"))
+      .withColumn("rank", row_number().over(wq)).filter($"rank" === 1)
+      .select($"query_id", $"vec_id".as("true_nn"))
+    val joined = ivf.join(brute, Seq("query_id")).cache()
+    assert(joined.count() === 8) // every probe answered
+    val recall = joined.filter($"ivf_nn" === $"true_nn").count() / 8.0
+    joined.unpersist()
+    // nprobe=2 of k=8 is a recall/cost tradeoff, not exactness (the
+    // exactness baseline is q47): the deterministic fixture must still
+    // find the true nearest neighbor for most probes
+    assert(recall >= 0.5, s"IVF top-1 recall $recall below floor")
+  }
+
   test("trained centroids are unit-normalized") {
     val cents = KMeans.train(emb, k = 3, iters = 2)
     for (c <- cents) {
