@@ -38,7 +38,10 @@ object Bench {
     "q63_hll_distinct",
     "q83_decontamination",
     "q86_sequence_packing",
-    "q88_incremental_dedup")
+    "q88_incremental_dedup",
+    "q89_mixture_resample",
+    "q90_token_budget_select",
+    "q91_rare_tokens")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

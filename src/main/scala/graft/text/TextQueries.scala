@@ -1350,7 +1350,177 @@ object TextQueries {
       |GROUP BY d.source ORDER BY d.source""".stripMargin),
     doc = "dedup: incremental — incoming batch vs existing corpus (exact fp semi-join + MinHash band index)")
 
+  /** q89 — temperature-weighted source mixture RESAMPLING (q68 measures
+    * the mixture; this one changes it): multilingual/multi-source LLM
+    * training upsamples small sources by flattening counts with a
+    * temperature α, here α = 1/2 — target_s ∝ √count_s — then takes a
+    * deterministic hash-ordered subset of each source.
+    *
+    * Determinism: weights are QUANTIZED to integers (⌊√c⌋) so targets
+    * come out of pure integer arithmetic (`div`, no double sums whose
+    * accumulation order could drift cross-engine); selection order is
+    * md5(doc_id) — a seeded permutation, no rand(). The per-source
+    * row_number window partitions by source, so no single-task global
+    * sort exists at any scale.
+    */
+  val q89 = Q(
+    "q89_mixture_resample",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id", $"source")
+        .withColumn("h", md5(concat(lit("mix42_"), $"doc_id".cast("string"))))
+      val counts = d.groupBy($"source").agg(count(lit(1)).as("c"))
+        .withColumn("k", expr("cast(floor(sqrt(c)) as bigint)"))
+      val tot = counts.agg(sum($"k").as("sumk"),
+                           expr("sum(c) div 2").as("budget"))
+      val targets = counts.crossJoin(broadcast(tot))
+        .withColumn("target_n", expr("budget * k div sumk"))
+        .select($"source", $"c", $"target_n")
+      val bySrc = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+      d.join(broadcast(targets), Seq("source"))
+        .withColumn("rn", row_number().over(bySrc))
+        .filter($"rn" <= $"target_n")
+        .groupBy($"source")
+        .agg(first($"c").as("n_docs"),
+             first($"target_n").as("target_n"),
+             count(lit(1)).as("n_selected"),
+             sum($"doc_id").as("sel_checksum"))
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, source,
+      |         md5('mix42_' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |counts AS (
+      |  SELECT source, COUNT(*) AS c,
+      |         CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS k
+      |  FROM d GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(k) AS BIGINT) AS sumk,
+      |         CAST(SUM(c) AS BIGINT) // 2 AS budget
+      |  FROM counts),
+      |targets AS (
+      |  SELECT source, c, budget * k // sumk AS target_n
+      |  FROM counts CROSS JOIN tot),
+      |ranked AS (
+      |  SELECT d.doc_id, d.source, t.c, t.target_n,
+      |         ROW_NUMBER() OVER (PARTITION BY d.source
+      |           ORDER BY d.h, d.doc_id) AS rn
+      |  FROM d JOIN targets t ON d.source = t.source)
+      |SELECT source, MIN(c) AS n_docs, MIN(target_n) AS target_n,
+      |       COUNT(*) AS n_selected,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sel_checksum
+      |FROM ranked WHERE rn <= target_n
+      |GROUP BY source ORDER BY source""".stripMargin),
+    doc = "training: temperature (α=1/2) source-mixture resampling, hash-ordered deterministic subset")
+
+  /** q90 — data selection under a global token budget: rank every doc
+    * by a quality score (distinct-token ratio, the q42 family) and keep
+    * the best docs until half the corpus's tokens are spent — the
+    * curation step between scoring and training.
+    *
+    * Scale design: the only global computation is the running token
+    * total in quality order, which runs through
+    * [[graft.operators.DistributedRank.withPrefixSum]] (range sort +
+    * per-partition offsets — never an unpartitioned window). Quality is
+    * an INTEGER (u·10⁶ div m): ordering and cumsum stay exact at any
+    * scale; nothing floating-point exists to drift.
+    */
+  val q90 = Q(
+    "q90_token_budget_select",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).select($"doc_id",
+          split(coalesce($"text", lit("")), " ").as("tk"))
+        .select($"doc_id",
+          size($"tk").cast("long").as("m"),
+          size(array_distinct($"tk")).cast("long").as("u"))
+        .withColumn("q", expr("u * 1000000L div m"))
+      val tot = d.agg(expr("sum(m) div 2").as("budget"))
+      val ranked = graft.operators.DistributedRank.withPrefixSum(
+        d.crossJoin(broadcast(tot)),
+        Seq($"q".desc, $"doc_id"), $"m", "cum")
+      ranked.filter($"cum" <= $"budget")
+        .agg(
+          count(lit(1)).as("n_selected"),
+          sum($"m").as("tokens_selected"),
+          first($"budget").as("token_budget"),
+          sum($"doc_id").as("sel_checksum"),
+          min($"q").as("min_quality"))
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS m,
+      |         CAST(len(list_distinct(string_split(COALESCE(text, ''), ' '))) AS BIGINT) AS u
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, m, u, u * 1000000 // m AS q FROM d),
+      |tot AS (SELECT CAST(SUM(m) AS BIGINT) // 2 AS budget FROM q),
+      |ranked AS (
+      |  SELECT doc_id, m, q, budget,
+      |         SUM(m) OVER (ORDER BY q DESC, doc_id
+      |                      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM q CROSS JOIN tot)
+      |SELECT COUNT(*) AS n_selected,
+      |       CAST(SUM(m) AS BIGINT) AS tokens_selected,
+      |       MIN(budget) AS token_budget,
+      |       CAST(SUM(doc_id) AS BIGINT) AS sel_checksum,
+      |       CAST(MIN(q) AS BIGINT) AS min_quality
+      |FROM ranked WHERE cum <= budget""".stripMargin),
+    doc = "training: quality-ranked doc selection under a global token budget (distributed prefix sum)")
+
+  /** q91 — rare-token (OOV-proxy) profiling: per-source rate of tokens
+    * whose whole-corpus frequency is ≤ 2 (hapax/dis legomena) plus the
+    * count of rare-heavy docs — the vocabulary-coverage quality signal
+    * a tokenizer/cleaning pass needs (q69 profiles the head of the
+    * vocabulary; this profiles the tail).
+    *
+    * Scale design: corpus frequencies are a map-side-combined token
+    * aggregate; the token⋈frequency join shuffles by token — the
+    * standard vocabulary-join shape (AQE broadcasts the frequency side
+    * when the vocabulary is small). All counts integer; ONE final IEEE
+    * division per source row.
+    */
+  val q91 = Q(
+    "q91_rare_tokens",
+    (s, dir) => {
+      import s.implicits._
+      val tok = docs(s, dir)
+        .select($"doc_id", $"source",
+          explode(split(coalesce($"text", lit("")), " ")).as("t"))
+      val freq = tok.groupBy($"t").agg(count(lit(1)).as("cnt"))
+      val perDoc = tok.join(freq, Seq("t"))
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("m"),
+             count_if($"cnt" <= 2).as("nr"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+             count_if($"nr" * 5 >= $"m").as("n_rare_heavy"),
+             sum($"nr").as("n_rare_tokens"),
+             sum($"m").as("n_tokens"))
+        .withColumn("rare_rate", $"n_rare_tokens" * 1.0 / $"n_tokens")
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source,
+      |         UNNEST(string_split(COALESCE(text, ''), ' ')) AS t
+      |  FROM documents),
+      |freq AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY t),
+      |per_doc AS (
+      |  SELECT tok.doc_id, tok.source, COUNT(*) AS m,
+      |         COUNT(CASE WHEN f.cnt <= 2 THEN 1 END) AS nr
+      |  FROM tok JOIN freq f ON tok.t = f.t
+      |  GROUP BY tok.doc_id, tok.source)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(CASE WHEN nr * 5 >= m THEN 1 END) AS BIGINT)
+      |         AS n_rare_heavy,
+      |       CAST(SUM(nr) AS BIGINT) AS n_rare_tokens,
+      |       CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(nr) AS DOUBLE) / SUM(m) AS rare_rate
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin),
+    doc = "quality: corpus-tail rare-token rate per source (hapax/dis-legomena profile)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
-        q78, q83, q84, q85, q86, q88)
+        q78, q83, q84, q85, q86, q88, q89, q90, q91)
 }

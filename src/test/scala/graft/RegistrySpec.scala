@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 88 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 88)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 88)
+  test("registry has 91 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 91)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 91)
   }
 
   test("every query has a DuckDB oracle") {
