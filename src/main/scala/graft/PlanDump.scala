@@ -32,7 +32,13 @@ object PlanDump {
     "q83_decontamination" ->
       "Benchmark shingles LEFT SEMI match (AQE broadcasts while small, shuffles when not); training side streams once — doc×benchmark-set, never doc×doc.",
     "q88_incremental_dedup" ->
-      "Asymmetric new-vs-old: exact-dup LEFT SEMI on the fingerprint, band-index equi-join for near candidates, map-side array_intersect verify — batch-scaled cost.")
+      "Asymmetric new-vs-old: exact-dup LEFT SEMI on the fingerprint; band join carries compact (doc_id, n, 64-bit band hash) keys ONLY — token arrays attach post-collision via narrow joins; map-side array_intersect verify on longs — batch-scaled cost.",
+    "q89_mixture_resample" ->
+      "Temperature mixture: tiny per-source target table broadcast; selection is a per-source (partitioned) row_number window over the hash order — no global sort.",
+    "q90_token_budget_select" ->
+      "Quality-ranked budget selection: integer quality, DistributedRank.withPrefixSum (range sort + per-partition offsets) for the running token total — no single-task window.",
+    "q91_rare_tokens" ->
+      "Vocabulary-tail profile: map-side-combined token frequencies, token⋈freq equi-join (AQE broadcasts small vocabularies), integer counts to one final division.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
