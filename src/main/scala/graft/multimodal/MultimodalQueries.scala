@@ -53,8 +53,13 @@ object MultimodalQueries {
     "q50_multimodal_features",
     (s, dir) => {
       import s.implicits._
+      // coalesce NULL text on BOTH engines (q87/q88 convention): Spark's
+      // decode of an empty payload yields (0 bytes, 1 frame, sum 0) and
+      // the oracle's COALESCE makes DuckDB see the identical empty doc
+      // instead of NULL-skipping the row
       val media = Tables.load(s, dir, "documents")
-        .select($"doc_id", $"source", $"text".cast("binary").as("payload"))
+        .select($"doc_id", $"source",
+          coalesce($"text", lit("")).cast("binary").as("payload"))
         .as[MediaRecord]
       val feats = media.mapPartitions { batch =>
         batch.map { m =>
@@ -71,9 +76,9 @@ object MultimodalQueries {
         .orderBy($"source")
     },
     Some("""SELECT source, COUNT(*) AS n_media,
-      |       CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
-      |       CAST(SUM(CAST(floor(length(text) / 256) AS BIGINT) + 1) AS BIGINT) AS total_frames,
-      |       CAST(SUM((SELECT SUM(ascii(substr(text, g.i, 1)))
+      |       CAST(SUM(length(COALESCE(text, ''))) AS BIGINT) AS total_bytes,
+      |       CAST(SUM(CAST(floor(length(COALESCE(text, '')) / 256) AS BIGINT) + 1) AS BIGINT) AS total_frames,
+      |       CAST(SUM((SELECT SUM(ascii(substr(COALESCE(text, ''), g.i, 1)))
       |                 FROM UNNEST(generate_series(1, 16)) AS g(i))) AS BIGINT) AS header_checksum
       |FROM documents
       |GROUP BY source

@@ -3,15 +3,19 @@ package graft.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
+import java.util.regex.Pattern
+
 /** HL7 v2.x ingestion — the last declared-but-unimplemented reference
   * connector (`hl7` in healthcare-pipeline-requirements.txt:24 and the
   * format list at healthcare-data-pipeline-main.py:139; the reference
   * ships no parsing code). Implemented dependency-free against the
   * PUBLIC v2 encoding rules: a message is CR-separated segments, a
-  * segment is `|`-separated fields, with `^` components, `~`
-  * repetitions, `&` subcomponents and `\`-escapes; MSH-1 is the field
-  * separator character itself and MSH-2 the encoding characters (the
-  * spec's famous off-by-one, honored here).
+  * segment is field-separated with component / repetition /
+  * subcomponent / escape delimiters, and the delimiters themselves are
+  * DECLARED BY THE MESSAGE — MSH-1 is the field separator character,
+  * MSH-2 the four encoding characters (the spec's famous off-by-one,
+  * honored here) — so a feed that redefines `^~\&` still parses
+  * correctly.
   *
   * Declared-schema extraction, per the [[Formats]] contract: callers
   * name the columns they want as terser-style paths (`"PID-5.1"` =
@@ -21,19 +25,31 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * (FAILFAST — load-gate semantics). `repeatSegment` emits one row per
   * occurrence of a repeating segment (e.g. one row per OBX lab result)
   * with message-level paths repeated onto each row — the relational
-  * shape a lab feed needs.
+  * shape a lab feed needs; a message with ZERO occurrences still emits
+  * one row with NULL repeat-segment columns (an outer join, not a
+  * silent drop of the message's identifiers).
+  *
+  * DTM semantics: `yyyyMMdd[HHmmss[.f+]][±zzzz]` honors a declared
+  * UTC offset; values without one are taken as UTC (the engine's
+  * session convention) — instants never depend on the executor JVM's
+  * default timezone.
   *
   * Scale design: like xlsx (and gzip), an HL7 batch file is not
   * splittable mid-message, so the unit of parallelism is the FILE —
   * `binaryFiles` hands one file per task and a directory of feed files
-  * parallelizes across the cluster; parsing is executor-side, the
-  * driver never sees a message. Batch framing segments (FHS/BHS/BTS/
-  * FTS) are skipped; each `MSH` starts a new message.
+  * parallelizes across the cluster; parsing is executor-side (each
+  * segment line split ONCE per message, however many columns read from
+  * it), the driver never sees a message. Batch framing segments
+  * (FHS/BHS/BTS/FTS) are skipped; each MSH starts a new message.
   */
 object Hl7 {
 
   /** One requested output column: `path` is `SEG-F[.C[.S]]`. */
   final case class Hl7Field(name: String, path: String, dataType: DataType)
+
+  /** Per-message delimiter set, declared in MSH-1/MSH-2. */
+  private[sources] final case class Delims(
+      field: Char, comp: Char, rep: Char, esc: Char, sub: Char)
 
   private val PathRe = "^([A-Z][A-Z0-9]{2})-([0-9]+)(?:\\.([0-9]+))?(?:\\.([0-9]+))?$".r
 
@@ -50,17 +66,29 @@ object Hl7 {
       .flatMap { case (_, stream) =>
         val text = new String(stream.toArray(), "UTF-8")
         splitMessages(text).flatMap { segs =>
-          val bySeg = segs.groupBy(segName)
-          val repeats = repeatSegment match {
-            case Some(s) => bySeg.getOrElse(s, Seq.empty).map(Some(_))
+          val d = delimsOf(segs.head)
+          val fieldRe = Pattern.quote(d.field.toString)
+          // each segment line is split exactly once per message; the
+          // first occurrence wins for message-level paths
+          val bySeg = segs.groupBy(_.takeWhile(_ != d.field))
+          val partsBySeg = bySeg.map { case (name, lines) =>
+            name -> lines.head.split(fieldRe, -1)
+          }
+          val repeats: Seq[Option[Array[String]]] = repeatSegment match {
+            case Some(seg) => bySeg.get(seg) match {
+              case Some(lines) => lines.map(l => Some(l.split(fieldRe, -1)))
+              // zero occurrences: one row with NULL repeat columns, the
+              // message's identifying fields survive (no silent drop)
+              case None => Seq(None)
+            }
             case None => Seq(None)
           }
           repeats.map { rep =>
             Row.fromSeq(specs.map { case (name, (seg, f, c, s), dt) =>
-              val line =
+              val parts =
                 if (repeatSegment.contains(seg)) rep
-                else bySeg.get(seg).flatMap(_.headOption)
-              line.flatMap(extract(_, f, c, s))
+                else partsBySeg.get(seg)
+              parts.flatMap(extract(_, d, f, c, s))
                 .map(v => convert(name, v, dt)).orNull
             })
           }
@@ -75,11 +103,12 @@ object Hl7 {
   private[sources] def splitMessages(text: String): Seq[Seq[String]] = {
     val lines = text.split("[\\r\\n]+").toSeq
       .map(_.trim).filter(_.nonEmpty)
-      .filterNot(l => Seq("FHS|", "BHS|", "BTS|", "FTS|").exists(l.startsWith))
+      .filterNot(l => Seq("FHS", "BHS", "BTS", "FTS").exists(p =>
+        l.startsWith(p) && (l.length == 3 || !l.charAt(3).isLetterOrDigit)))
     val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
     var cur = scala.collection.mutable.ArrayBuffer[String]()
     lines.foreach { l =>
-      if (l.startsWith("MSH|")) {
+      if (l.startsWith("MSH") && l.length > 3 && !l.charAt(3).isLetterOrDigit) {
         if (cur.nonEmpty) out += cur.toSeq
         cur = scala.collection.mutable.ArrayBuffer(l)
       } else if (cur.nonEmpty) cur += l
@@ -92,7 +121,19 @@ object Hl7 {
     out.toSeq
   }
 
-  private def segName(line: String): String = line.takeWhile(_ != '|')
+  /** MSH-1 is the character at offset 3; MSH-2 (the first field) holds
+    * component, repetition, escape, subcomponent in that order.
+    */
+  private[sources] def delimsOf(msh: String): Delims = {
+    require(msh.length > 3, s"MSH segment too short: '$msh'")
+    val f = msh.charAt(3)
+    val enc = msh.drop(4).takeWhile(_ != f)
+    Delims(f,
+      comp = if (enc.length > 0) enc.charAt(0) else '^',
+      rep = if (enc.length > 1) enc.charAt(1) else '~',
+      esc = if (enc.length > 2) enc.charAt(2) else '\\',
+      sub = if (enc.length > 3) enc.charAt(3) else '&')
+  }
 
   private[sources] def parsePath(path: String): (String, Int, Int, Int) =
     path match {
@@ -104,33 +145,60 @@ object Hl7 {
         s"bad HL7 path '$path' (want SEG-F[.C[.S]], e.g. PID-5.1)")
     }
 
-  /** Pull field `f` (1-based, MSH off-by-one honored), first
-    * repetition, component `c`, subcomponent `s` (0 = whole). Absent
-    * positions are None; decoding of `\`-escapes happens last.
+  /** Pull field `f` (1-based, MSH off-by-one honored) from pre-split
+    * parts, first repetition, component `c`, subcomponent `s` (0 =
+    * whole). Absent positions are None; escape decoding happens last.
     */
-  private[sources] def extract(line: String, f: Int, c: Int, s: Int): Option[String] = {
-    val parts = line.split("\\|", -1)
+  private[sources] def extract(parts: Array[String], d: Delims,
+                               f: Int, c: Int, s: Int): Option[String] = {
     val isMsh = parts(0) == "MSH"
     // MSH-1/MSH-2 ARE the delimiter characters — return them verbatim,
     // never split or unescape them (they'd split on themselves)
-    if (isMsh && f == 1) return Some("|")
+    if (isMsh && f == 1) return Some(d.field.toString)
     if (isMsh && f == 2) return parts.lift(1).filter(_.nonEmpty)
     val fieldOpt = if (isMsh) parts.lift(f - 1) else parts.lift(f)
     fieldOpt
-      .map(_.split("~", -1).head) // scalar columns: first repetition
-      .flatMap(v => if (c == 0) Some(v) else v.split("\\^", -1).lift(c - 1))
-      .flatMap(v => if (s == 0) Some(v) else v.split("&", -1).lift(s - 1))
+      .map(_.split(Pattern.quote(d.rep.toString), -1).head) // first repetition
+      .flatMap(v => if (c == 0) Some(v)
+                    else v.split(Pattern.quote(d.comp.toString), -1).lift(c - 1))
+      .flatMap(v => if (s == 0) Some(v)
+                    else v.split(Pattern.quote(d.sub.toString), -1).lift(s - 1))
       .filter(_.nonEmpty)
-      .map(unescape)
+      .map(unescape(_, d))
   }
 
-  /** The v2 escape sequences for the delimiter characters. */
-  private[sources] def unescape(v: String): String =
-    if (!v.contains('\\')) v
-    else v.replace("\\F\\", "|").replace("\\S\\", "^").replace("\\T\\", "&")
-      .replace("\\R\\", "~").replace("\\E\\", "\\")
+  /** Single-pass decode of the v2 escape sequences (`\F\ \S\ \T\ \R\
+    * \E\` for the five delimiters). Sequential String.replace would
+    * corrupt adjacent sequences — the encoded form of a literal `\F\`
+    * is `\E\F\E\`, whose middle `\F\` a naive field-separator replace
+    * consumes first; a left-to-right scan cannot. Unknown sequences
+    * (`\Xdd..\`, `\Zxx\`) pass through verbatim.
+    */
+  private[sources] def unescape(v: String, d: Delims): String = {
+    if (v.indexOf(d.esc) < 0) return v
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == d.esc) {
+        val j = v.indexOf(d.esc, i + 1)
+        if (j < 0) { sb.append(v.substring(i)); i = v.length } // dangling: keep
+        else {
+          v.substring(i + 1, j) match {
+            case "F" => sb.append(d.field)
+            case "S" => sb.append(d.comp)
+            case "T" => sb.append(d.sub)
+            case "R" => sb.append(d.rep)
+            case "E" => sb.append(d.esc)
+            case other => sb.append(d.esc).append(other).append(d.esc)
+          }
+          i = j + 1
+        }
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
-  /** HL7 TS/DTM values are `yyyyMMdd[HHmmss[.ffff]][±zzzz]`. */
+  /** HL7 TS/DTM: `yyyyMMdd[HHmm[ss[.f+]]][±zzzz]`. */
   private def convert(name: String, v: String, dt: DataType): Any = dt match {
     case StringType => v
     case IntegerType => v.toInt
@@ -141,10 +209,17 @@ object Hl7 {
       java.sql.Date.valueOf(java.time.LocalDate.parse(
         v.take(8), java.time.format.DateTimeFormatter.BASIC_ISO_DATE))
     case TimestampType =>
-      require(v.length >= 8, s"HL7 timestamp too short in $name: '$v'")
-      val digits = v.takeWhile(ch => ch.isDigit).padTo(14, '0').take(14)
-      java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(
-        digits, java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")))
+      // honor a declared ±zzzz offset; no offset → UTC. Never the JVM
+      // default zone: the same message must mean the same instant on
+      // every executor
+      val digits = v.takeWhile(_.isDigit)
+      require(digits.length >= 8, s"HL7 timestamp too short in $name: '$v'")
+      val offset = "([+-][0-9]{2}:?[0-9]{2})$".r.findFirstIn(v)
+        .map(java.time.ZoneOffset.of).getOrElse(java.time.ZoneOffset.UTC)
+      val ldt = java.time.LocalDateTime.parse(
+        digits.padTo(14, '0').take(14),
+        java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+      java.sql.Timestamp.from(ldt.toInstant(offset))
     case other => throw new IllegalArgumentException(
       s"unsupported HL7 column type $other for field $name")
   }

@@ -83,6 +83,56 @@ class Hl7Spec extends SparkSpec {
     assert(df.collect().head.getString(0) === "Left|Right^Up&Amp~Tilde\\Back")
   }
 
+  test("escaped-escape adjacency decodes correctly (\\E\\F\\E\\ is a literal \\F\\)") {
+    val msg =
+      "MSH|^~\\&|A|B|C|D|20240101000000||ADT^A01|M1|P|2.5.1\r" +
+      "PID|1||X||a\\E\\F\\E\\b\r"
+    val df = Hl7.readHl7(spark, writeFeed(msg), Seq(
+      Hl7.Hl7Field("name", "PID-5", StringType)))
+    assert(df.collect().head.getString(0) === "a\\F\\b")
+  }
+
+  test("message-declared delimiters override ^~\\& (MSH-2 is authoritative)") {
+    // components on '@', repetitions on '%', escape '!', subcomponents '#'
+    val msg =
+      "MSH|@%!#|A|B|C|D|20240101000000||ADT@A01|M1|P|2.5.1\r" +
+      "PID|1||one%two||Smith@John!F!Jr\r"
+    val df = Hl7.readHl7(spark, writeFeed(msg), Seq(
+      Hl7.Hl7Field("msg_type", "MSH-9.1", StringType),
+      Hl7.Hl7Field("pid", "PID-3", StringType),
+      Hl7.Hl7Field("family", "PID-5.1", StringType),
+      Hl7.Hl7Field("given", "PID-5.2", StringType)))
+    val r = df.collect().head
+    assert(r.getString(0) === "ADT")
+    assert(r.getString(1) === "one") // first '%' repetition
+    assert(r.getString(2) === "Smith")
+    assert(r.getString(3) === "John|Jr") // '!F!' decodes to the field sep
+  }
+
+  test("DTM offsets shift to the true instant; bare values are UTC") {
+    val msg =
+      "MSH|^~\\&|A|B|C|D|20240101120000+0500||ORU^R01|M1|P|2.5.1\r" +
+      "PID|1||X\r"
+    val df = Hl7.readHl7(spark, writeFeed(msg), Seq(
+      Hl7.Hl7Field("ts", "MSH-7", TimestampType)))
+    val got = df.collect().head.getAs[java.sql.Timestamp]("ts")
+    // 12:00 at +05:00 is 07:00Z — compare instants, not rendered strings
+    assert(got.toInstant === java.time.Instant.parse("2024-01-01T07:00:00Z"))
+  }
+
+  test("a message with zero repeat-segment occurrences keeps its row (NULL repeats)") {
+    val noObx =
+      "MSH|^~\\&|LAB|FAC|EHR|HOSP|20240103090000||ORU^R01|MSG0003|P|2.5.1\r" +
+      "PID|1||77777||Poe^Edgar\r"
+    val df = Hl7.readHl7(spark, writeFeed(Msg1, noObx), labFields,
+      repeatSegment = Some("OBX"))
+    assert(df.count() === 3) // 2 OBX rows from Msg1 + 1 NULL-repeat row
+    val r = df.filter(df("msg_id") === "MSG0003").collect().head
+    assert(r.getAs[String]("family_name") === "Poe")
+    assert(r.isNullAt(r.fieldIndex("test_code")))
+    assert(r.isNullAt(r.fieldIndex("value")))
+  }
+
   test("FAILFAST: unconvertible value and pre-MSH garbage fail the read") {
     val bad =
       "MSH|^~\\&|A|B|C|D|20240101000000||ORU^R01|M1|P|2.5.1\r" +
