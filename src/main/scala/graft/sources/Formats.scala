@@ -67,6 +67,24 @@ object Formats {
       .schema(schema.add(StructField(CorruptCol, StringType))).json(path)
   }
 
+  /** XML with declared schema (`rowTag` = the element wrapping one
+    * record) — Spark 4 ships the XML source natively, so clinical
+    * document feeds (CCD/CDA-style row-per-record exports) read with
+    * the same declared-schema + malformed-row policy as csv/json.
+    * Multi-record files split per `rowTag` element; compressed or
+    * multiline documents parallelize per file.
+    */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+              rowTag: String, failFast: Boolean = true): DataFrame = {
+    val base = spark.read
+      .option("rowTag", rowTag)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")
+    if (failFast) base.option("mode", "FAILFAST").schema(schema).xml(path)
+    else base.option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(schema.add(StructField(CorruptCol, StringType))).xml(path)
+  }
+
   /** Parquet sink with warehouse layout: directory partitioning for
     * pruning + in-partition sort for row-group min/max skipping — the
     * engine-native replacement for the reference's secondary indexes

@@ -85,6 +85,38 @@ class FormatsSpec extends SparkSpec {
     assert(lax.filter(col(Formats.CorruptCol).isNotNull).count() === 2)
   }
 
+  test("xml reads records by rowTag under declared schema; permissive quarantines") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/feed.xml"),
+      """<records>
+        |  <rec><id>1</id><name>alice</name><score>93.5</score></rec>
+        |  <rec><id>2</id><name>bob</name><score>81.25</score></rec>
+        |</records>""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = Formats.readXml(spark, s"$dir/feed.xml", schema, rowTag = "rec")
+    val rows = df.orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 1L)
+    assert(rows(0).getString(1) === "alice")
+    assert(rows(1).getDouble(2) === 81.25)
+    // malformed value: permissive captures the record, failFast throws
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/feed.xml"),
+      """<records>
+        |  <rec><id>1</id><name>ok</name><score>1.0</score></rec>
+        |  <rec><id>oops</id><name>bad</name><score>2.0</score></rec>
+        |</records>""".stripMargin)
+    val perm = Formats.readXml(spark, s"$dir/feed.xml", schema, rowTag = "rec",
+      failFast = false).cache() // corrupt-col-only queries require a parsed cache
+    assert(perm.count() === 2)
+    assert(perm.filter(perm(Formats.CorruptCol).isNotNull).count() === 1)
+    intercept[Exception] {
+      Formats.readXml(spark, s"$dir/feed.xml", schema, rowTag = "rec").collect()
+    }
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = tmp("graft-warehouse")
     val withYear = orders.withColumn("o_year", year($"o_orderdate"))
