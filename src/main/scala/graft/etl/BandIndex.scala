@@ -100,10 +100,20 @@ object BandIndex {
   /** Append docs (normally the kept slice of a batch) to the index.
     * `saveAsTable(mode=append)` with the identical bucket spec adds new
     * per-bucket files; bucketed reads union them, partitioning intact.
+    *
+    * The explicit refresh matters when `docs` belongs to a DIFFERENT
+    * session than the one reading the index (foreachBatch hands frames
+    * bound to the streaming clone session): the insert command only
+    * invalidates the writing session's relation cache, so without the
+    * refresh `spark`'s next [[dedupBatch]] would classify against a
+    * stale file listing and silently re-admit duplicates.
     */
   def append(spark: SparkSession, docs: DataFrame, name: String,
-             path: String, buckets: Int = 32): Unit =
+             path: String, buckets: Int = 32): Unit = {
     create(spark, docs, name, path, buckets)
+    Seq(docsTable(name), bandsTable(name))
+      .foreach(spark.catalog.refreshTable)
+  }
 
   /** Classify a batch of (doc_id, text [, …]) against the persisted
     * index: returns (doc_id, flag) with flag ∈ exact | near | kept.
