@@ -854,6 +854,71 @@ object AggQueries {
       |FROM c GROUP BY cohort ORDER BY cohort""".stripMargin),
     doc = "cohort retention by first-order month (+1/+2/+3 active rates)")
 
+  /** q92 — histogram-sketch quantiles (the q63-HLL treatment applied to
+    * percentiles): p50/p95 of l_extendedprice per return flag from a
+    * fixed 1024-bin integer histogram instead of the exact path's
+    * global per-group sort (q21 stays the exactness baseline).
+    *
+    * Scale design: ONE scan into a map-side-combinable (flag, bin)
+    * aggregate whose output is bounded (flags × 1024 rows) no matter
+    * the data size; the cumulative window then runs on that tiny frame.
+    * Exact percentiles shuffle every raw value; this shuffles ≤ 1024
+    * counters per group — the standard big-data quantile design
+    * (histogram/t-digest family), made ORACLE-MATCHABLE by integer
+    * binning: prices → cents (exact BIGINT), bin = (xc-lo)·1024 div
+    * span, estimate = the crossing bin's lower edge — every step
+    * integer arithmetic both engines compute bit-identically.
+    */
+  val q92 = Q(
+    "q92_histogram_quantile",
+    (s, dir) => {
+      import s.implicits._
+      val B = 1024L
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_returnflag".as("flag"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("xc"))
+      val bounds = li.agg(min($"xc").as("loc"),
+                          (max($"xc") - min($"xc") + 1L).as("span"))
+      val hist = li.crossJoin(broadcast(bounds))
+        .withColumn("bin", expr(s"(xc - loc) * $B div span"))
+        .groupBy($"flag", $"bin")
+        .agg(count(lit(1)).as("cnt"),
+             first($"loc").as("loc"), first($"span").as("span"))
+      val w = Window.partitionBy($"flag").orderBy($"bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cum", sum($"cnt").over(w))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy($"flag")))
+      def est(p: Int) = min(when($"cum" * 100L >= lit(p.toLong) * $"n",
+        expr(s"loc + bin * span div $B"))).as(s"p${p}_cents")
+      cum.groupBy($"flag")
+        .agg(first($"n").as("n"), est(50), est(95))
+        .orderBy($"flag")
+    },
+    Some("""WITH x AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS xc
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT MIN(xc) AS loc, MAX(xc) - MIN(xc) + 1 AS span FROM x),
+      |hist AS (
+      |  SELECT flag, (xc - loc) * 1024 // span AS bin, COUNT(*) AS cnt,
+      |         MIN(loc) AS loc, MIN(span) AS span
+      |  FROM x CROSS JOIN b GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT flag, bin, cnt, loc, span,
+      |         CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY bin
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |         CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+      |  FROM hist)
+      |SELECT flag, MIN(n) AS n,
+      |       CAST(MIN(CASE WHEN cum * 100 >= 50 * n
+      |                     THEN loc + bin * span // 1024 END) AS BIGINT) AS p50_cents,
+      |       CAST(MIN(CASE WHEN cum * 100 >= 95 * n
+      |                     THEN loc + bin * span // 1024 END) AS BIGINT) AS p95_cents
+      |FROM cum GROUP BY flag ORDER BY flag""".stripMargin),
+    doc = "A8 scale path: 1024-bin integer histogram quantiles (bounded aggregate, no raw-value shuffle)")
+
   val all: Seq[Q] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q57, q58, q59, q62, q63, q64, q65, q70, q71, q74)
+    q27, q28, q29, q30, q57, q58, q59, q62, q63, q64, q65, q70, q71, q74, q92)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 91 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 91)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 91)
+  test("registry has 92 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 92)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 92)
   }
 
   test("every query has a DuckDB oracle") {

@@ -53,5 +53,21 @@ class CorpusIngestSpec extends SparkSpec {
     assert(kept === Set(11L, 21L))
     // index grew by exactly the kept docs: 2 seed + 11 + 21
     assert(spark.table(BandIndex.docsTable(name)).count() === 4)
+
+    // restart from the same checkpoint with one new file: only the new
+    // file is processed (no reclassification, no double-append), and a
+    // dup of an earlier-kept doc is still rejected across the restart
+    docsDf(30L -> "novel content second batch", 31L -> "post restart fresh")
+      .coalesce(1).write.parquet(s"$srcDir/c")
+    val q2 = CorpusIngestJob.run(spark, s"$srcDir/*", name, indexPath.toString,
+      outDir.toString, ckpt.toString, buckets = 4)
+    q2.awaitTermination()
+    val kept2 = spark.read.parquet(outDir.toString)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(11L, 21L, 31L)) // 30 dups doc 21 kept pre-restart
+    // the job appended through the streaming clone session; this outer
+    // session's relation cache needs a refresh to see the new files
+    spark.catalog.refreshTable(BandIndex.docsTable(name))
+    assert(spark.table(BandIndex.docsTable(name)).count() === 5)
   }
 }
