@@ -38,7 +38,9 @@ object PlanDump {
     "q90_token_budget_select" ->
       "Quality-ranked budget selection: integer quality, DistributedRank.withPrefixSum (range sort + per-partition offsets) for the running token total — no single-task window.",
     "q91_rare_tokens" ->
-      "Vocabulary-tail profile: map-side-combined token frequencies, token⋈freq equi-join (AQE broadcasts small vocabularies), integer counts to one final division.")
+      "Vocabulary-tail profile: map-side-combined token frequencies, token⋈freq equi-join (AQE broadcasts small vocabularies), integer counts to one final division.",
+    "q92_histogram_quantile" ->
+      "Sketch quantiles: one scan into a bounded (flag, bin) map-side-combinable aggregate; cumulative window runs on ≤1024 rows per group — no raw-value shuffle (q21 is the exact baseline).")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -86,15 +86,27 @@ object BandIndex {
 
   /** Build the index from a corpus of (doc_id, text [, …]) — the ONE
     * time corpus text is tokenized.
+    *
+    * Write ORDER is a crash-safety invariant: bands BEFORE
+    * fingerprints. The two appends are not atomic; if a failure lands
+    * between them, the recovery semantics differ by order. Bands-first:
+    * a doc with band rows but no fp row is re-KEPT on replay (the
+    * exact layer misses it, and the near layer's verify can't fetch
+    * its token hashes), so the retried append writes the missing fp
+    * row — at worst the bands table holds duplicate rows, which the
+    * candidate `distinct()` absorbs. Fp-first would flag the replayed
+    * doc as an exact dup of itself, the kept slice comes back empty,
+    * and the band rows are never backfilled — the near-dup layer goes
+    * permanently blind to that doc.
     */
   def create(spark: SparkSession, corpus: DataFrame, name: String,
              path: String, buckets: Int = 32): Unit = {
     // localCheckpoint: one tokenization feeding both tables, released
     // by the ContextCleaner (not a session-lifetime cache entry)
     val sigs = signatures(corpus).localCheckpoint()
+    writeBucketed(bandRows(sigs), bandsTable(name), path, buckets, "band_val")
     writeBucketed(sigs.select("doc_id", "n", "fp", "th"),
       docsTable(name), path, buckets, "fp")
-    writeBucketed(bandRows(sigs), bandsTable(name), path, buckets, "band_val")
   }
 
   /** Append docs (normally the kept slice of a batch) to the index.
@@ -154,15 +166,27 @@ object BandIndex {
           .otherwise("kept").as("flag"))
   }
 
+  /** The kept slice of a batch, per [[dedupBatch]] flags — shared by
+    * [[ingest]] and streaming callers that sink the kept docs
+    * elsewhere before appending (one definition, consumers can't
+    * drift).
+    */
+  def keptOf(batch: DataFrame, flags: DataFrame): DataFrame =
+    batch.join(flags.filter(col("flag") === "kept").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+
   /** One full incremental step: classify the batch, append the kept
-    * docs to the index, return the per-doc flags.
+    * docs to the index, return the per-doc flags. Callers that also
+    * persist the kept slice to another sink should write that sink
+    * BETWEEN [[dedupBatch]] and [[append]] (see
+    * [[graft.streaming.CorpusIngestJob]]) so a replayed batch
+    * re-derives the same kept set instead of finding itself already
+    * indexed.
     */
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
              path: String, buckets: Int = 32): DataFrame = {
     val flags = dedupBatch(spark, batch, name).localCheckpoint()
-    val kept = batch.join(flags.filter(col("flag") === "kept").select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    append(spark, kept, name, path, buckets)
+    append(spark, keptOf(batch, flags), name, path, buckets)
     flags
   }
 }

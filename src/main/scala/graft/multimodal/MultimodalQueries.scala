@@ -48,6 +48,12 @@ object MultimodalQueries {
     * no physical media column; the pipeline from `binary` onward is the
     * real shape: Dataset[MediaRecord] → mapPartitions(decode) →
     * Dataset[MediaFeatures] → relational aggregation.
+    *
+    * Checksum caveat (as q87): Spark iterates UTF-8 BYTES, the DuckDB
+    * oracle characters — identical on ASCII corpora (the testdata),
+    * divergent on multi-byte text; the cross-engine claim is
+    * ASCII-scoped. NULL text coalesces to an empty payload in both
+    * engines (0 bytes, 1 frame, checksum 0).
     */
   val q50 = Q(
     "q50_multimodal_features",

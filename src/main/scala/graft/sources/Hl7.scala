@@ -145,6 +145,24 @@ object Hl7 {
         s"bad HL7 path '$path' (want SEG-F[.C[.S]], e.g. PID-5.1)")
     }
 
+  /** The Nth chunk of `v` split on the single character `c` (0-based;
+    * None past the end). indexOf-based: no regex compilation, no array
+    * allocation for chunks we don't want — `extract` runs once per
+    * column per row on a feed, so this is the hot path.
+    */
+  private def chunk(v: String, c: Char, n: Int): Option[String] = {
+    var start = 0
+    var i = 0
+    while (i < n) {
+      val next = v.indexOf(c, start)
+      if (next < 0) return None
+      start = next + 1
+      i += 1
+    }
+    val end = v.indexOf(c, start)
+    Some(if (end < 0) v.substring(start) else v.substring(start, end))
+  }
+
   /** Pull field `f` (1-based, MSH off-by-one honored) from pre-split
     * parts, first repetition, component `c`, subcomponent `s` (0 =
     * whole). Absent positions are None; escape decoding happens last.
@@ -158,11 +176,9 @@ object Hl7 {
     if (isMsh && f == 2) return parts.lift(1).filter(_.nonEmpty)
     val fieldOpt = if (isMsh) parts.lift(f - 1) else parts.lift(f)
     fieldOpt
-      .map(_.split(Pattern.quote(d.rep.toString), -1).head) // first repetition
-      .flatMap(v => if (c == 0) Some(v)
-                    else v.split(Pattern.quote(d.comp.toString), -1).lift(c - 1))
-      .flatMap(v => if (s == 0) Some(v)
-                    else v.split(Pattern.quote(d.sub.toString), -1).lift(s - 1))
+      .flatMap(chunk(_, d.rep, 0)) // first repetition
+      .flatMap(v => if (c == 0) Some(v) else chunk(v, d.comp, c - 1))
+      .flatMap(v => if (s == 0) Some(v) else chunk(v, d.sub, s - 1))
       .filter(_.nonEmpty)
       .map(unescape(_, d))
   }
@@ -213,11 +229,16 @@ object Hl7 {
       // default zone: the same message must mean the same instant on
       // every executor
       val digits = v.takeWhile(_.isDigit)
-      require(digits.length >= 8, s"HL7 timestamp too short in $name: '$v'")
+      // DTM precision is only legal at whole components (date, +hhmm,
+      // +ss; fractional seconds arrive after a '.'): an odd digit count
+      // is corruption, and zero-padding it would FABRICATE a time
+      // (e.g. 9 digits '202401011' → 10:00:00) — FAILFAST instead
+      require(Set(8, 10, 12, 14).contains(digits.length),
+        s"HL7 timestamp has invalid precision in $name: '$v'")
       val offset = "([+-][0-9]{2}:?[0-9]{2})$".r.findFirstIn(v)
         .map(java.time.ZoneOffset.of).getOrElse(java.time.ZoneOffset.UTC)
       val ldt = java.time.LocalDateTime.parse(
-        digits.padTo(14, '0').take(14),
+        digits.padTo(14, '0'),
         java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
       java.sql.Timestamp.from(ldt.toInstant(offset))
     case other => throw new IllegalArgumentException(

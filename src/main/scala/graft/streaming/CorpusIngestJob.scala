@@ -14,12 +14,28 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * index — history is never re-read and never re-tokenized, so
   * per-batch cost stays batch-sized forever.
   *
-  * `foreachBatch`, not a streaming sink: the per-batch work is a
-  * multi-output transaction (classify → append index → append corpus)
-  * built from joins the incremental engine can't express; Structured
-  * Streaming serializes batches, which is exactly the ordering the
-  * index append needs (batch N+1 must see batch N's kept docs — the
-  * cross-batch dedup guarantee the spec proves).
+  * `foreachBatch`, not a streaming sink: the per-batch work is
+  * multi-output (classify → sink corpus → append index) built from
+  * joins the incremental engine can't express; Structured Streaming
+  * serializes batches, which is exactly the ordering the index append
+  * needs (batch N+1 must see batch N's kept docs — the cross-batch
+  * dedup guarantee the spec proves).
+  *
+  * Replay safety (foreachBatch is at-least-once): the corpus sink is
+  * partitioned by the micro-batch id and written with dynamic
+  * partition OVERWRITE — a replayed batch rewrites its own partition
+  * instead of appending duplicates — and it is written BEFORE the
+  * index append. Walking the crash windows: (a) die before the sink
+  * write → clean replay; (b) die between sink write and index append →
+  * the replay re-derives the same kept set (those docs are not yet in
+  * the index), overwrites the same partition with identical rows, and
+  * retries the append; (c) die after the append but before the
+  * checkpoint commit → the replay classifies the batch's kept docs as
+  * duplicates of themselves, the kept slice is empty, and an empty
+  * dynamic overwrite touches no partitions — the earlier sink write
+  * survives. No window loses a doc or double-lands one.
+  * [[BandIndex.create]]'s bands-before-fingerprints write order makes
+  * the append itself replay-safe the same way.
   *
   * Intra-batch duplicates are upstream's job (the batch-level q40/q45
   * operators) — this job's contract is batch-vs-history.
@@ -37,25 +53,34 @@ object CorpusIngestJob {
   /** Run until all available files are processed (Trigger.AvailableNow).
     * The band index at `indexName`/`indexPath` must exist
     * ([[BandIndex.create]] on the seed corpus — or on an empty frame for
-    * a from-scratch corpus).
+    * a from-scratch corpus). `maxFilesPerTrigger` sizes the micro-batch:
+    * larger batches amortize the per-batch dedup round and cut the
+    * per-append small-file count in the bucketed index (each append
+    * adds up to 2×buckets files) — tune it to the crawl's file sizes.
     */
   def run(spark: SparkSession, srcDir: String, indexName: String,
           indexPath: String, outDir: String, checkpointDir: String,
-          buckets: Int = 32): StreamingQuery =
-    readDocStream(spark, srcDir)
+          buckets: Int = 32, maxFilesPerTrigger: Int = 1): StreamingQuery =
+    readDocStream(spark, srcDir, maxFilesPerTrigger)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // classify vs the index, append kept docs to it (BandIndex.ingest),
-        // then land the same kept slice in the curated corpus sink.
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batch.sparkSession, NOT the outer session: foreachBatch frames
         // are bound to the streaming clone, and reads + writes + cache
         // invalidation must all go through ONE session or batch N+1
         // classifies against batch N's stale file listing
         val ss = batch.sparkSession
-        val flags = BandIndex.ingest(ss, batch, indexName, indexPath, buckets)
-        batch.join(flags.filter(col("flag") === "kept").select("doc_id"),
-            Seq("doc_id"), "left_semi")
-          .write.mode("append").parquet(outDir)
+        val flags = BandIndex.dedupBatch(ss, batch, indexName).localCheckpoint()
+        // sink FIRST, idempotently (per-batch partition, dynamic
+        // overwrite), THEN append to the index — see the replay-safety
+        // walk in the class doc
+        BandIndex.keptOf(batch, flags)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outDir)
+        BandIndex.append(ss, BandIndex.keptOf(batch, flags),
+          indexName, indexPath, buckets)
         ()
       }
       .option("checkpointLocation", checkpointDir)

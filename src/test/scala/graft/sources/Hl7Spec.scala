@@ -133,6 +133,25 @@ class Hl7Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("value")))
   }
 
+  test("DTM with invalid precision fails instead of fabricating a time") {
+    // 9 digits: padding would invent 10:00:00 — must FAILFAST
+    val bad =
+      "MSH|^~\\&|A|B|C|D|202401011||ORU^R01|M1|P|2.5.1\r" +
+      "PID|1||X\r"
+    intercept[SparkException] {
+      Hl7.readHl7(spark, writeFeed(bad), Seq(
+        Hl7.Hl7Field("ts", "MSH-7", TimestampType))).collect()
+    }
+    // 10 digits (yyyyMMddHH) is legal precision
+    val ok =
+      "MSH|^~\\&|A|B|C|D|2024010112||ORU^R01|M1|P|2.5.1\r" +
+      "PID|1||X\r"
+    val got = Hl7.readHl7(spark, writeFeed(ok), Seq(
+      Hl7.Hl7Field("ts", "MSH-7", TimestampType))).collect().head
+      .getAs[java.sql.Timestamp]("ts")
+    assert(got.toInstant === java.time.Instant.parse("2024-01-01T12:00:00Z"))
+  }
+
   test("FAILFAST: unconvertible value and pre-MSH garbage fail the read") {
     val bad =
       "MSH|^~\\&|A|B|C|D|20240101000000||ORU^R01|M1|P|2.5.1\r" +
