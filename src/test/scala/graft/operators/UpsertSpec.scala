@@ -33,4 +33,59 @@ class UpsertSpec extends SparkSpec {
     val merged = Upsert.mergeByKey(base, delta.limit(0), Seq("id"))
     assert(rows(merged) === rows(base))
   }
+
+  // ---- SCD2 ----
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  /** patient dim: key id, attributes (city, plan), validity interval. */
+  private lazy val scdBase = Seq(
+    // id 1: one closed historical row + the current open row
+    (1L, "boston", "ppo", d("2020-01-01"), Option(d("2022-06-01"))),
+    (1L, "salem", "ppo", d("2022-06-01"), None: Option[java.sql.Date]),
+    // id 2: single open row
+    (2L, "denver", "hmo", d("2021-03-15"), None: Option[java.sql.Date]))
+    .toDF("id", "city", "plan", "valid_from", "valid_to")
+
+  private def scdRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "city", "plan", "valid_from", "valid_to")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDate(3).toString, Option(r.getDate(4)).map(_.toString))).toSet
+
+  test("scd2: change closes the open row and opens a new version") {
+    val updates = Seq((1L, "boston", "hdhp", d("2024-02-01")))
+      .toDF("id", "city", "plan", "effective")
+    val out = Upsert.scd2Merge(scdBase, updates, Seq("id"))
+    assert(scdRows(out) === Set(
+      (1L, "boston", "ppo", "2020-01-01", Some("2022-06-01")), // history intact
+      (1L, "salem", "ppo", "2022-06-01", Some("2024-02-01")),  // closed at eff
+      (1L, "boston", "hdhp", "2024-02-01", None),              // new open row
+      (2L, "denver", "hmo", "2021-03-15", None)))              // untouched
+  }
+
+  test("scd2: identical attributes are a no-op; new keys open first rows") {
+    val updates = Seq(
+      (2L, "denver", "hmo", d("2024-02-01")),  // unchanged → no churn
+      (9L, "austin", "ppo", d("2024-02-01"))) // brand-new key
+      .toDF("id", "city", "plan", "effective")
+    val out = Upsert.scd2Merge(scdBase, updates, Seq("id"))
+    assert(scdRows(out) === scdRows(scdBase) +
+      ((9L, "austin", "ppo", "2024-02-01", None)))
+  }
+
+  test("scd2: exactly one open row per key; intervals chain") {
+    val updates = Seq((1L, "lowell", "ppo", d("2024-02-01")))
+      .toDF("id", "city", "plan", "effective")
+    val out = Upsert.scd2Merge(scdBase, updates, Seq("id")).cache()
+    val openPerKey = out.filter($"valid_to".isNull)
+      .groupBy($"id").count().as[(Long, Long)].collect().toMap
+    assert(openPerKey === Map(1L -> 1L, 2L -> 1L))
+    // id 1's three versions chain with no gaps or overlaps
+    val chain = out.filter($"id" === 1L).orderBy($"valid_from")
+      .select("valid_from", "valid_to").collect()
+    assert(chain.length === 3)
+    assert(chain(0).getDate(1) === chain(1).getDate(0))
+    assert(chain(1).getDate(1) === chain(2).getDate(0))
+    out.unpersist()
+  }
 }
