@@ -967,35 +967,40 @@ object TextQueries {
     "q83_decontamination",
     (s, dir) => {
       import s.implicits._
-      val shingled = docs(s, dir)
+      // ONE shingle pass, ONE explode, NO cache: the round-2 form cached
+      // per-doc shingle ARRAYS (executor-memory cost proportional to the
+      // corpus — untenable at 100 TB) and re-read them in three
+      // consumers; measured at sf0.1 the cache + semi-join + rejoin
+      // structure cost 4.5x the work it organized (1.97s -> 0.44s).
+      // Here every per-doc stat falls out of the exploded rows
+      // themselves: n_sh = count per doc, n_hit = count of marked rows
+      // after a left join against the benchmark set. Docs shorter than
+      // one shingle vanish in the explode, same as the old size>0
+      // filter. The bench side re-derives the shingle pass (0.2s) —
+      // cheaper than materializing arrays, and on a real lake the
+      // benchmark set is a tiny static table read once, not a re-scan.
+      def shingleRows = docs(s, dir)
         .withColumn("bucket",
           pmod(expr(
             "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
             lit(50L)))
         .select($"doc_id", $"source", ($"bucket" === 0L).as("is_bench"),
-          array_distinct(expr(
+          explode(array_distinct(expr(
             """CASE WHEN size(split(text, ' ')) >= 5
               |  THEN transform(sequence(1, size(split(text, ' ')) - 4),
               |    i -> concat_ws(' ',
               |      slice(split(text, ' '), i, 5)))
-              |  ELSE array() END""".stripMargin)).as("shs"))
-        .filter(size($"shs") > 0)
-        .cache()
-      val benchShingles = shingled.filter($"is_bench")
-        .select(explode($"shs").as("sh")).distinct()
-      val trainRows = shingled.filter(!$"is_bench")
-        .select($"doc_id", $"source", size($"shs").cast("long").as("n_sh"),
-                explode($"shs").as("sh"))
+              |  ELSE array() END""".stripMargin))).as("sh"))
+      val benchShingles = shingleRows.filter($"is_bench")
+        .select($"sh").distinct()
       // no broadcast() hint: AQE broadcasts the benchmark set while it
-      // fits and falls back to a shuffled semi-join when it doesn't —
-      // a forced hint would OOM the driver at 100 TB instead
-      val matched = trainRows
-        .join(benchShingles, Seq("sh"), "left_semi")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_hit"))
-      shingled.filter(!$"is_bench")
-        .select($"doc_id", $"source", size($"shs").cast("long").as("n_sh"))
-        .join(matched, Seq("doc_id"), "left_outer")
-        .withColumn("n_hit", coalesce($"n_hit", lit(0L)))
+      // fits and falls back to a shuffled join when it doesn't — a
+      // forced hint would OOM the driver at 100 TB instead
+      shingleRows.filter(!$"is_bench")
+        .join(benchShingles.withColumn("hit", lit(1)), Seq("sh"), "left_outer")
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_sh"),
+             count_if($"hit".isNotNull).as("n_hit"))
         .groupBy($"source")
         .agg(
           count(lit(1)).as("n_train_docs"),
