@@ -336,5 +336,55 @@ object EventQueries {
       |ORDER BY n_users DESC, path LIMIT 10""".stripMargin),
     doc = "event path analysis: first-3-event sequences ranked by user count")
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q54, q73, q76, q77)
+  /** q93 — key-less interval join via bucketing: every `error` event
+    * opens a 10-minute incident window; count, per event type, the
+    * events falling inside ANY window. Without an equi-key Spark plans
+    * a raw `ts BETWEEN a AND b` join as BroadcastNestedLoopJoin — the
+    * O(n·m) scale killer. The standard fix: quantize time into buckets
+    * exactly one window long, explode each window onto the (at most
+    * two) buckets it touches, equi-join on the bucket, then apply the
+    * exact range as a residual filter. Each event lives in exactly one
+    * bucket, so no pair is emitted twice; the join is a plain shuffled
+    * equi-join that partitions by time — at 100 TB the shuffle carries
+    * (bucket, µs) pairs, never the cross product.
+    *
+    * Bucket arithmetic is integer µs both engines (`div` ≡ `//`), so
+    * the oracle — written as the naive range join DuckDB's IEJoin
+    * executes happily at test scale — matches bit-for-bit.
+    */
+  val q93 = Q(
+    "q93_interval_bucket_join",
+    (s, dir) => {
+      import s.implicits._
+      val B = 600000000L // 10 min in µs — bucket length == window length
+      val e = events(s, dir)
+        .select($"event_id", $"event_type", expr("unix_micros(ts)").as("us"))
+      val incidents = e.filter($"event_type" === "error")
+        .select($"event_id".as("inc_id"), $"us".as("w0"))
+        .withColumn("w1", $"w0" + B)
+        .withColumn("bucket",
+          explode(array(expr(s"w0 div $B"), expr(s"w0 div $B + 1"))))
+      val probes = e.withColumn("bucket", expr(s"us div $B"))
+      incidents.join(probes, Seq("bucket"))
+        .filter($"us" >= $"w0" && $"us" < $"w1")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+             countDistinct($"event_id").as("n_events"),
+             countDistinct($"inc_id").as("n_incidents"))
+        .orderBy($"event_type")
+    },
+    Some("""WITH e AS (
+      |  SELECT event_id, event_type, epoch_us(ts) AS us FROM events),
+      |inc AS (
+      |  SELECT event_id AS inc_id, us AS w0, us + 600000000 AS w1
+      |  FROM e WHERE event_type = 'error')
+      |SELECT e.event_type,
+      |       COUNT(*) AS n_pairs,
+      |       COUNT(DISTINCT e.event_id) AS n_events,
+      |       COUNT(DISTINCT i.inc_id) AS n_incidents
+      |FROM inc i JOIN e ON e.us >= i.w0 AND e.us < i.w1
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+    doc = "J-family scale path: key-less interval join via one-window-length time buckets (no BroadcastNestedLoopJoin)")
+
+  val all: Seq[Q] = Seq(q36, q37, q38, q39, q54, q73, q76, q77, q93)
 }

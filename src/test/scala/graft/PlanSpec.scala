@@ -156,6 +156,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q93 interval join runs as a bucket equi-join, never a nested loop") {
+    val plan = planOf(q("q93_interval_bucket_join"))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+           !plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("bucket"), plan.take(3000))
+  }
+
   test("directory partitioning prunes at the scan (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
