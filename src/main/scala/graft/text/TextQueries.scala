@@ -1525,7 +1525,70 @@ object TextQueries {
       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin),
     doc = "quality: corpus-tail rare-token rate per source (hapax/dis-legomena profile)")
 
+  /** q94 — TF-IDF top terms per source: the standard distinctive-term
+    * ranking (which words characterize each source against the whole
+    * corpus). IDF is QUANTIZED to an integer weight — idf_q =
+    * N·10⁶ div df — instead of ln(N/df): a libm log's low bits are not
+    * guaranteed identical across engines, while integer division is,
+    * and a monotone transform of 1/df preserves the ranking the
+    * operator exists to produce. Scores (tf · idf_q) and the ranking
+    * therefore match DuckDB bit-for-bit.
+    *
+    * Scale design: term frequencies and document frequencies are two
+    * map-side-combinable aggregates off one token explode; the
+    * term⋈df join shuffles by term (vocabulary-shaped, AQE broadcasts
+    * small ones); the final top-5 window partitions by source —
+    * never a global sort.
+    */
+  val q94 = Q(
+    "q94_tfidf_topk",
+    (s, dir) => {
+      import s.implicits._
+      val tok = docs(s, dir)
+        .select($"doc_id", $"source",
+          explode(split(coalesce($"text", lit("")), " ")).as("t"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val df = tok.groupBy($"t")
+        .agg(countDistinct($"doc_id").as("df"))
+        .crossJoin(broadcast(n))
+        .withColumn("idf_q", expr("n_docs * 1000000L div df"))
+      val tf = tok.groupBy($"source", $"t").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(df.select($"t", $"df", $"idf_q"), Seq("t"))
+        .withColumn("score", $"tf" * $"idf_q")
+      val w = Window.partitionBy($"source")
+        .orderBy($"score".desc, $"t")
+      scored.withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"source", $"rank", $"t".as("term"), $"tf", $"df", $"score")
+        .orderBy($"source", $"rank")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source,
+      |         UNNEST(string_split(COALESCE(text, ''), ' ')) AS t
+      |  FROM documents),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |df AS (
+      |  SELECT t, COUNT(DISTINCT doc_id) AS df,
+      |         CAST((SELECT n_docs FROM n) * 1000000 // COUNT(DISTINCT doc_id)
+      |              AS BIGINT) AS idf_q
+      |  FROM tok GROUP BY t),
+      |tf AS (
+      |  SELECT source, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT tf.source, tf.t, tf.tf, df.df,
+      |         CAST(tf.tf * df.idf_q AS BIGINT) AS score
+      |  FROM tf JOIN df ON tf.t = df.t),
+      |ranked AS (
+      |  SELECT source, t, tf, df, score,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY score DESC, t) AS rank
+      |  FROM scored)
+      |SELECT source, CAST(rank AS INT) AS rank, t AS term, tf, CAST(df AS BIGINT) AS df, score
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY source, rank""".stripMargin),
+    doc = "text: TF-IDF distinctive-term top-5 per source (integer-quantized IDF, exact cross-engine ranking)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
-        q78, q83, q84, q85, q86, q88, q89, q90, q91)
+        q78, q83, q84, q85, q86, q88, q89, q90, q91, q94)
 }
