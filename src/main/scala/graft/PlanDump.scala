@@ -40,7 +40,11 @@ object PlanDump {
     "q91_rare_tokens" ->
       "Vocabulary-tail profile: map-side-combined token frequencies, token⋈freq equi-join (AQE broadcasts small vocabularies), integer counts to one final division.",
     "q92_histogram_quantile" ->
-      "Sketch quantiles: one scan into a bounded (flag, bin) map-side-combinable aggregate; cumulative window runs on ≤1024 rows per group — no raw-value shuffle (q21 is the exact baseline).")
+      "Sketch quantiles: one scan into a bounded (flag, bin) map-side-combinable aggregate; cumulative window runs on ≤1024 rows per group — no raw-value shuffle (q21 is the exact baseline).",
+    "q93_interval_bucket_join" ->
+      "Key-less interval join: windows exploded onto one-window-length time buckets, shuffled equi-join on the bucket + residual range filter — no BroadcastNestedLoopJoin (plan-asserted).",
+    "q94_tfidf_topk" ->
+      "TF-IDF: tf and df are two map-side-combinable aggregates off one token explode; term⋈df joins vocabulary-shaped; top-5 window partitions by source.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
