@@ -39,7 +39,15 @@ object Upsert {
     *     row starts there;
     *   - an unchanged update (identical attributes) is a no-op — no
     *     spurious version churn;
-    *   - brand-new keys open their first row at their effective date.
+    *   - brand-new keys open their first row at their effective date;
+    *   - a key whose history is fully CLOSED re-activates: the update
+    *     opens a fresh row (its effective date is trusted — callers
+    *     replaying deep history out of order should validate against
+    *     closed intervals upstream);
+    *   - malformed updates FAIL the job rather than half-apply: a NULL
+    *     effective date, or an effective date earlier than the open
+    *     row's valid_from (which would write an inverted interval),
+    *     raise errors — the load-gate philosophy of [[graft.sources.Formats]].
     *
     * Scale design: one shuffle on the key (the open⋈updates equi-join
     * decides changed / unchanged / new), history passes through with
@@ -57,32 +65,49 @@ object Upsert {
     require(attrs.nonEmpty, "scd2Merge needs at least one attribute column")
     val closed = base.filter(col("valid_to").isNotNull)
     val open = base.filter(col("valid_to").isNull)
+    // malformed input FAILS the job (the Formats load-gate philosophy):
+    // a NULL effective date would half-apply (no-op for existing keys,
+    // a corrupt NULL-valid_from row for new ones)
     val u = updates.select(
-      (keys.map(col) :+ col(effectiveCol).as("__eff")) ++
+      (keys.map(col) :+
+        when(col(effectiveCol).isNull,
+          raise_error(lit("scd2Merge: NULL effective date")))
+          .otherwise(col(effectiveCol)).as("__eff")) ++
         attrs.map(a => col(a).as(s"__u_$a")): _*)
-    val joined = open.join(u, keys, "left_outer")
+    // localCheckpoint: three union branches read this join — without it
+    // the key shuffle + scan would execute once per branch (the doc's
+    // "one shuffle" claim would be false); checkpoint blocks are
+    // ContextCleaner-freed
+    val joined = open.join(u, keys, "left_outer").localCheckpoint()
     val changed = attrs.map(a => !(col(a) <=> col(s"__u_$a"))) // null-safe
       .reduce(_ || _)
+    // out-of-order effective dates would write an inverted interval and
+    // an overlap with closed history — corruption, not a merge: FAILFAST
+    val effChecked = when(col("__eff") < col("valid_from"),
+      raise_error(concat(lit("scd2Merge: effective date precedes open row for key "),
+        concat_ws("/", keys.map(k => col(k).cast("string")): _*))))
+      .otherwise(col("__eff"))
+    def asNewOpenRow(df: DataFrame): DataFrame = df
+      .select(keys.map(col) ++ attrs.map(a => col(s"__u_$a").as(a)) ++
+        Seq(col("__eff").as("valid_from"),
+            lit(null).cast("date").as("valid_to")): _*)
+      .select(base.columns.map(col): _*)
     // open rows: untouched (no update or identical attributes) pass
     // through; changed ones close at the update's effective date
     val stillOpen = joined.filter(col("__eff").isNull || !changed)
       .select(base.columns.map(col): _*)
     val nowClosed = joined.filter(col("__eff").isNotNull && changed)
-      .withColumn("valid_to", col("__eff"))
+      .withColumn("valid_to", effChecked)
       .select(base.columns.map(col): _*)
     // new versions: one fresh open row per changed key; plus first rows
-    // for keys the base has never seen
-    val newVersions = joined.filter(col("__eff").isNotNull && changed)
-      .select(keys.map(col) ++ attrs.map(a => col(s"__u_$a").as(a)) ++
-        Seq(col("__eff").as("valid_from"),
-            lit(null).cast("date").as("valid_to")): _*)
-    val firstRows = u.join(base.select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
-      .select(keys.map(col) ++ attrs.map(a => col(s"__u_$a").as(a)) ++
-        Seq(col("__eff").as("valid_from"),
-            lit(null).cast("date").as("valid_to")): _*)
+    // for keys with NO OPEN ROW — brand-new keys and re-activated ones
+    // (a key whose history is fully closed must accept new versions,
+    // not silently swallow them)
+    val newVersions = asNewOpenRow(
+      joined.filter(col("__eff").isNotNull && changed))
+    val firstRows = asNewOpenRow(
+      u.join(open.select(keys.map(col): _*).distinct(), keys, "left_anti"))
     closed.unionByName(stillOpen).unionByName(nowClosed)
-      .unionByName(newVersions.select(base.columns.map(col): _*))
-      .unionByName(firstRows.select(base.columns.map(col): _*))
+      .unionByName(newVersions).unionByName(firstRows)
   }
 }

@@ -1534,25 +1534,33 @@ object TextQueries {
     * operator exists to produce. Scores (tf · idf_q) and the ranking
     * therefore match DuckDB bit-for-bit.
     *
-    * Scale design: term frequencies and document frequencies are two
-    * map-side-combinable aggregates off one token explode; the
-    * term⋈df join shuffles by term (vocabulary-shaped, AQE broadcasts
-    * small ones); the final top-5 window partitions by source —
-    * never a global sort.
+    * Scale design: ONE token explode feeds a per-(term, doc) partial
+    * count (checkpointed — the tf and df branches both read it, and a
+    * doc has one source, so df is a plain row count per term off the
+    * same frame: the corpus is tokenized once, not once per branch);
+    * the term⋈df join shuffles by term (vocabulary-shaped, AQE
+    * broadcasts small ones); the final top-5 window partitions by
+    * source — never a global sort.
     */
   val q94 = Q(
     "q94_tfidf_topk",
     (s, dir) => {
       import s.implicits._
-      val tok = docs(s, dir)
+      // (t, doc_id, source) partial counts: unique per (t, doc) since a
+      // doc has exactly one source — so COUNT(*) per t IS the document
+      // frequency, and SUM(c) per (source, t) IS the term frequency
+      val docTf = docs(s, dir)
         .select($"doc_id", $"source",
           explode(split(coalesce($"text", lit("")), " ")).as("t"))
+        .groupBy($"t", $"doc_id", $"source")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
-      val df = tok.groupBy($"t")
-        .agg(countDistinct($"doc_id").as("df"))
+      val df = docTf.groupBy($"t")
+        .agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(n))
         .withColumn("idf_q", expr("n_docs * 1000000L div df"))
-      val tf = tok.groupBy($"source", $"t").agg(count(lit(1)).as("tf"))
+      val tf = docTf.groupBy($"source", $"t").agg(sum($"c").as("tf"))
       val scored = tf.join(df.select($"t", $"df", $"idf_q"), Seq("t"))
         .withColumn("score", $"tf" * $"idf_q")
       val w = Window.partitionBy($"source")

@@ -73,6 +73,33 @@ class UpsertSpec extends SparkSpec {
       ((9L, "austin", "ppo", "2024-02-01", None)))
   }
 
+  test("scd2: a fully-closed key re-activates instead of losing the update") {
+    val closedOnly = Seq(
+      (5L, "boston", "ppo", d("2020-01-01"), Option(d("2021-01-01"))))
+      .toDF("id", "city", "plan", "valid_from", "valid_to")
+    val updates = Seq((5L, "miami", "hmo", d("2024-02-01")))
+      .toDF("id", "city", "plan", "effective")
+    val out = Upsert.scd2Merge(closedOnly, updates, Seq("id"))
+    assert(scdRows(out) === Set(
+      (5L, "boston", "ppo", "2020-01-01", Some("2021-01-01")),
+      (5L, "miami", "hmo", "2024-02-01", None)))
+  }
+
+  test("scd2: malformed updates fail instead of corrupting history") {
+    // effective before the open row's valid_from → inverted interval
+    val late = Seq((1L, "nowhere", "ppo", d("2021-01-01")))
+      .toDF("id", "city", "plan", "effective")
+    intercept[Exception] {
+      Upsert.scd2Merge(scdBase, late, Seq("id")).collect()
+    }
+    // NULL effective → would half-apply
+    val nullEff = Seq((1L, "nowhere", "ppo", null.asInstanceOf[java.sql.Date]))
+      .toDF("id", "city", "plan", "effective")
+    intercept[Exception] {
+      Upsert.scd2Merge(scdBase, nullEff, Seq("id")).collect()
+    }
+  }
+
   test("scd2: exactly one open row per key; intervals chain") {
     val updates = Seq((1L, "lowell", "ppo", d("2024-02-01")))
       .toDF("id", "city", "plan", "effective")
