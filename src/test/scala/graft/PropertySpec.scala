@@ -247,4 +247,41 @@ object PropertySpec extends Properties("graft") {
         agg.merge(bufR, bufL).items == expect
     }
   }
+
+  // SCD2 merge invariants under arbitrary two-batch update sequences:
+  // exactly one open row per key, validity intervals chain with no
+  // gaps/overlaps, version count = 1 + number of actual attribute
+  // changes (identical snapshots add no churn).
+  property("scd2 one open row per key, chaining intervals, no churn") = {
+    import graft.operators.Upsert
+    val d0 = java.sql.Date.valueOf("2020-01-01")
+    val d1 = java.sql.Date.valueOf("2021-01-01")
+    val d2 = java.sql.Date.valueOf("2022-01-01")
+    val attrGen = Gen.listOfN(3, Gen.oneOf("a", "b", "c"))
+    Prop.forAll(attrGen, attrGen) { (a1, a2) =>
+      val base = a1.indices.map(i => (i.toLong, "z", d0, null: java.sql.Date))
+        .toDF("id", "attr", "valid_from", "valid_to")
+      val u1 = a1.zipWithIndex.map { case (a, i) => (i.toLong, a, d1) }
+        .toDF("id", "attr", "effective")
+      val u2 = a2.zipWithIndex.map { case (a, i) => (i.toLong, a, d2) }
+        .toDF("id", "attr", "effective")
+      val out = Upsert.scd2Merge(
+        Upsert.scd2Merge(base, u1, Seq("id")), u2, Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getDate(2), Option(r.getDate(3)))).toSeq
+      a1.indices.forall { i =>
+        val rows = out.filter(_._1 == i.toLong).sortBy(_._3.toString)
+        val opens = rows.filter(_._4.isEmpty)
+        val expectVersions =
+          1 + (if (a1(i) != "z") 1 else 0) +
+            (if (a2(i) != a1(i)) 1 else 0)
+        val chains = rows.sliding(2).forall {
+          case Seq(p, n) => p._4.contains(n._3)
+          case _ => true
+        }
+        opens.size == 1 && rows.size == expectVersions && chains &&
+          opens.head._2 == a2(i)
+      }
+    }
+  }
 }
