@@ -70,4 +70,47 @@ class CorpusIngestSpec extends SparkSpec {
     spark.catalog.refreshTable(BandIndex.docsTable(name))
     assert(spark.table(BandIndex.docsTable(name)).count() === 5)
   }
+
+  test("crash-window replay: sink-then-append sequence is idempotent") {
+    import org.apache.spark.sql.functions.lit
+    val name = "cidx_replay"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = java.nio.file.Files.createTempDirectory("graft-replay")
+    val (indexPath, outDir) = (root.resolve("idx").toString, root.resolve("out").toString)
+    BandIndex.create(spark, docsDf(1L -> "alpha beta gamma"), name, indexPath, buckets = 4)
+    val batch = docsDf(10L -> "alpha beta gamma", 11L -> "kept fresh words")
+
+    // the exact per-batch sequence CorpusIngestJob runs, step by step
+    def sinkWrite(): Unit = BandIndex
+      .keptOf(batch, BandIndex.dedupBatch(spark, batch, name))
+      .withColumn("ingest_batch", lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(outDir)
+    def indexAppend(): Unit = BandIndex.append(spark,
+      BandIndex.keptOf(batch, BandIndex.dedupBatch(spark, batch, name)),
+      name, indexPath, buckets = 4)
+    def sinkIds() = spark.read.parquet(outDir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+
+    // window (b): crash AFTER the sink write, BEFORE the index append —
+    // replay reruns both steps; the partition overwrite must not
+    // duplicate and the append must still land
+    sinkWrite()
+    sinkWrite() // replay of the sink step
+    indexAppend()
+    assert(sinkIds() === Seq(11L))
+    assert(spark.table(BandIndex.docsTable(name)).count() === 2)
+
+    // window (c): crash AFTER the append, BEFORE the checkpoint commit —
+    // a full replay now classifies doc 11 as a dup of itself, the kept
+    // slice is empty, the empty dynamic overwrite leaves the sink
+    // partition alone, and the index is unchanged
+    sinkWrite()
+    indexAppend()
+    assert(sinkIds() === Seq(11L))
+    spark.catalog.refreshTable(BandIndex.docsTable(name))
+    assert(spark.table(BandIndex.docsTable(name)).count() === 2)
+  }
 }
