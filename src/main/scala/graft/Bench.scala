@@ -41,7 +41,10 @@ object Bench {
     "q88_incremental_dedup",
     "q89_mixture_resample",
     "q90_token_budget_select",
-    "q91_rare_tokens")
+    "q91_rare_tokens",
+    "q92_histogram_quantile",
+    "q93_interval_bucket_join",
+    "q94_tfidf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
