@@ -34,7 +34,7 @@ object PlanDump {
     "q88_incremental_dedup" ->
       "Asymmetric new-vs-old: exact-dup LEFT SEMI on the fingerprint; band join carries compact (doc_id, n, 64-bit band hash) keys ONLY — token arrays attach post-collision via narrow joins; map-side array_intersect verify on longs — batch-scaled cost.",
     "q89_mixture_resample" ->
-      "Temperature mixture: tiny per-source target table broadcast; selection is a per-source (partitioned) row_number window over the hash order — no global sort.",
+      "Temperature mixture: tiny per-source target table broadcast; per-source ranking via DistributedRank.withRowNumberPerKey (range sort on (source,h) + per-source per-partition offsets) — no one-task-per-source window sort.",
     "q90_token_budget_select" ->
       "Quality-ranked budget selection: integer quality, DistributedRank.withPrefixSum (range sort + per-partition offsets) for the running token total — no single-task window.",
     "q91_rare_tokens" ->
@@ -44,7 +44,7 @@ object PlanDump {
     "q93_interval_bucket_join" ->
       "Key-less interval join: windows exploded onto one-window-length time buckets, shuffled equi-join on the bucket + residual range filter — no BroadcastNestedLoopJoin (plan-asserted).",
     "q94_tfidf_topk" ->
-      "TF-IDF: tf and df are two map-side-combinable aggregates off one token explode; term⋈df joins vocabulary-shaped; top-5 window partitions by source.")
+      "TF-IDF: tf and df are two map-side-combinable aggregates off one token explode; term⋈df joins vocabulary-shaped; top-5 via bounded TopTermKAggregator — ≤5-row partial buffers, no per-source vocabulary window sort.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -37,6 +37,79 @@ object DistributedRank {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Append 1-based row numbers per key group in `sortCols` order —
+    * the distributed form of
+    * `row_number().over(Window.partitionBy(keys).orderBy(sortCols))`
+    * that never funnels one key's rows through a single task.
+    *
+    * A partitionBy window hashes each key's ENTIRE group to one task;
+    * when the key is low-cardinality over a row-cardinality frame
+    * (documents per source at 100 TB, a handful of sources) that is
+    * terabytes through one task. Here the frame is RANGE sorted on
+    * (keys ++ sortCols) — one key's rows span many partitions, each a
+    * contiguous sorted slice — then a count pass ships only
+    * (partition, key, run-length) triples to the driver (≈ P + K
+    * entries; K small is the premise, and with contiguous runs the
+    * count can never exceed P + K − 1 entries total), and the
+    * numbering pass starts each partition's slice at its key's global
+    * offset. `keys` are column NAMES (they must be locatable in the
+    * schema to extract group identity per row); `sortCols` must
+    * total-order rows WITHIN a key, same caveat as [[withRowNumber]].
+    */
+  def withRowNumberPerKey(df: DataFrame, keys: Seq[String],
+                          sortCols: Seq[Column],
+                          out: String = "rn"): DataFrame = {
+    require(keys.nonEmpty, "keys empty — use withRowNumber for the global form")
+    import org.apache.spark.sql.functions.col
+    // localCheckpoint: both passes must see one frozen partition layout
+    // (see withPrefixSum). Range boundaries sample the composite key, so
+    // a big source splits across many partitions by its sort columns.
+    val sorted = df.orderBy(keys.map(col) ++ sortCols: _*).localCheckpoint()
+    val keyIdx = keys.map(sorted.schema.fieldIndex)
+    def keyOf(r: Row): Vector[Any] = keyIdx.map(r.get(_)).toVector
+    // Runs of consecutive equal keys per partition (globally sorted by
+    // key first, so each key is one run per partition).
+    val runs = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Vector[Any], Long)]
+      var cur: Vector[Any] = null
+      var n = 0L
+      it.foreach { r =>
+        val k = keyOf(r)
+        if (!(k == cur)) {
+          if (cur != null) buf += ((cur, n))
+          cur = k; n = 0L
+        }
+        n += 1L
+      }
+      if (cur != null) buf += ((cur, n))
+      Iterator.single((pid, buf.toArray))
+    }.collect().sortBy(_._1)
+    // Global start offset for each (partition, key): rows of that key
+    // in earlier partitions. Driver-side scan over the tiny run list.
+    val seen = scala.collection.mutable.HashMap.empty[Vector[Any], Long]
+    val offsets: Map[(Int, Vector[Any]), Long] =
+      runs.iterator.flatMap { case (pid, rs) =>
+        rs.map { case (k, n) =>
+          val start = seen.getOrElse(k, 0L)
+          seen(k) = start + n
+          ((pid, k), start)
+        }
+      }.toMap
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(out, LongType, nullable = false)
+    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Vector[Any] = null
+      var acc = 0L
+      it.map { r =>
+        val k = keyOf(r)
+        if (!(k == cur)) { cur = k; acc = bc.value((pid, k)) }
+        acc += 1L
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Append the inclusive running sum of `value` in `sortCols` order —
     * the distributed prefix sum: range sort, one lightweight pass for
     * per-partition totals (driver sees P longs), then a streaming

@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1364,9 +1364,19 @@ object TextQueries {
     * Determinism: weights are QUANTIZED to integers (⌊√c⌋) so targets
     * come out of pure integer arithmetic (`div`, no double sums whose
     * accumulation order could drift cross-engine); selection order is
-    * md5(doc_id) — a seeded permutation, no rand(). The per-source
-    * row_number window partitions by source, so no single-task global
-    * sort exists at any scale.
+    * md5(doc_id) — a seeded permutation, no rand().
+    *
+    * Scale design: the per-source ranking runs through
+    * [[graft.operators.DistributedRank.withRowNumberPerKey]] — a range
+    * sort on (source, h, doc_id) plus per-source per-partition offsets
+    * — NOT `row_number().over(Window.partitionBy(source))`. A source is
+    * a low-cardinality key over a doc-cardinality frame: the window
+    * form funnels each source's entire corpus slice through one task
+    * (terabytes per task at 100 TB with a handful of sources), exactly
+    * the single-task shape q62/q86/q90 route around.
+    * `DistributedRankSpec` proves the per-key form ≡ the window form on
+    * arbitrary splits; the oracle below keeps the window formulation —
+    * it is correct at test scale and DuckDB has no range-sort variant.
     */
   val q89 = Q(
     "q89_mixture_resample",
@@ -1381,9 +1391,9 @@ object TextQueries {
       val targets = counts.crossJoin(broadcast(tot))
         .withColumn("target_n", expr("budget * k div sumk"))
         .select($"source", $"c", $"target_n")
-      val bySrc = Window.partitionBy($"source").orderBy($"h", $"doc_id")
-      d.join(broadcast(targets), Seq("source"))
-        .withColumn("rn", row_number().over(bySrc))
+      val joined = d.join(broadcast(targets), Seq("source"))
+      graft.operators.DistributedRank
+        .withRowNumberPerKey(joined, Seq("source"), Seq($"h", $"doc_id"), "rn")
         .filter($"rn" <= $"target_n")
         .groupBy($"source")
         .agg(first($"c").as("n_docs"),
@@ -1539,8 +1549,13 @@ object TextQueries {
     * doc has one source, so df is a plain row count per term off the
     * same frame: the corpus is tokenized once, not once per branch);
     * the term⋈df join shuffles by term (vocabulary-shaped, AQE
-    * broadcasts small ones); the final top-5 window partitions by
-    * source — never a global sort.
+    * broadcasts small ones); the final top-5 runs through the bounded
+    * [[graft.functions.TopTermKAggregator]] — partial buffers carry ≤ 5
+    * rows per map-side partition, so a billion-term noisy vocabulary
+    * shuffles 5·partitions rows per source instead of window-sorting a
+    * whole source's vocabulary slice in one task. The oracle below IS
+    * the window formulation — passing proves aggregate ≡ row_number ≤ 5
+    * (same proof shape as q71).
     */
   val q94 = Q(
     "q94_tfidf_topk",
@@ -1563,11 +1578,15 @@ object TextQueries {
       val tf = docTf.groupBy($"source", $"t").agg(sum($"c").as("tf"))
       val scored = tf.join(df.select($"t", $"df", $"idf_q"), Seq("t"))
         .withColumn("score", $"tf" * $"idf_q")
-      val w = Window.partitionBy($"source")
-        .orderBy($"score".desc, $"t")
-      scored.withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
-        .select($"source", $"rank", $"t".as("term"), $"tf", $"df", $"score")
+      val top5 = udaf(new graft.functions.TopTermKAggregator(5),
+        Encoders.product[graft.functions.TopTermIn])
+      scored.groupBy($"source")
+        .agg(top5($"score", $"t", $"tf", $"df").as("tk"))
+        .select($"source", posexplode($"tk.items"))
+        .select($"source",
+          ($"pos" + 1).cast("int").as("rank"),
+          $"col.term".as("term"), $"col.tf".as("tf"),
+          $"col.df".as("df"), $"col.score".as("score"))
         .orderBy($"source", $"rank")
     },
     Some("""WITH tok AS (

@@ -64,6 +64,46 @@ class DistributedRankSpec extends SparkSpec {
     assert(got === Map(1L -> 5L, 2L -> 5L, 3L -> 12L))
   }
 
+  // The q89 contract: per-key ranking must equal the per-source window
+  // on ANY input split — low-cardinality keys (few groups, many rows),
+  // single-row groups, and key runs spanning partition boundaries.
+  for (n <- Seq(1, 5, 16, 100); groups <- Seq(1, 3, 7); parts <- Seq(1, 7)) {
+    test(s"per-key row_number matches partitioned window " +
+         s"(n=$n, groups=$groups, parts=$parts)") {
+      val df = data(n, parts).withColumn("k", $"id" % groups)
+      val got = DistributedRank
+        .withRowNumberPerKey(df, Seq("k"), Seq($"v".desc, $"id"), "rn")
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      val want = df
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"k").orderBy($"v".desc, $"id")))
+        .select($"id", $"rn".cast("long")).as[(Long, Long)].collect().toMap
+      assert(got === want)
+    }
+  }
+
+  test("per-key row_number handles composite and null keys") {
+    val df = Seq(
+      (1L, Some("a"), 1), (2L, Some("a"), 1), (3L, Some("a"), 2),
+      (4L, None, 1), (5L, None, 1), (6L, Some("b"), 1)
+    ).toDF("id", "k1", "k2").repartition(4)
+    val got = DistributedRank
+      .withRowNumberPerKey(df, Seq("k1", "k2"), Seq($"id"), "rn")
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"k1", $"k2").orderBy($"id")))
+      .select($"id", $"rn".cast("long")).as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("per-key row_number rejects an empty key list") {
+    val df = data(5, 2)
+    intercept[IllegalArgumentException] {
+      DistributedRank.withRowNumberPerKey(df, Seq.empty, Seq($"id"))
+    }
+  }
+
   test("result is identical under different input partitionings") {
     val a = DistributedRank.withRowNumber(data(50, 2), Seq($"v", $"id"))
       .select($"id", $"rn").as[(Long, Long)].collect().toSet
