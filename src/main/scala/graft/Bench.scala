@@ -104,7 +104,18 @@ object Bench {
     val maxJson = json(_.last)
     val total = results.map(_._2.head).sum
     val totalMed = results.map { case (_, s) => s(s.length / 2) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"queries_max":$maxJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"queries_max":$maxJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also write the JSON line to a file when asked: the driver grepping
+    // it out of sbt's log tail has failed to parse every round so far
+    // ("parsed": null in BENCH_r*.json, and a truncated tail once lost
+    // the per-query map) — a file survives log truncation and prefixing.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     spark.stop()
   }
 }
