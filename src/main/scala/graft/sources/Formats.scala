@@ -19,9 +19,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     (healthcare-data-pipeline-main.py:226-230).
   *   - The declared HL7 v2 connector is real ([[Hl7.readHl7]] —
   *     dependency-free pipe-and-hat parser against the public v2
-  *     encoding rules, one file per task). FHIR stays out of scope:
-  *     it is a REST/JSON API surface, and its resource-bundle JSON
-  *     form is already covered by [[readJson]] with a declared schema.
+  *     encoding rules, one file per task), and so is the declared FHIR
+  *     R4 connector ([[Fhir.readBundles]]/[[Fhir.readNdjson]] — typed
+  *     resource extraction from bundle files and Bulk Data NDJSON
+  *     exports, no new dependency).
   *   - The declared Excel connector is real ([[Excel.readXlsx]],
   *     dependency-free zip+StAX) and the literal `pd.read_sql` path is
   *     [[readJdbc]]/[[readJdbcPartitioned]].
