@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions._
 
 /** Persisted MinHash band index for incremental deduplication — the
@@ -10,24 +11,46 @@ import org.apache.spark.sql.functions._
   * self-contained expression; a production pipeline must not).
   *
   * Lifecycle:
-  *  - [[create]]: tokenize the corpus ONCE; write two bucketed parquet
-  *    tables — `<name>_docs` (doc_id, n, fp, th) bucketed by `fp` for
-  *    the exact layer, `<name>_bands` (doc_id, n, band_val) bucketed by
-  *    `band_val` for the near layer.
+  *  - [[create]]: tokenize the corpus ONCE; write three tables —
+  *    `<name>_bands` (doc_id, n, band_val) bucketed by `band_val` for
+  *    the near layer's candidate join, `<name>_toks` (pfx, doc_id, th)
+  *    PARTITIONED by `pfx` = hash-prefix(doc_id) for the verify
+  *    lookup, `<name>_docs` (doc_id, n, fp) bucketed by `fp` for the
+  *    exact layer.
   *  - [[dedupBatch]]: classify an incoming batch (exact / near / kept)
   *    reading ONLY the index — corpus text is never re-read, corpus
   *    tokens never recomputed.
-  *  - [[append]]: add the kept batch's signatures to both tables —
+  *  - [[append]]: add the kept batch's signatures to all three tables —
   *    the index is appended to, never rebuilt.
+  *  - [[compact]] / [[compactIfNeeded]]: rewrite a table's accumulated
+  *    per-append small files into one fresh layout-preserving
+  *    generation (offline maintenance — not concurrent-safe with
+  *    readers or appenders).
   *
-  * Scale design: bucketing by the join key is what kills the per-batch
-  * corpus shuffle — the exact semi-join (on fp) and the band join (on
-  * band_val) both find the corpus side pre-partitioned on disk, so the
-  * only exchanges are on the BATCH side (batch-sized, by definition).
-  * The exact-verify join fetches token hashes for colliding old docs
-  * only; its candidate side is batch-scaled, so AQE broadcasts it and
-  * the `_docs` lookup stays map-side (no forced broadcast — the
-  * shuffle fallback survives a pathological batch, the q83 lesson).
+  * Per-batch COST, precisely (an earlier revision of this doc
+  * overclaimed): every Exchange is batch-sized — the exact semi-join
+  * (on fp) and the band join (on band_val) find the corpus side
+  * pre-partitioned on disk, so only batch-side rows ever shuffle. Scan
+  * I/O is batch-bounded on the bands/docs side only up to columnar
+  * projection (the fp and band_val columns of the whole corpus are
+  * read per batch — skinny fixed-width columns). The verify lookup is
+  * where a naive layout bleeds: fetching token-hash ARRAYS for the
+  * colliding old docs would scan the corpus-sized wide column every
+  * batch. Hence `_toks`: the wide `th` column lives in its own table,
+  * directory-partitioned by `pfx = pmod(xxhash64(doc_id), PfxCount)`,
+  * and [[dedupBatch]] computes the candidate pairs first, collects the
+  * DISTINCT PREFIXES the colliding old docs fall in (≤ [[PfxCount]]
+  * longs — bounded, unlike collecting ids), and reads `_toks` with a
+  * literal `pfx IN (...)` filter → partition-pruned scan. A small
+  * batch colliding into few prefixes reads a fraction of the corpus'
+  * token arrays; [[PfxCount]] is the prune granularity (fixed per
+  * index — changing it means rebuild). This driver round-trip is a
+  * PRUNING literal, not a plan-choice probe (the q45 `hasHot` lesson
+  * forbids probes that pick between plan branches; here the collected
+  * values are load-bearing data in the only plan there is) — the cost
+  * is that [[dedupBatch]] materializes the candidate pairs eagerly,
+  * which every caller did anyway before consuming the flags.
+  *
   * Band ids are folded INTO the 64-bit band hash (`xxhash64(bandNo,
   * …)`) so one long is the entire join key; hash collisions only merge
   * buckets, adding spurious candidates that exact verification removes
@@ -39,14 +62,26 @@ import org.apache.spark.sql.functions._
   * external data, catalog-tracked bucketing. On a fresh session,
   * re-register with `CREATE TABLE <name>_bands USING parquet ...
   * CLUSTERED BY (band_val) INTO <n> BUCKETS LOCATION ...` — the
-  * layout on disk is plain bucketed parquet.
+  * layout on disk is plain bucketed (resp. pfx-partitioned) parquet.
   */
 object BandIndex {
 
   private val Threshold = 0.99
 
+  /** Partition count of the `_toks` table — the verify-scan prune
+    * granularity. Fixed per index: create/append/read must agree, so
+    * changing it requires a rebuild. 16 keeps appended-files-per-batch
+    * and directory fanout small while letting a few-prefix batch skip
+    * ~15/16 of the corpus token arrays; raise for very large corpora.
+    */
+  val PfxCount = 16
+
   def docsTable(name: String): String = name + "_docs"
   def bandsTable(name: String): String = name + "_bands"
+  def toksTable(name: String): String = name + "_toks"
+
+  private def pfxOf(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(PfxCount.toLong))
 
   /** Per-doc signature rows off (doc_id, text): distinct token array →
     * count, order-invariant fingerprint, 64-bit token hashes, 8 salted
@@ -75,11 +110,24 @@ object BandIndex {
       xxhash64(lit(2), concat(col("m5"), col("m6"), col("m7"), col("m8")))))
       .as("band_val"))
 
-  private def writeBucketed(df: DataFrame, table: String, path: String,
+  private def writeBucketed(df: DataFrame, table: String, dir: String,
                             buckets: Int, bucketCol: String): Unit =
     df.write
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .option("path", s"$path/$table")
+      .option("path", dir)
+      .format("parquet")
+      .mode("append")
+      .saveAsTable(table)
+
+  /** `_toks` writer: repartition by pfx first so one append adds at
+    * most [[PfxCount]] files (one task owns each prefix), not
+    * tasks×prefixes.
+    */
+  private def writeToks(df: DataFrame, table: String, dir: String): Unit =
+    df.repartition(col("pfx"))
+      .write
+      .partitionBy("pfx")
+      .option("path", dir)
       .format("parquet")
       .mode("append")
       .saveAsTable(table)
@@ -87,26 +135,35 @@ object BandIndex {
   /** Build the index from a corpus of (doc_id, text [, …]) — the ONE
     * time corpus text is tokenized.
     *
-    * Write ORDER is a crash-safety invariant: bands BEFORE
-    * fingerprints. The two appends are not atomic; if a failure lands
-    * between them, the recovery semantics differ by order. Bands-first:
-    * a doc with band rows but no fp row is re-KEPT on replay (the
-    * exact layer misses it, and the near layer's verify can't fetch
-    * its token hashes), so the retried append writes the missing fp
-    * row — at worst the bands table holds duplicate rows, which the
-    * candidate `distinct()` absorbs. Fp-first would flag the replayed
-    * doc as an exact dup of itself, the kept slice comes back empty,
-    * and the band rows are never backfilled — the near-dup layer goes
-    * permanently blind to that doc.
+    * Write ORDER is a crash-safety invariant: bands, then token
+    * arrays, then fingerprints LAST. The three appends are not atomic;
+    * the fp row is what makes a doc visible to the exact layer, so it
+    * must be the commit point. Crash windows: after bands only — the
+    * doc is re-KEPT on replay (exact layer misses it; its candidate
+    * pairs die in verify because `_toks` has no row), and the retried
+    * append rewrites everything — at worst `_bands` holds duplicate
+    * rows, which the candidate `distinct()` absorbs. After bands+toks —
+    * same, plus a duplicate `_toks` row whose extra verify pairs the
+    * `near` distinct() absorbs. Fp-first instead would flag the
+    * replayed doc as an exact dup of itself, the kept slice comes back
+    * empty, and bands/toks are never backfilled — the near-dup layer
+    * goes permanently blind to that doc.
     */
   def create(spark: SparkSession, corpus: DataFrame, name: String,
              path: String, buckets: Int = 32): Unit = {
-    // localCheckpoint: one tokenization feeding both tables, released
-    // by the ContextCleaner (not a session-lifetime cache entry)
+    // localCheckpoint: one tokenization feeding all tables, released
+    // by the ContextCleaner (not a session-lifetime cache entry).
+    // Caveat: localCheckpoint blocks are executor-local and
+    // non-replicated — an executor loss between here and the last
+    // write fails the job (rerun it) instead of recomputing lineage.
     val sigs = signatures(corpus).localCheckpoint()
-    writeBucketed(bandRows(sigs), bandsTable(name), path, buckets, "band_val")
-    writeBucketed(sigs.select("doc_id", "n", "fp", "th"),
-      docsTable(name), path, buckets, "fp")
+    writeBucketed(bandRows(sigs), bandsTable(name),
+      s"$path/${bandsTable(name)}", buckets, "band_val")
+    writeToks(sigs.select(pfxOf(col("doc_id")).as("pfx"),
+        col("doc_id"), col("th")),
+      toksTable(name), s"$path/${toksTable(name)}")
+    writeBucketed(sigs.select("doc_id", "n", "fp"),
+      docsTable(name), s"$path/${docsTable(name)}", buckets, "fp")
   }
 
   /** Append docs (normally the kept slice of a batch) to the index.
@@ -123,40 +180,45 @@ object BandIndex {
   def append(spark: SparkSession, docs: DataFrame, name: String,
              path: String, buckets: Int = 32): Unit = {
     create(spark, docs, name, path, buckets)
-    Seq(docsTable(name), bandsTable(name))
+    Seq(docsTable(name), bandsTable(name), toksTable(name))
       .foreach(spark.catalog.refreshTable)
   }
 
   /** Classify a batch of (doc_id, text [, …]) against the persisted
     * index: returns (doc_id, flag) with flag ∈ exact | near | kept.
-    * Reads only the index tables — never corpus text.
+    * Reads only the index tables — never corpus text. NOT fully lazy:
+    * the candidate pairs materialize inside this call to derive the
+    * `_toks` partition-prune list (class doc).
     */
   def dedupBatch(spark: SparkSession, batch: DataFrame, name: String): DataFrame = {
     // batch tokenized once (three consumers below)
     val sigs = signatures(batch).localCheckpoint()
     val fps = spark.table(docsTable(name))
-    val bands = spark.table(bandsTable(name))
     // exact layer: fingerprint semi-join — corpus side pre-bucketed on fp
     val exact = sigs.join(fps.select("fp"), Seq("fp"), "left_semi")
       .select("doc_id")
     val survivors = sigs.join(exact, Seq("doc_id"), "left_anti")
-    // near layer: compact band keys vs the pre-bucketed band index
-    val cand = bandRows(survivors).as("i")
-      .join(bands.as("o"),
-        col("i.band_val") === col("o.band_val") &&
-        col("i.n") >= col("o.n") * Threshold &&
-        col("o.n") >= col("i.n") * Threshold)
-      .select(col("i.doc_id").as("doc_id"), col("o.doc_id").as("old_id"),
-              col("i.n").as("ni"), col("o.n").as("no"))
-      .distinct()
+    // near layer: compact band keys vs the pre-bucketed band index.
+    // localCheckpoint: the pairs feed both the prefix collection and
+    // the verify join — one band-join execution, one frozen layout.
+    val cand = candidates(spark, survivors, name).localCheckpoint()
+    // bounded driver round-trip: ≤ PfxCount longs, the literal
+    // partition-prune list for the wide token-array table
+    val pfxs = cand.select(pfxOf(col("old_id")).as("pfx")).distinct()
+      .collect().map(_.getLong(0))
     // exact verify on colliding pairs only: fetch old token hashes from
-    // the index, intersect map-side on longs
-    val near = cand
-      .join(sigs.select(col("doc_id"), col("th").as("tia")), Seq("doc_id"))
-      .join(fps.select(col("doc_id").as("old_id"), col("th").as("toa")), Seq("old_id"))
-      .withColumn("isz", size(array_intersect(col("tia"), col("toa"))).cast("long"))
-      .filter(col("isz") * 1.0 / (col("ni") + col("no") - col("isz")) >= Threshold)
-      .select("doc_id").distinct()
+    // the pruned _toks slice, intersect map-side on longs
+    val near =
+      if (pfxs.isEmpty) cand.select("doc_id").limit(0)
+      else cand
+        .join(sigs.select(col("doc_id"), col("th").as("tia")), Seq("doc_id"))
+        .join(spark.table(toksTable(name))
+          .filter(col("pfx").isin(pfxs.toSeq: _*))
+          .select(col("doc_id").as("old_id"), col("th").as("toa")),
+          Seq("old_id"))
+        .withColumn("isz", size(array_intersect(col("tia"), col("toa"))).cast("long"))
+        .filter(col("isz") * 1.0 / (col("ni") + col("no") - col("isz")) >= Threshold)
+        .select("doc_id").distinct()
     sigs.select("doc_id")
       .join(exact.withColumn("ex", lit(1)), Seq("doc_id"), "left_outer")
       .join(near.withColumn("nr", lit(1)), Seq("doc_id"), "left_outer")
@@ -165,6 +227,23 @@ object BandIndex {
           .when(col("nr").isNotNull, "near")
           .otherwise("kept").as("flag"))
   }
+
+  /** The LAZY candidate-pair frame of the near layer — the band join
+    * against the bucketed `_bands` table. Factored out so plan specs
+    * can assert its shape (dedupBatch materializes it immediately via
+    * localCheckpoint, so the join never appears in the returned
+    * frame's plan).
+    */
+  private[etl] def candidates(spark: SparkSession, sigs: DataFrame,
+                              name: String): DataFrame =
+    bandRows(sigs).as("i")
+      .join(spark.table(bandsTable(name)).as("o"),
+        col("i.band_val") === col("o.band_val") &&
+        col("i.n") >= col("o.n") * Threshold &&
+        col("o.n") >= col("i.n") * Threshold)
+      .select(col("i.doc_id").as("doc_id"), col("o.doc_id").as("old_id"),
+              col("i.n").as("ni"), col("o.n").as("no"))
+      .distinct()
 
   /** The kept slice of a batch, per [[dedupBatch]] flags — shared by
     * [[ingest]] and streaming callers that sink the kept docs
@@ -188,5 +267,82 @@ object BandIndex {
     val flags = dedupBatch(spark, batch, name).localCheckpoint()
     append(spark, keptOf(batch, flags), name, path, buckets)
     flags
+  }
+
+  /** Count the data files currently backing `table` (hidden/_SUCCESS
+    * files excluded) — the small-file pressure gauge for
+    * [[compactIfNeeded]].
+    */
+  def dataFileCount(spark: SparkSession, table: String): Long = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var n = 0L
+    val it = fs.listFiles(loc, true)
+    while (it.hasNext) {
+      val f = it.next().getPath.getName
+      if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** Rewrite every index table into one fresh generation — identical
+    * rows and identical bucketing/partitioning, minimal file count.
+    * Each [[append]] adds up to 2×buckets + [[PfxCount]] + buckets
+    * files; a long-running ingest accumulates thousands of small files
+    * per bucket, and this folds them back to one file per bucket /
+    * prefix.
+    *
+    * OFFLINE maintenance: not concurrent-safe with readers or
+    * appenders (run it between streaming restarts). Per table:
+    * compacted data is written to a NEW generation directory as a
+    * temporary catalog table, the live table name is atomically
+    * re-pointed via DROP + RENAME (external tables keep their
+    * location through RENAME), then the old directory is deleted. A
+    * crash mid-compact never loses data: before the DROP the live
+    * table is untouched; between DROP and RENAME a retry starts over
+    * from the temp table (dropped + rewritten); after RENAME only the
+    * orphaned old directory remains, re-deleted on retry or harmless.
+    */
+  def compact(spark: SparkSession, name: String, path: String,
+              buckets: Int = 32): Unit = {
+    compactTable(spark, bandsTable(name), path,
+      writeBucketed(_, _, _, buckets, "band_val"))
+    compactTable(spark, toksTable(name), path, writeToks)
+    compactTable(spark, docsTable(name), path,
+      writeBucketed(_, _, _, buckets, "fp"))
+  }
+
+  /** [[compact]] only when some table's data-file count exceeds
+    * `maxFiles` — the cheap guard a periodic maintenance job calls.
+    * Returns true when a compaction ran.
+    */
+  def compactIfNeeded(spark: SparkSession, name: String, path: String,
+                      buckets: Int = 32, maxFiles: Long = 512): Boolean = {
+    val pressed = Seq(docsTable(name), bandsTable(name), toksTable(name))
+      .exists(dataFileCount(spark, _) > maxFiles)
+    if (pressed) compact(spark, name, path, buckets)
+    pressed
+  }
+
+  private def compactTable(spark: SparkSession, table: String,
+                           path: String,
+                           write: (DataFrame, String, String) => Unit): Unit = {
+    val catalog = spark.sessionState.catalog
+    val oldLoc = new org.apache.hadoop.fs.Path(
+      catalog.getTableMetadata(TableIdentifier(table)).location)
+    val tmpTable = table + "__compacting"
+    spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+    // fresh generation dir: path/<table>__g<epoch-nanos> — unique per
+    // run, so neither a crashed compact's leftovers nor the previous
+    // generation (which keeps its __g dir through RENAME) collide
+    val genDir = s"$path/${table}__g${System.nanoTime()}"
+    write(spark.table(table), tmpTable, genDir)
+    spark.sql(s"DROP TABLE `$table`")
+    spark.sql(s"ALTER TABLE `$tmpTable` RENAME TO `$table`")
+    spark.catalog.refreshTable(table)
+    val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(oldLoc, true)
   }
 }

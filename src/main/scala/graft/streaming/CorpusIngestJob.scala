@@ -55,8 +55,14 @@ object CorpusIngestJob {
     * ([[BandIndex.create]] on the seed corpus — or on an empty frame for
     * a from-scratch corpus). `maxFilesPerTrigger` sizes the micro-batch:
     * larger batches amortize the per-batch dedup round and cut the
-    * per-append small-file count in the bucketed index (each append
-    * adds up to 2×buckets files) — tune it to the crawl's file sizes.
+    * per-append small-file count in the index (each append adds up to
+    * 3×buckets + [[BandIndex.PfxCount]] files across the three tables)
+    * — tune it to the crawl's file sizes. Even so, a long-running
+    * ingest accumulates thousands of small files per bucket: run
+    * [[BandIndex.compactIfNeeded]] periodically BETWEEN stream
+    * restarts (compaction is offline maintenance, not concurrent-safe
+    * with an active stream) to fold them back to one file per
+    * bucket/prefix.
     */
   def run(spark: SparkSession, srcDir: String, indexName: String,
           indexPath: String, outDir: String, checkpointDir: String,

@@ -24,8 +24,12 @@ class BandIndexSpec extends SparkSpec {
       if (change && i == 7) "changed" else s"tok$i").mkString(" ")
 
   private def dropTables(name: String): Unit =
-    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name),
+        BandIndex.docsTable(name) + "__compacting",
+        BandIndex.bandsTable(name) + "__compacting",
+        BandIndex.toksTable(name) + "__compacting")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
 
   test("classifies exact / near / kept against a persisted index") {
     val name = "bidx_fix"
@@ -79,17 +83,23 @@ class BandIndexSpec extends SparkSpec {
     val batch = Seq((10L, "alpha beta gamma"), (11L, "other stuff"))
       .toDF("doc_id", "text")
     // static plan: AQE off so the shape is data-independent, broadcast
-    // off so the bucketed-join claim is actually exercised
+    // off so the bucketed-join claim is actually exercised. The band
+    // join itself is asserted on the lazy candidates() frame —
+    // dedupBatch materializes the pairs eagerly (for the _toks prune
+    // list), so the join never appears in the flags frame's plan.
     val confs = Map("spark.sql.adaptive.enabled" -> "false",
                     "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val prev = confs.keys.map(k => k -> spark.conf.get(k)).toMap
-    val plan = try {
+    val (candPlan, flagsPlan) = try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      BandIndex.dedupBatch(spark, batch, name).queryExecution.executedPlan
+      (BandIndex.candidates(spark, BandIndex.signatures(batch), name)
+         .queryExecution.executedPlan,
+       BandIndex.dedupBatch(spark, batch, name).queryExecution.executedPlan)
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
     // 1. no file scan outside the index directory: the corpus raw text
     //    is never re-read (the batch is an in-memory frame)
-    val scans = plan.collect { case s: FileSourceScanExec => s }
+    val scans = (candPlan.collect { case s: FileSourceScanExec => s }
+      ++ flagsPlan.collect { case s: FileSourceScanExec => s })
     assert(scans.nonEmpty)
     scans.foreach { s =>
       val loc = s.relation.location.rootPaths.mkString(",")
@@ -97,6 +107,12 @@ class BandIndexSpec extends SparkSpec {
     }
     // 2. the band join's index side arrives pre-partitioned from the
     //    bucketed table: no ShuffleExchange anywhere in that subtree
+    assertBandJoinExchangeFree(candPlan, name)
+  }
+
+  /** The band join must read `_bands` exchange-free (bucketed layout). */
+  private def assertBandJoinExchangeFree(
+      plan: org.apache.spark.sql.execution.SparkPlan, name: String): Unit = {
     val bandJoins = plan.collect {
       case j: BaseJoinExec
         if j.leftKeys.exists(_.references.exists(_.name == "band_val")) => j
@@ -112,6 +128,109 @@ class BandIndexSpec extends SparkSpec {
       assert(shuffles.isEmpty,
         s"corpus band side shuffles despite bucketing:\n${indexSide.get}")
     }
+  }
+
+  test("verify lookup reads a partition-pruned _toks slice") {
+    val name = "bidx_pfx"
+    dropTables(name)
+    val corpus = Seq((1L, bigDoc(false)), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    BandIndex.create(spark, corpus, name, tmp(), buckets = 4)
+    val batch = Seq((11L, bigDoc(true))).toDF("doc_id", "text") // near-dup → collides
+    // AQE off: collect() on an adaptive plan stops at stage
+    // boundaries and would miss the scan
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val (flags, plan) = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val f = BandIndex.dedupBatch(spark, batch, name)
+      // executedPlan is lazy — force it INSIDE the conf window
+      (f, f.queryExecution.executedPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val toksScans = plan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.mkString(",")
+          .contains(BandIndex.toksTable(name)) => s
+    }
+    assert(toksScans.nonEmpty)
+    // the literal pfx IN (...) list derived from the colliding old docs
+    // must reach the scan as a partition filter — that is the whole
+    // point of the _toks layout (wide th column never corpus-scanned)
+    toksScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty, s.toString.take(1500))
+    }
+    assert(flags.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(11L -> "near"))
+  }
+
+  test("compaction preserves classifications, layout, and shrinks files") {
+    val name = "bidx_cpt"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta"), (2L, bigDoc(false)))
+        .toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    // several appends → several file generations per bucket
+    (0 until 3).foreach { i =>
+      BandIndex.append(spark,
+        Seq((100L + i, s"fresh content number $i")).toDF("doc_id", "text"),
+        name, path, buckets = 4)
+    }
+    val batch = Seq(
+      (10L, "alpha beta gamma delta"),     // exact of 1
+      (11L, bigDoc(true)),                 // near of 2
+      (12L, "fresh content number 1"),     // exact of an appended doc
+      (13L, "wholly new text")).toDF("doc_id", "text")
+    val before = BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val filesBefore =
+      Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+          BandIndex.toksTable(name))
+        .map(BandIndex.dataFileCount(spark, _)).sum
+
+    BandIndex.compact(spark, name, path, buckets = 4)
+
+    val after = BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === before)
+    assert(before === Map(10L -> "exact", 11L -> "near",
+                          12L -> "exact", 13L -> "kept"))
+    val filesAfter =
+      Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+          BandIndex.toksTable(name))
+        .map(BandIndex.dataFileCount(spark, _)).sum
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink files: $filesBefore -> $filesAfter")
+
+    // bucketing survives the rewrite: the band join's index side still
+    // arrives exchange-free (same assertion as the plan spec)
+    val confs = Map("spark.sql.adaptive.enabled" -> "false",
+                    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.get(k)).toMap
+    val candPlan = try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      BandIndex.candidates(spark, BandIndex.signatures(batch), name)
+        .queryExecution.executedPlan
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    assertBandJoinExchangeFree(candPlan, name)
+
+    // a second compaction must not collide with the first's generation
+    BandIndex.compact(spark, name, path, buckets = 4)
+    val again = BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === before)
+  }
+
+  test("compactIfNeeded fires only above the file-count threshold") {
+    val name = "bidx_cin"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), name, path, buckets = 4)
+    assert(!BandIndex.compactIfNeeded(spark, name, path, buckets = 4,
+      maxFiles = 10000))
+    assert(BandIndex.compactIfNeeded(spark, name, path, buckets = 4,
+      maxFiles = 0))
   }
 
   test("ingest appends kept docs: re-running the same batch yields no new keeps") {
