@@ -126,7 +126,12 @@ object DistributedRank {
     // or an explicit unpersist — repeated calls would pile sorted copies
     // of row-cardinality frames into executor storage. Checkpoint blocks
     // are RDD-level and the ContextCleaner frees them when the frame is
-    // garbage-collected.
+    // garbage-collected. Availability tradeoff (applies to every
+    // localCheckpoint in this object): blocks are executor-local and
+    // non-replicated with lineage truncated, so losing an executor
+    // mid-job (spot nodes, dynamic allocation) fails the job instead
+    // of recomputing — rerun it, or switch to reliable checkpointing
+    // when a checkpoint dir is configured and reruns are expensive.
     val sorted = df
       .withColumn("__v", org.apache.spark.sql.functions
         .coalesce(value.cast("long"),

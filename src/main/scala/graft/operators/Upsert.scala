@@ -44,18 +44,26 @@ object Upsert {
     *     opens a fresh row (its effective date is trusted — callers
     *     replaying deep history out of order should validate against
     *     closed intervals upstream);
-    *   - malformed updates FAIL the job rather than half-apply: a NULL
-    *     effective date, or an effective date earlier than the open
-    *     row's valid_from (which would write an inverted interval),
-    *     raise errors — the load-gate philosophy of [[graft.sources.Formats]].
+    *   - malformed updates FAIL the job rather than half-apply — the
+    *     load-gate philosophy of [[graft.sources.Formats]]: a NULL
+    *     effective date; an effective date ON OR BEFORE a changed open
+    *     row's valid_from (strictly before would write an inverted
+    *     interval; equal would write a zero-length closed version that
+    *     `valid_from <= d AND d < valid_to` lookups can never see —
+    *     fold same-day corrections upstream, they are SCD1 fixes, not
+    *     new versions); and duplicate keys within one batch (the
+    *     open⋈updates join would multiply the open row into several
+    *     closed + several open rows — "unique per key" is enforced
+    *     here, not just documented).
     *
     * Scale design: one shuffle on the key (the open⋈updates equi-join
     * decides changed / unchanged / new), history passes through with
     * no join at all, and the output is a union of narrow projections —
     * the same immutable-file set-algebra shape as [[mergeByKey]],
-    * distributed end-to-end. `updates` must be unique per key (one
-    * batch = one snapshot; fold intra-batch sequences upstream with
-    * latest-per-key, q14's idiom).
+    * distributed end-to-end. The duplicate-key guard is a count window
+    * partitioned by the key over the batch-sized updates frame — high
+    * cardinality key, delta-sized input, no single-task risk. Fold
+    * intra-batch sequences upstream with latest-per-key (q14's idiom).
     */
   def scd2Merge(base: DataFrame, updates: DataFrame, keys: Seq[String],
                 effectiveCol: String = "effective"): DataFrame = {
@@ -67,24 +75,43 @@ object Upsert {
     val open = base.filter(col("valid_to").isNull)
     // malformed input FAILS the job (the Formats load-gate philosophy):
     // a NULL effective date would half-apply (no-op for existing keys,
-    // a corrupt NULL-valid_from row for new ones)
+    // a corrupt NULL-valid_from row for new ones); duplicate keys would
+    // multiply the open row through the join. Both guards live inside
+    // __eff, which every output branch evaluates — they cannot be
+    // pruned away.
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
     val u = updates.select(
-      (keys.map(col) :+
-        when(col(effectiveCol).isNull,
-          raise_error(lit("scd2Merge: NULL effective date")))
-          .otherwise(col(effectiveCol)).as("__eff")) ++
+      (keys.map(col) :+ col(effectiveCol) :+
+        count(lit(1)).over(kw).as("__kcnt")) ++
         attrs.map(a => col(a).as(s"__u_$a")): _*)
+      .select(
+        (keys.map(col) :+
+          when(col(effectiveCol).isNull,
+            raise_error(lit("scd2Merge: NULL effective date")))
+          .when(col("__kcnt") > 1,
+            raise_error(concat(
+              lit("scd2Merge: duplicate update rows for key "),
+              concat_ws("/", keys.map(k => col(k).cast("string")): _*))))
+          .otherwise(col(effectiveCol)).as("__eff")) ++
+          attrs.map(a => col(s"__u_$a")): _*)
     // localCheckpoint: three union branches read this join — without it
     // the key shuffle + scan would execute once per branch (the doc's
     // "one shuffle" claim would be false); checkpoint blocks are
-    // ContextCleaner-freed
+    // ContextCleaner-freed. Availability tradeoff: the blocks are
+    // executor-local and NON-replicated — lineage is truncated, so an
+    // executor loss mid-job (spot nodes, dynamic allocation downscale)
+    // fails the job instead of recomputing; rerun the load. Use
+    // reliable checkpointing if a checkpoint dir + at-most-once-rerun
+    // matters more than the write amplification.
     val joined = open.join(u, keys, "left_outer").localCheckpoint()
     val changed = attrs.map(a => !(col(a) <=> col(s"__u_$a"))) // null-safe
       .reduce(_ || _)
-    // out-of-order effective dates would write an inverted interval and
-    // an overlap with closed history — corruption, not a merge: FAILFAST
-    val effChecked = when(col("__eff") < col("valid_from"),
-      raise_error(concat(lit("scd2Merge: effective date precedes open row for key "),
+    // out-of-order effective dates would write an inverted interval
+    // (strictly before) or an invisible zero-length version (equal) —
+    // corruption either way, not a merge: FAILFAST (class doc)
+    val effChecked = when(col("__eff") <= col("valid_from"),
+      raise_error(concat(lit("scd2Merge: effective date on or before open row for key "),
         concat_ws("/", keys.map(k => col(k).cast("string")): _*))))
       .otherwise(col("__eff"))
     def asNewOpenRow(df: DataFrame): DataFrame = df

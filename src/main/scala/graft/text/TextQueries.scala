@@ -1563,7 +1563,9 @@ object TextQueries {
       import s.implicits._
       // (t, doc_id, source) partial counts: unique per (t, doc) since a
       // doc has exactly one source — so COUNT(*) per t IS the document
-      // frequency, and SUM(c) per (source, t) IS the term frequency
+      // frequency, and SUM(c) per (source, t) IS the term frequency.
+      // localCheckpoint (tf + df both read it; ContextCleaner-freed) —
+      // executor-loss caveat as documented in DistributedRank
       val docTf = docs(s, dir)
         .select($"doc_id", $"source",
           explode(split(coalesce($"text", lit("")), " ")).as("t"))

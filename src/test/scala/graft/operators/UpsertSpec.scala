@@ -98,6 +98,31 @@ class UpsertSpec extends SparkSpec {
     intercept[Exception] {
       Upsert.scd2Merge(scdBase, nullEff, Seq("id")).collect()
     }
+    // effective EQUAL to the open row's valid_from → zero-length closed
+    // version invisible to [from, to) lookups; same-day corrections are
+    // SCD1 fixes and must be folded upstream
+    val sameDay = Seq((1L, "nowhere", "ppo", d("2022-06-01")))
+      .toDF("id", "city", "plan", "effective")
+    intercept[Exception] {
+      Upsert.scd2Merge(scdBase, sameDay, Seq("id")).collect()
+    }
+    // duplicate keys in one batch → the open row would multiply through
+    // the join into several closed + several open rows
+    val dup = Seq(
+      (1L, "lowell", "ppo", d("2024-02-01")),
+      (1L, "quincy", "hmo", d("2024-03-01")))
+      .toDF("id", "city", "plan", "effective")
+    intercept[Exception] {
+      Upsert.scd2Merge(scdBase, dup, Seq("id")).collect()
+    }
+    // duplicate keys on a BRAND-NEW key fail too (the firstRows branch)
+    val dupNew = Seq(
+      (9L, "lowell", "ppo", d("2024-02-01")),
+      (9L, "quincy", "hmo", d("2024-03-01")))
+      .toDF("id", "city", "plan", "effective")
+    intercept[Exception] {
+      Upsert.scd2Merge(scdBase, dupNew, Seq("id")).collect()
+    }
   }
 
   test("scd2: exactly one open row per key; intervals chain") {
