@@ -88,8 +88,30 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Small dimension tables that should always be broadcast in joins. */
+  /** Dimension tables small enough to broadcast in joins at the tested
+    * scale factors. NOT an invariant at every scale: at sf100+, `part`
+    * (and eventually `customer`/`supplier`) outgrow any sane
+    * `autoBroadcastJoinThreshold`, and a forced `broadcast()` hint
+    * would OOM the driver instead of degrading. Queries therefore hint
+    * through [[maybeBroadcast]], which a deployment can switch off
+    * (`spark.graft.broadcastDims=false`) to let the planner size-decide
+    * — the joins are all equi-joins, so the worst case is a shuffled
+    * sort-merge join, never a nested-loop (`PlanSpec` pins this).
+    */
   val broadcastable: Set[String] = Set("region", "nation", "supplier", "part")
+
+  /** Conf switch for the dimension broadcast hints (default on). */
+  val BroadcastDimsKey = "spark.graft.broadcastDims"
+
+  /** Broadcast hint for a dimension side, honoring [[BroadcastDimsKey]].
+    * With the switch off the join keys still make every call site a
+    * shuffled equi-join under the planner's own size estimates — the
+    * safe fallback for dims that outgrow the threshold at large SFs.
+    */
+  def maybeBroadcast(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(BroadcastDimsKey, "true").toBoolean)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")

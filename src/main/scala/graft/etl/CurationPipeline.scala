@@ -1,0 +1,139 @@
+package graft.etl
+
+import graft.streaming.CorpusIngestJob
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end LLM training-data curation: crawl → dedup → select →
+  * pack, composed from the operators the library already ships as one
+  * runnable stage (the reference's run_pipeline idea,
+  * healthcare-data-pipeline-main.py:507-546, applied to the corpus
+  * side of the house).
+  *
+  *  1. '''Crawl''': document batches land as files; the streaming
+  *     ingest loop ([[graft.streaming.CorpusIngestJob]]) dedupes each
+  *     micro-batch against the persisted [[BandIndex]] (exact
+  *     fingerprint + MinHash near-dup) and sinks the kept slice.
+  *  2. '''Select''': the kept corpus is quality-scored (distinct-token
+  *     ratio, integer-exact) and the best docs are kept until a token
+  *     budget is spent — the q90 operator as a reusable transform.
+  *  3. '''Pack''': survivors are laid out in the seeded training order
+  *     and split into fixed-size sequences — the q86 operator; the
+  *     output manifest carries (doc_id, source, n_tokens, quality,
+  *     seq_id, straddle).
+  *
+  * Scale design: every stage is the plan the per-operator queries
+  * already vetted — per-batch dedup cost is batch-sized (bucketed
+  * index, no corpus re-read), selection and packing use
+  * [[graft.operators.DistributedRank.withPrefixSum]] (range sort +
+  * per-partition offsets, never an unpartitioned window), and the
+  * manifest write is a parallel columnar sink. Nothing here collects
+  * doc-cardinality data to the driver.
+  *
+  * The composed output is BY CONSTRUCTION the composition of the
+  * individual operators — `PipelineSpec` pins that: running
+  * [[selectByBudget]] then [[packSequences]] on the ingest sink equals
+  * the pipeline's manifest row-for-row.
+  */
+object CurationPipeline {
+
+  final case class CurationReport(
+      kept: Long, selected: Long, selectedTokens: Long,
+      tokenBudget: Long, nSequences: Long, manifestPath: String)
+
+  /** Whitespace token count + integer quality (u·10⁶ div m — the q90
+    * scoring): appended as (m, q) columns. One pass over text.
+    */
+  def scoreQuality(docs: DataFrame): DataFrame = {
+    val tk = split(coalesce(col("text"), lit("")), " ")
+    docs
+      .withColumn("m", size(tk).cast("long"))
+      .withColumn("q",
+        expr("cast(size(array_distinct(split(coalesce(text, ''), ' '))) as long)" +
+             " * 1000000L div m"))
+  }
+
+  /** Quality-ranked selection under a global token budget of
+    * `budgetNum/budgetDen` of the corpus's tokens (default half, the
+    * q90 operator): returns the SELECTED docs with (m, q, budget)
+    * attached. Global cumsum via the distributed prefix sum; ties
+    * break on doc_id so the subset is deterministic.
+    */
+  def selectByBudget(docs: DataFrame, budgetNum: Long = 1,
+                     budgetDen: Long = 2): DataFrame = {
+    val scored = scoreQuality(docs)
+    val tot = scored.agg(expr(s"sum(m) * $budgetNum div $budgetDen").as("budget"))
+    graft.operators.DistributedRank.withPrefixSum(
+        scored.crossJoin(broadcast(tot)),
+        Seq(col("q").desc, col("doc_id")), col("m"), "cum")
+      .filter(col("cum") <= col("budget"))
+  }
+
+  /** Sequence packing at `block` tokens over the seeded-hash training
+    * order (the q86/q84 operators): appends (seq_id, straddle). The
+    * running offset is the distributed prefix sum of `m` in key order.
+    */
+  def packSequences(selected: DataFrame, block: Long = 4096L,
+                    seed: String = "pack42_"): DataFrame =
+    graft.operators.DistributedRank.withPrefixSum(
+        selected.withColumn("key", expr(
+          s"cast(conv(substring(md5(concat('$seed', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")),
+        Seq(col("key"), col("doc_id")), col("m"), "pack_cum")
+      .withColumn("seq_id", expr(s"(pack_cum - m) div $block"))
+      .withColumn("straddle", expr(s"(pack_cum - m) div $block != (pack_cum - 1) div $block"))
+      .drop("key")
+
+  /** Run the full stage. `srcDir` is the crawl drop directory (parquet
+    * files in the `documents` schema); the band index at
+    * `indexName`/`indexPath` is created empty if absent, so a
+    * from-scratch corpus needs no seeding step. Outputs under
+    * `workDir`: `corpus/` (the deduped kept slice, per-batch
+    * partitions), `manifest/` (the packed training manifest parquet).
+    * Re-running with the same checkpoint resumes where the crawl left
+    * off; selection and packing recompute over the whole kept corpus
+    * (they are global decisions — a budget is not incremental).
+    */
+  def run(spark: SparkSession, srcDir: String, indexName: String,
+          indexPath: String, workDir: String, buckets: Int = 32,
+          budgetNum: Long = 1, budgetDen: Long = 2,
+          block: Long = 4096L): CurationReport = {
+    import spark.implicits._
+    if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
+      BandIndex.create(spark,
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          graft.Tables.schemas("documents")),
+        indexName, indexPath, buckets)
+
+    val corpusDir = s"$workDir/corpus"
+    val ckptDir = s"$workDir/ckpt"
+    CorpusIngestJob.run(spark, srcDir, indexName, indexPath,
+      corpusDir, ckptDir, buckets).awaitTermination()
+
+    // ingest ran through the streaming clone session; make sure THIS
+    // session sees the final file listing (the CorpusIngestSpec pitfall)
+    Seq(BandIndex.docsTable(indexName), BandIndex.bandsTable(indexName),
+        BandIndex.toksTable(indexName))
+      .foreach(spark.catalog.refreshTable)
+
+    val kept = spark.read.schema(
+        graft.Tables.schemas("documents").add("ingest_batch", "long"))
+      .parquet(corpusDir)
+    val manifest = packSequences(selectByBudget(kept, budgetNum, budgetDen), block)
+      .select($"doc_id", $"source", $"m".as("n_tokens"), $"q".as("quality"),
+              $"seq_id", $"straddle")
+      .localCheckpoint() // one selection execution feeds sink + report
+
+    val manifestPath = s"$workDir/manifest"
+    manifest.write.mode("overwrite").parquet(manifestPath)
+
+    val stats = manifest.agg(
+      count(lit(1)), coalesce(sum($"n_tokens"), lit(0L)),
+      coalesce(max($"seq_id"), lit(-1L)) + 1).head()
+    val budget = scoreQuality(kept)
+      .agg(coalesce(expr(s"sum(m) * $budgetNum div $budgetDen"), lit(0L))).head().getLong(0)
+    CurationReport(
+      kept = kept.count(), selected = stats.getLong(0),
+      selectedTokens = stats.getLong(1), tokenBudget = budget,
+      nSequences = stats.getLong(2), manifestPath = manifestPath)
+  }
+}

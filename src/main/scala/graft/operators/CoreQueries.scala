@@ -96,9 +96,9 @@ object CoreQueries {
       val n = Tables.load(s, dir, "nation")
       val r = Tables.load(s, dir, "region")
       li.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
-        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
-        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .join(Tables.maybeBroadcast(c), $"o_custkey" === $"c_custkey")
+        .join(Tables.maybeBroadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(Tables.maybeBroadcast(r), $"n_regionkey" === $"r_regionkey")
         .groupBy($"r_name", $"n_name")
         // revenue in the decimal domain end-to-end: casting the DOUBLE
         // product to decimal would round half-cents via the JVM's
@@ -497,8 +497,8 @@ object CoreQueries {
       val nat = Tables.load(s, dir, "nation")
       val perSupplier = li.groupBy($"l_suppkey")
         .agg(Q.sumMoney($"l_extendedprice").as("revenue"))
-        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .join(Tables.maybeBroadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.maybeBroadcast(nat), $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey", $"s_name", $"n_name", $"revenue")
       // revenue is cents-exact (came through DECIMAL); go back through
       // decimal for the benchmark mean so the sum is order-insensitive.

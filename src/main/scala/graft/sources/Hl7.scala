@@ -27,12 +27,28 @@ import java.util.regex.Pattern
   * with message-level paths repeated onto each row — the relational
   * shape a lab feed needs; a message with ZERO occurrences still emits
   * one row with NULL repeat-segment columns (an outer join, not a
-  * silent drop of the message's identifiers).
+  * silent drop of the message's identifiers). `repeatField` does the
+  * same one level down for a `~`-repeating FIELD (e.g. `"PID-3"` for
+  * multiple patient identifiers, NK1 contacts, OBX-5 multi-part
+  * results): one row per repetition, with every requested column under
+  * that same SEG-F reading from the current repetition; composable
+  * with `repeatSegment` (explode OBX segments, then each OBX-5
+  * repetition). Other fields keep first-repetition semantics.
   *
-  * DTM semantics: `yyyyMMdd[HHmmss[.f+]][±zzzz]` honors a declared
+  * Charset: feeds declare their encoding in MSH-18, and 8-bit charsets
+  * (ISO-8859-1, Windows-1252) are common in the wild; callers pass the
+  * feed's charset explicitly (default UTF-8). Decoding is STRICT —
+  * undecodable bytes fail the task rather than silently becoming
+  * U+FFFD, the same no-mangled-clinical-data stance as the type gate.
+  * (MSH-18 itself can't drive the decode: reading it requires decoding
+  * first. A mixed-charset directory should be read per-charset.)
+  *
+  * DTM semantics: `yyyyMMdd[HHmm[ss[.f+]]][±zzzz]` honors a declared
   * UTC offset; values without one are taken as UTC (the engine's
   * session convention) — instants never depend on the executor JVM's
-  * default timezone.
+  * default timezone. Fractional seconds are preserved (to Spark's µs),
+  * and a value with ANY unconsumed trailing characters after the
+  * digits/fraction/offset is rejected, not truncated.
   *
   * Scale design: like xlsx (and gzip), an HL7 batch file is not
   * splittable mid-message, so the unit of parallelism is the FILE —
@@ -58,13 +74,25 @@ object Hl7 {
     * `repeatSegment` occurrence).
     */
   def readHl7(spark: SparkSession, path: String, fields: Seq[Hl7Field],
-              repeatSegment: Option[String] = None): DataFrame = {
+              repeatSegment: Option[String] = None,
+              repeatField: Option[String] = None,
+              charset: String = "UTF-8"): DataFrame = {
     val schema = StructType(fields.map(f => StructField(f.name, f.dataType)))
     val specs = fields.map(f => (f.name, parsePath(f.path), f.dataType))
+    // eager validation, driver-side: a bad charset name or repeatField
+    // path should fail at call time, not per-task
+    java.nio.charset.Charset.forName(charset)
+    val repFieldKey: Option[(String, Int)] = repeatField.map { p =>
+      val (seg, f, c, s) = parsePath(p)
+      require(c == 0 && s == 0,
+        s"repeatField must be a whole field SEG-F (got '$p'): repetition " +
+        "splits above components")
+      (seg, f)
+    }
     val rows = spark.sparkContext
       .binaryFiles(path, spark.sparkContext.defaultParallelism)
-      .flatMap { case (_, stream) =>
-        val text = new String(stream.toArray(), "UTF-8")
+      .flatMap { case (file, stream) =>
+        val text = decodeStrict(stream.toArray(), charset, file)
         splitMessages(text).flatMap { segs =>
           val d = delimsOf(segs.head)
           val fieldRe = Pattern.quote(d.field.toString)
@@ -83,18 +111,46 @@ object Hl7 {
             }
             case None => Seq(None)
           }
-          repeats.map { rep =>
-            Row.fromSeq(specs.map { case (name, (seg, f, c, s), dt) =>
-              val parts =
-                if (repeatSegment.contains(seg)) rep
-                else partsBySeg.get(seg)
-              parts.flatMap(extract(_, d, f, c, s))
-                .map(v => convert(name, v, dt)).orNull
-            })
+          repeats.flatMap { rep =>
+            def partsFor(seg: String): Option[Array[String]] =
+              if (repeatSegment.contains(seg)) rep else partsBySeg.get(seg)
+            // field-repetition explode: count the target field's `~`
+            // chunks in THIS row's segment instance; absent/empty field
+            // keeps one NULL-valued row (same outer-join stance as
+            // repeatSegment)
+            val nReps = repFieldKey match {
+              case Some((seg, f)) =>
+                partsFor(seg).flatMap(rawField(_, d, f)).filter(_.nonEmpty)
+                  .map(v => v.count(_ == d.rep) + 1).getOrElse(1)
+              case None => 1
+            }
+            (0 until nReps).map { repIdx =>
+              Row.fromSeq(specs.map { case (name, (seg, f, c, s), dt) =>
+                val i = if (repFieldKey.contains((seg, f))) repIdx else 0
+                partsFor(seg).flatMap(extract(_, d, f, c, s, i))
+                  .map(v => convert(name, v, dt)).orNull
+              })
+            }
           }
         }
       }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Strict decode: undecodable byte sequences FAIL the task (clinical
+    * data must never be silently mangled to U+FFFD).
+    */
+  private def decodeStrict(bytes: Array[Byte], charset: String,
+                           file: String): String = {
+    val dec = java.nio.charset.Charset.forName(charset).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch {
+      case e: java.nio.charset.CharacterCodingException =>
+        throw new IllegalArgumentException(
+          s"HL7 feed $file is not valid $charset: $e", e)
+    }
   }
 
   /** Normalize line endings, drop batch-framing segments, group the
@@ -163,20 +219,32 @@ object Hl7 {
     Some(if (end < 0) v.substring(start) else v.substring(start, end))
   }
 
+  /** The raw (un-split, un-escaped) field `f`, 1-based with the MSH
+    * off-by-one honored. MSH-1/MSH-2 ARE the delimiter characters —
+    * returned verbatim, never split or unescaped (they'd split on
+    * themselves).
+    */
+  private[sources] def rawField(parts: Array[String], d: Delims,
+                                f: Int): Option[String] = {
+    val isMsh = parts(0) == "MSH"
+    if (isMsh && f == 1) Some(d.field.toString)
+    else if (isMsh && f == 2) parts.lift(1).filter(_.nonEmpty)
+    else if (isMsh) parts.lift(f - 1)
+    else parts.lift(f)
+  }
+
   /** Pull field `f` (1-based, MSH off-by-one honored) from pre-split
-    * parts, first repetition, component `c`, subcomponent `s` (0 =
+    * parts, repetition `rep` (0-based; callers pass 0 except under a
+    * `repeatField` explode), component `c`, subcomponent `s` (0 =
     * whole). Absent positions are None; escape decoding happens last.
     */
   private[sources] def extract(parts: Array[String], d: Delims,
-                               f: Int, c: Int, s: Int): Option[String] = {
+                               f: Int, c: Int, s: Int,
+                               rep: Int = 0): Option[String] = {
     val isMsh = parts(0) == "MSH"
-    // MSH-1/MSH-2 ARE the delimiter characters — return them verbatim,
-    // never split or unescape them (they'd split on themselves)
-    if (isMsh && f == 1) return Some(d.field.toString)
-    if (isMsh && f == 2) return parts.lift(1).filter(_.nonEmpty)
-    val fieldOpt = if (isMsh) parts.lift(f - 1) else parts.lift(f)
-    fieldOpt
-      .flatMap(chunk(_, d.rep, 0)) // first repetition
+    if (isMsh && (f == 1 || f == 2)) return rawField(parts, d, f)
+    rawField(parts, d, f)
+      .flatMap(chunk(_, d.rep, rep))
       .flatMap(v => if (c == 0) Some(v) else chunk(v, d.comp, c - 1))
       .flatMap(v => if (s == 0) Some(v) else chunk(v, d.sub, s - 1))
       .filter(_.nonEmpty)
@@ -214,33 +282,56 @@ object Hl7 {
     sb.toString
   }
 
-  /** HL7 TS/DTM: `yyyyMMdd[HHmm[ss[.f+]]][±zzzz]`. */
+  /** The full DTM grammar, anchored: digits at a legal precision,
+    * optional fraction (only after whole seconds), optional ±offset —
+    * and NOTHING after. A partial match is corruption: truncating
+    * `20240101120000garbage` to the digits would silently accept a
+    * mangled feed.
+    */
+  private val DtmRe =
+    "^([0-9]{8}|[0-9]{10}|[0-9]{12}|[0-9]{14})(?:\\.([0-9]{1,9}))?([+-][0-9]{2}:?[0-9]{2})?$".r
+
+  private def parseDtm(name: String, v: String): java.time.Instant =
+    v match {
+      case DtmRe(digits, frac, off) =>
+        // DTM precision is only legal at whole components (date, +hhmm,
+        // +ss): an odd digit count is corruption, and zero-padding it
+        // would FABRICATE a time (9 digits '202401011' → 10:00:00) —
+        // the regex alternation enforces this. Fractions only follow
+        // whole seconds.
+        require(frac == null || digits.length == 14,
+          s"HL7 timestamp has fractional seconds without whole seconds in $name: '$v'")
+        // honor a declared ±zzzz offset; no offset → UTC. Never the JVM
+        // default zone: the same message must mean the same instant on
+        // every executor
+        val offset = Option(off).map(java.time.ZoneOffset.of)
+          .getOrElse(java.time.ZoneOffset.UTC)
+        val ldt = java.time.LocalDateTime.parse(
+          digits.padTo(14, '0'),
+          java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+        val nanos = Option(frac).map(_.padTo(9, '0').toLong).getOrElse(0L)
+        ldt.plusNanos(nanos).toInstant(offset)
+      case _ => throw new IllegalArgumentException(
+        s"malformed HL7 DTM in $name: '$v' (want yyyyMMdd[HHmm[ss[.f+]]][±zzzz])")
+    }
+
+  /** HL7 TS/DTM: `yyyyMMdd[HHmm[ss[.f+]]][±zzzz]`. Fractional seconds
+    * survive to Spark's µs precision; trailing garbage is rejected.
+    */
   private def convert(name: String, v: String, dt: DataType): Any = dt match {
     case StringType => v
     case IntegerType => v.toInt
     case LongType => v.toLong
     case DoubleType => v.toDouble
     case DateType =>
-      require(v.length >= 8, s"HL7 date too short in $name: '$v'")
+      // a date column accepts any valid DTM (PID-7 may carry a full
+      // timestamp) and keeps its calendar date — but the WHOLE value
+      // must be a valid DTM, not just a leading-8-digit prefix
+      parseDtm(name, v)
       java.sql.Date.valueOf(java.time.LocalDate.parse(
         v.take(8), java.time.format.DateTimeFormatter.BASIC_ISO_DATE))
     case TimestampType =>
-      // honor a declared ±zzzz offset; no offset → UTC. Never the JVM
-      // default zone: the same message must mean the same instant on
-      // every executor
-      val digits = v.takeWhile(_.isDigit)
-      // DTM precision is only legal at whole components (date, +hhmm,
-      // +ss; fractional seconds arrive after a '.'): an odd digit count
-      // is corruption, and zero-padding it would FABRICATE a time
-      // (e.g. 9 digits '202401011' → 10:00:00) — FAILFAST instead
-      require(Set(8, 10, 12, 14).contains(digits.length),
-        s"HL7 timestamp has invalid precision in $name: '$v'")
-      val offset = "([+-][0-9]{2}:?[0-9]{2})$".r.findFirstIn(v)
-        .map(java.time.ZoneOffset.of).getOrElse(java.time.ZoneOffset.UTC)
-      val ldt = java.time.LocalDateTime.parse(
-        digits.padTo(14, '0'),
-        java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
-      java.sql.Timestamp.from(ldt.toInstant(offset))
+      java.sql.Timestamp.from(parseDtm(name, v))
     case other => throw new IllegalArgumentException(
       s"unsupported HL7 column type $other for field $name")
   }

@@ -163,6 +163,39 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("bucket"), plan.take(3000))
   }
 
+  test("q02/q16 degrade to shuffled equi-joins when dims outgrow the broadcast threshold") {
+    // At sf100+ `part`/`customer` no longer fit autoBroadcastJoinThreshold;
+    // the hint switch models that: with graft.broadcastDims off AND the
+    // auto threshold disabled, every dim join must still plan as a sane
+    // shuffled equi-join (SMJ/SHJ) — never a BroadcastNestedLoopJoin or
+    // cartesian — and produce identical results.
+    val set = Map(Tables.BroadcastDimsKey -> "false",
+                  "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = set.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val expected = Map(
+      "q02_star_join_revenue" -> q("q02_star_join_revenue").collect().toSeq,
+      "q16_benchmark_join" -> q("q16_benchmark_join").collect().toSeq)
+    try {
+      set.foreach { case (k, v) => spark.conf.set(k, v) }
+      expected.foreach { case (name, want) =>
+        val df = q(name)
+        val got = df.collect().toSeq
+        val plan = planOf(df)
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+               !plan.contains("CartesianProduct"),
+          s"$name fallback plan has a non-equi join:\n${plan.take(3000)}")
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$name fallback did not plan a shuffled equi-join:\n${plan.take(3000)}")
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"$name still broadcasts with hints off and threshold -1:\n${plan.take(3000)}")
+        assert(got == want, s"$name results differ in fallback mode")
+      }
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("directory partitioning prunes at the scan (PartitionFilters)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -53,6 +53,74 @@ class PipelineSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("curation stage: crawl→dedup→select→pack equals the per-operator composition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name), BandIndex.docsTable(name + "_ref"),
+        BandIndex.bandsTable(name + "_ref"), BandIndex.toksTable(name + "_ref"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", when($"doc_id" % 2 === 0, "web").otherwise("books"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+    // two crawl batches with exact + cross-batch duplicates and a
+    // quality spread (repetitive docs score low and miss the budget)
+    val batchA = docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "spam spam spam spam spam spam spam spam spam spam",
+      3L -> "distributed systems require careful coordination of state")
+    val batchB = docsDf(
+      10L -> "the quick brown fox jumps over the lazy dog tonight", // dup of 1
+      11L -> "novel second batch content with many distinct useful words",
+      12L -> "data data data data data data data data data data")
+    batchA.coalesce(1).write.parquet(s"$srcDir/a")
+    batchB.coalesce(1).write.parquet(s"$srcDir/b")
+
+    val work = root.resolve("work").toString
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, work, buckets = 4, block = 16L)
+
+    // per-operator composition, independently: batch-API ingest in the
+    // same order, then the select + pack transforms on the kept union
+    BandIndex.create(spark, batchA.limit(0), name + "_ref",
+      root.resolve("idxref").toString, buckets = 4)
+    val keptRef = Seq(batchA, batchB).map { b =>
+      val flags = BandIndex.ingest(spark, b, name + "_ref",
+        root.resolve("idxref").toString, buckets = 4)
+      BandIndex.keptOf(b, flags)
+    }.reduce(_ unionByName _)
+    val expected = CurationPipeline.packSequences(
+        CurationPipeline.selectByBudget(keptRef), block = 16L)
+      .select($"doc_id", $"source", $"m".as("n_tokens"), $"q".as("quality"),
+              $"seq_id", $"straddle")
+      .collect().map(_.toSeq).toSet
+
+    val got = spark.read.parquet(r.manifestPath)
+      .select("doc_id", "source", "n_tokens", "quality", "seq_id", "straddle")
+      .collect().map(_.toSeq).toSet
+    assert(got === expected, s"manifest diverges from composed operators")
+
+    // the dup (10) is rejected; the spammy docs (2, 12) rank below the
+    // budget line; report numbers agree with the manifest
+    val keptIds = spark.read.parquet(s"$work/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptIds === Set(1L, 2L, 3L, 11L, 12L))
+    val selIds = got.map(_.head.asInstanceOf[Long])
+    assert(selIds.subsetOf(keptIds) && !selIds.contains(10L))
+    assert(Set(2L, 12L).intersect(selIds).isEmpty,
+      s"repetitive docs beat the quality ranking: $selIds")
+    assert(r.kept === 5 && r.selected === got.size)
+    assert(r.selectedTokens <= r.tokenBudget)
+    assert(r.nSequences >= 1)
+  }
+
   test("readmission RCA matches a brute-force self-join oracle") {
     import spark.implicits._
     val enc = Pipeline.generateEncounters(spark, 50)

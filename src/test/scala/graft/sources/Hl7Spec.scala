@@ -179,4 +179,90 @@ class Hl7Spec extends SparkSpec {
         Hl7.Hl7Field("x", "pid5", StringType)))
     }
   }
+
+  test("repeatField explodes ~-repetitions: one row per patient identifier") {
+    val df = Hl7.readHl7(spark, writeFeed(Msg1), Seq(
+      Hl7.Hl7Field("msg_id", "MSH-10", StringType),
+      Hl7.Hl7Field("patient_id", "PID-3", StringType),
+      Hl7.Hl7Field("family_name", "PID-5.1", StringType)),
+      repeatField = Some("PID-3"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // PID-3 is 12345~67890: two rows, message-level fields repeated onto each
+    assert(rows.toSet === Set(
+      ("MSG0001", "12345", "Smith"), ("MSG0001", "67890", "Smith")))
+  }
+
+  test("repeatField composes with repeatSegment and reads components per repetition") {
+    // two OBX segments; the first has a 2-repetition OBX-5 with components
+    val msg =
+      "MSH|^~\\&|LAB|FAC|EHR|HOSP|20240101120000||ORU^R01|M1|P|2.5.1\r" +
+      "PID|1||X\r" +
+      "OBX|1|CE|ORG^Organism||STREP^Streptococcus~STAPH^Staphylococcus|\r" +
+      "OBX|2|CE|ORG^Organism||ECOLI^Escherichia|\r"
+    val df = Hl7.readHl7(spark, writeFeed(msg), Seq(
+      Hl7.Hl7Field("set_id", "OBX-1", IntegerType),
+      Hl7.Hl7Field("code", "OBX-5.1", StringType),
+      Hl7.Hl7Field("name", "OBX-5.2", StringType)),
+      repeatSegment = Some("OBX"), repeatField = Some("OBX-5"))
+    val rows = df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet === Set(
+      (1, "STREP", "Streptococcus"), (1, "STAPH", "Staphylococcus"),
+      (2, "ECOLI", "Escherichia")))
+  }
+
+  test("repeatField with an absent field keeps one NULL row; component paths rejected") {
+    val df = Hl7.readHl7(spark, writeFeed(Msg2), Seq(
+      Hl7.Hl7Field("msg_id", "MSH-10", StringType),
+      Hl7.Hl7Field("mother", "PID-21", StringType)), // absent in Msg2
+      repeatField = Some("PID-21"))
+    val r = df.collect()
+    assert(r.length === 1 && r.head.getString(0) === "MSG0002" && r.head.isNullAt(1))
+    intercept[IllegalArgumentException] {
+      Hl7.readHl7(spark, "/nonexistent", Seq(
+        Hl7.Hl7Field("x", "PID-5.1", StringType)), repeatField = Some("PID-5.1"))
+    }
+  }
+
+  test("strict charset: 8-bit bytes fail UTF-8 but decode with the declared charset") {
+    val msg =
+      "MSH|^~\\&|A|B|C|D|20240101000000||ADT^A01|M1|P|2.5.1\r" +
+      "PID|1||X||André\r"
+    val dir = java.nio.file.Files.createTempDirectory("graft-hl7-cs")
+    java.nio.file.Files.write(dir.resolve("feed.hl7"),
+      msg.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val fields = Seq(Hl7.Hl7Field("name", "PID-5", StringType))
+    intercept[SparkException] { // 0xE9 is not valid UTF-8: FAILFAST, not U+FFFD
+      Hl7.readHl7(spark, dir.toString, fields).collect()
+    }
+    val got = Hl7.readHl7(spark, dir.toString, fields, charset = "ISO-8859-1")
+      .collect().head.getString(0)
+    assert(got === "André")
+    intercept[Exception] { // bad charset name fails at call time, driver-side
+      Hl7.readHl7(spark, dir.toString, fields, charset = "no-such-charset")
+    }
+  }
+
+  test("DTM fractional seconds survive; trailing garbage is rejected") {
+    val frac =
+      "MSH|^~\\&|A|B|C|D|20240101120000.25+0500||ORU^R01|M1|P|2.5.1\r" +
+      "PID|1||X\r"
+    val got = Hl7.readHl7(spark, writeFeed(frac), Seq(
+      Hl7.Hl7Field("ts", "MSH-7", TimestampType))).collect().head
+      .getAs[java.sql.Timestamp]("ts")
+    assert(got.toInstant === java.time.Instant.parse("2024-01-01T07:00:00.250Z"))
+    val garbage =
+      "MSH|^~\\&|A|B|C|D|20240101120000Z||ORU^R01|M1|P|2.5.1\r" +
+      "PID|1||X\r"
+    intercept[SparkException] { // 'Z' is not HL7's ±zzzz: reject, don't truncate
+      Hl7.readHl7(spark, writeFeed(garbage), Seq(
+        Hl7.Hl7Field("ts", "MSH-7", TimestampType))).collect()
+    }
+    val badDate = // a DATE column also validates the whole value
+      "MSH|^~\\&|A|B|C|D|20240101||ORU^R01|M1|P|2.5.1\r" +
+      "PID|1||X||Y||19800115x\r"
+    intercept[SparkException] {
+      Hl7.readHl7(spark, writeFeed(badDate), Seq(
+        Hl7.Hl7Field("dob", "PID-7", DateType))).collect()
+    }
+  }
 }
