@@ -44,7 +44,10 @@ object Bench {
     "q91_rare_tokens",
     "q92_histogram_quantile",
     "q93_interval_bucket_join",
-    "q94_tfidf_topk")
+    "q94_tfidf_topk",
+    "q95_pii_scrub",
+    "q96_dupgram_coverage",
+    "q97_cross_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

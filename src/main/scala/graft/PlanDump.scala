@@ -44,7 +44,13 @@ object PlanDump {
     "q93_interval_bucket_join" ->
       "Key-less interval join: windows exploded onto one-window-length time buckets, shuffled equi-join on the bucket + residual range filter — no BroadcastNestedLoopJoin (plan-asserted).",
     "q94_tfidf_topk" ->
-      "TF-IDF: tf and df are two map-side-combinable aggregates off one token explode; term⋈df joins vocabulary-shaped; top-5 via bounded TopTermKAggregator — ≤5-row partial buffers, no per-source vocabulary window sort.")
+      "TF-IDF: tf and df are two map-side-combinable aggregates off one token explode; term⋈df joins vocabulary-shaped; top-5 via bounded TopTermKAggregator — ≤5-row partial buffers, no per-source vocabulary window sort.",
+    "q95_pii_scrub" ->
+      "PII scrub: seeding + regexp counts + replaces all codegen'd string expressions in ONE map pass over the scan; the only Exchange is the final per-source aggregate.",
+    "q96_dupgram_coverage" ->
+      "Substring-dup coverage: 8-gram positions hash to 60-bit longs BEFORE the explode output shuffles (never gram text); df aggregate map-side combines on the key; gram⋈df equi-join reuses the same partitioning.",
+    "q97_cross_source_overlap" ->
+      "Cross-source overlap: ONE gram-key exchange into a bounded collect_set (partial buffers ≤ |sources| — hot grams combine map-side, no skew), pairs exploded from the sorted set (≤ sources²/2 per gram), no join.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

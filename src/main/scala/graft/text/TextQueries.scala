@@ -1094,15 +1094,20 @@ object TextQueries {
     "q85_repetition_score",
     (s, dir) => {
       import s.implicits._
-      val scored = docs(s, dir)
-        .select($"source", expr(
-          """CASE WHEN size(split(text, ' ')) >= 3
-            |  THEN transform(sequence(1, size(split(text, ' ')) - 2),
-            |    i -> concat_ws(' ', slice(split(text, ' '), i, 3)))
-            |  ELSE array() END""".stripMargin).as("shs"))
-        .filter(size($"shs") > 0)
-        .select($"source", size($"shs").cast("long").as("m"),
-                size(array_distinct($"shs")).cast("long").as("u"))
+      // tokenize once behind a cache barrier (the q96 lesson): a lambda
+      // referencing an un-materialized projected column gets the
+      // column's defining split() inlined and re-run per shingle
+      // position. m needs no shingle array at all: it is size(tk) - 2.
+      val toks = docs(s, dir)
+        .select($"source", split($"text", " ").as("tk"))
+        .filter(size($"tk") >= 3)
+        .cache()
+      val scored = toks
+        .select($"source", (size($"tk") - 2).cast("long").as("m"),
+          size(array_distinct(expr(
+            """transform(sequence(1, size(tk) - 2),
+              |  i -> concat_ws(' ', slice(tk, i, 3)))""".stripMargin)))
+            .cast("long").as("u"))
       scored.groupBy($"source")
         .agg(
           count(lit(1)).as("n_docs"),
@@ -1617,7 +1622,245 @@ object TextQueries {
       |ORDER BY source, rank""".stripMargin),
     doc = "text: TF-IDF distinctive-term top-5 per source (integer-quantized IDF, exact cross-engine ranking)")
 
+  /** q95 — document-level PII scrub: the privacy pass every web-crawl
+    * curation pipeline runs before training (emails / SSNs / phone
+    * numbers → typed placeholder tokens), reported per source as
+    * detection counts + characters removed. The testdata corpus is
+    * synthetic tokens, so the query SEEDS deterministic PII first
+    * (doc_id-derived email/SSN/phone on fixed residue classes) — the
+    * scrub then has known-nonzero work to find, and the oracle
+    * replays the identical seeding.
+    *
+    * Scale design: one map-side pass — seeding, the three
+    * `regexp_count`s and the three `regexp_replace`s are all
+    * codegen'd string expressions over the scan, no join anywhere;
+    * the only shuffle is the final per-source aggregate (map-side
+    * combined). Replacement order is fixed (email, phone, SSN) so
+    * `chars_removed` is deterministic; every output is integer.
+    */
+  val q95 = Q(
+    "q95_pii_scrub",
+    (s, dir) => {
+      import s.implicits._
+      val EmailRe = """[a-z0-9.]+@[a-z0-9.]+\.[a-z]+"""
+      val SsnRe = """[0-9]{3}-[0-9]{2}-[0-9]{4}"""
+      val PhoneRe = """\([0-9]{3}\) [0-9]{3}-[0-9]{4}"""
+      val seeded = docs(s, dir).select($"doc_id", $"source",
+        concat(
+          coalesce($"text", lit("")),
+          when($"doc_id" % 7 === 0, concat(lit(" contact user"),
+            $"doc_id".cast("string"), lit("@example.com today")))
+            .otherwise(lit("")),
+          when($"doc_id" % 5 === 0, concat(lit(" ssn 123-45-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when($"doc_id" % 3 === 0, concat(lit(" call (555) 867-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("t2"))
+      val scrubbed = seeded
+        .withColumn("n_email", regexp_count($"t2", lit(EmailRe)).cast("long"))
+        .withColumn("n_ssn", regexp_count($"t2", lit(SsnRe)).cast("long"))
+        .withColumn("n_phone", regexp_count($"t2", lit(PhoneRe)).cast("long"))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(regexp_replace(
+            $"t2", EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), SsnRe, "<SSN>"))
+      scrubbed.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_if($"n_email" + $"n_ssn" + $"n_phone" > 0).as("n_docs_pii"),
+          sum($"n_email").as("n_emails"),
+          sum($"n_ssn").as("n_ssns"),
+          sum($"n_phone").as("n_phones"),
+          sum(length($"t2") - length($"clean")).cast("long").as("chars_removed"))
+        .orderBy($"source")
+    },
+    Some("""WITH seeded AS (
+      |  SELECT doc_id, source,
+      |         COALESCE(text, '')
+      |           || CASE WHEN doc_id % 7 = 0
+      |                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com today'
+      |                ELSE '' END
+      |           || CASE WHEN doc_id % 5 = 0
+      |                THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |                ELSE '' END
+      |           || CASE WHEN doc_id % 3 = 0
+      |                THEN ' call (555) 867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |                ELSE '' END AS t2
+      |  FROM documents),
+      |scrubbed AS (
+      |  SELECT doc_id, source, t2,
+      |         len(regexp_extract_all(t2, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS n_email,
+      |         len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+      |         len(regexp_extract_all(t2, '\([0-9]{3}\) [0-9]{3}-[0-9]{4}')) AS n_phone,
+      |         regexp_replace(
+      |           regexp_replace(
+      |             regexp_replace(t2, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+      |             '\([0-9]{3}\) [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |           '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS clean
+      |  FROM seeded)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(CASE WHEN n_email + n_ssn + n_phone > 0 THEN 1 END) AS BIGINT) AS n_docs_pii,
+      |       CAST(SUM(n_email) AS BIGINT) AS n_emails,
+      |       CAST(SUM(n_ssn) AS BIGINT) AS n_ssns,
+      |       CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+      |       CAST(SUM(len(t2) - len(clean)) AS BIGINT) AS chars_removed
+      |FROM scrubbed GROUP BY source ORDER BY source""".stripMargin),
+    doc = "privacy: document PII scrub (email/SSN/phone) with per-source redaction accounting")
+
+  /** q96 — cross-document repeated-n-gram coverage: for every 8-token
+    * gram position, is that gram shared with at least one OTHER
+    * document? Per-source coverage rate + count of heavily-duplicated
+    * docs (≥20% of gram positions shared). This is the corpus-level
+    * substring-duplication signal behind exact-substring dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better") — distinct from q51 (pairwise Jaccard between
+    * candidate doc pairs) and q85 (repetition WITHIN a doc): a gram
+    * repeated only inside one doc does not count here (df counts
+    * DISTINCT docs).
+    *
+    * Scale design: the gram explosion is tokens-sized — the documented,
+    * irreducible cost of substring-level analysis — but every exploded
+    * row is (doc_id, source, 60-bit gram key), never gram text: grams
+    * hash to longs BEFORE the shuffle (md5-prefix, the q86 idiom —
+    * deterministic cross-engine, so the oracle groups identically;
+    * collisions are ~2⁻⁶⁰, and deterministic-identical in both
+    * engines). The df aggregate map-side combines on the gram key, and
+    * the grams⋈df join shuffles the cached gram rows by that same key.
+    * Docs under 8 tokens have no gram positions and
+    * are excluded (same stance as q85's len≥3). At 100 TB the gram⋈df
+    * join dominates; a production dedup would bloom-filter df≥2 keys
+    * first — the analysis form keeps the exact join the oracle can
+    * replay.
+    */
+  val q96 = Q(
+    "q96_dupgram_coverage",
+    (s, dir) => {
+      import s.implicits._
+      // tokenize ONCE behind a cache barrier: a lambda body referencing
+      // an un-materialized projected column gets the column's DEFINING
+      // EXPRESSION inlined by CollapseProject, so `slice(split(text))`
+      // would re-run split() per gram position (~tokens× redundant
+      // splits per doc) — the q45/q51 barrier lesson, applied to
+      // higher-order functions
+      val toks = docs(s, dir)
+        .select($"doc_id", $"source", split($"text", " ").as("tk"))
+        .filter(size($"tk") >= 8)
+        .cache()
+      val grams = toks
+        .select($"doc_id", $"source", explode(expr(
+          """transform(sequence(1, size(tk) - 7),
+            |  i -> cast(conv(substring(md5(
+            |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin))
+          .as("gh"))
+        // second barrier: the gram rows have two consumers (df aggregate
+        // + probe side of the join) — without it the explode and the
+        // per-gram md5s run twice. Columnar .cache(), not
+        // localCheckpoint: no layout dependence (both consumers
+        // re-shuffle by gh), and the compressed columnar form keeps the
+        // re-read in Tungsten.
+        .cache()
+      // scale note: a boilerplate gram in billions of docs makes gh a
+      // hot key — BOTH downstream uses stay safe: count(distinct) is
+      // planned as (gh, doc_id) partial groups before the per-gh count,
+      // and the gram⋈df equi-join is AQE-skew-splittable (a window
+      // count over gh would NOT be — one task per hot gram).
+      val dfreq = grams.groupBy($"gh").agg(countDistinct($"doc_id").as("df"))
+      val perDoc = grams.join(dfreq, Seq("gh"))
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("m"), count_if($"df" >= 2).as("ndup"))
+      perDoc.groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_if($"ndup" * 5 >= $"m").as("n_contaminated"),
+          sum($"ndup").as("n_dup_grams"),
+          sum($"m").as("n_grams"))
+        .withColumn("dup_rate", $"n_dup_grams" * 1.0 / $"n_grams")
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, source,
+      |         CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+      |  FROM (SELECT doc_id, source, t,
+      |               UNNEST(generate_series(1, len(t) - 7)) AS i
+      |        FROM tok WHERE len(t) >= 8)),
+      |dfreq AS (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+      |per_doc AS (
+      |  SELECT g.doc_id, g.source, COUNT(*) AS m,
+      |         COUNT(CASE WHEN dfreq.df >= 2 THEN 1 END) AS ndup
+      |  FROM g JOIN dfreq ON g.gh = dfreq.gh GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(CASE WHEN ndup * 5 >= m THEN 1 END) AS BIGINT) AS n_contaminated,
+      |       CAST(SUM(ndup) AS BIGINT) AS n_dup_grams,
+      |       CAST(SUM(m) AS BIGINT) AS n_grams,
+      |       CAST(SUM(ndup) AS DOUBLE) / SUM(m) AS dup_rate
+      |FROM per_doc GROUP BY source ORDER BY source""".stripMargin),
+    doc = "dedup: cross-doc repeated 8-gram coverage per source (exact-substring dedup signal)")
+
+  /** q97 — cross-source overlap matrix: for every pair of sources, how
+    * many distinct 8-token grams do they share? The corpus-forensics
+    * complement to q96 (which scores documents): a hot source pair
+    * means mirrored/syndicated content crossing source boundaries —
+    * exactly what inflates a source-stratified mixture (q89) and leaks
+    * held-out splits (q61/q83), so it is the first thing to audit
+    * before trusting per-source statistics.
+    *
+    * Scale design: ONE exchange, no join — each gram aggregates to its
+    * sorted distinct source set (`collect_set` partial buffers are
+    * capped at |sources| entries, so even a gram present in billions
+    * of docs combines map-side to ≤|sources| — a hot gram can never
+    * skew a task the way a self-join or per-gram window could), and
+    * unordered source pairs explode from the set: a gram shared by k
+    * sources costs k(k−1)/2 rows, bounded by the (small) source count,
+    * never by doc count. The final (src_a, src_b) aggregate is
+    * sources²-sized. Gram keys are the q96 md5-prefix longs — compact
+    * and deterministic cross-engine; the oracle states the equivalent
+    * distinct-(source,gram) self-join.
+    */
+  val q97 = Q(
+    "q97_cross_source_overlap",
+    (s, dir) => {
+      import s.implicits._
+      // same tokenize-once barrier as q96: without it the lambda's
+      // slice(tk, i, 8) re-runs split() per gram position
+      val toks = docs(s, dir)
+        .select($"source", split($"text", " ").as("tk"))
+        .filter(size($"tk") >= 8)
+        .cache()
+      val g = toks
+        .select($"source", explode(expr(
+          """transform(sequence(1, size(tk) - 7),
+            |  i -> cast(conv(substring(md5(
+            |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin))
+          .as("gh"))
+      g.groupBy($"gh")
+        .agg(sort_array(collect_set($"source")).as("ss"))
+        .filter(size($"ss") >= 2)
+        .select(explode(expr(
+          """flatten(transform(ss, (x, i) ->
+            |  transform(slice(ss, i + 2, size(ss)),
+            |    y -> named_struct('src_a', x, 'src_b', y))))""".stripMargin))
+          .as("p"))
+        .select($"p.src_a", $"p.src_b")
+        .groupBy($"src_a", $"src_b")
+        .agg(count(lit(1)).as("shared_grams"))
+        .orderBy($"src_a", $"src_b")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source,
+      |         CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+      |  FROM (SELECT doc_id, source, t,
+      |               UNNEST(generate_series(1, len(t) - 7)) AS i
+      |        FROM tok WHERE len(t) >= 8))
+      |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared_grams
+      |FROM g a JOIN g b ON a.gh = b.gh AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    doc = "forensics: cross-source shared-8-gram matrix (syndication / split-leak audit)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
-        q78, q83, q84, q85, q86, q88, q89, q90, q91, q94)
+        q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 94 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 94)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 94)
+  test("registry has 97 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 97)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 97)
   }
 
   test("every query has a DuckDB oracle") {
