@@ -63,6 +63,12 @@ import org.apache.spark.sql.functions._
   * re-register with `CREATE TABLE <name>_bands USING parquet ...
   * CLUSTERED BY (band_val) INTO <n> BUCKETS LOCATION ...` — the
   * layout on disk is plain bucketed (resp. pfx-partitioned) parquet.
+  *
+  * LAYOUT VERSIONING: an index created before the `_toks` split (token
+  * arrays then lived inside `_docs`) cannot be read or appended by this
+  * code — [[dedupBatch]] detects the missing `_toks` table and names
+  * the remedy (rebuild via [[create]] from the corpus). The same
+  * applies to a [[PfxCount]] change.
   */
 object BandIndex {
 
@@ -110,27 +116,36 @@ object BandIndex {
       xxhash64(lit(2), concat(col("m5"), col("m6"), col("m7"), col("m8")))))
       .as("band_val"))
 
+  /** The explicit `path` is passed ONLY when the table does not exist
+    * yet (first create): once registered, appends must follow the
+    * CATALOG location — after a [[compact]] the table points at a
+    * fresh generation directory, and re-passing the original path
+    * would make Spark reject the write with a location mismatch
+    * (every post-compaction append would fail).
+    */
   private def writeBucketed(df: DataFrame, table: String, dir: String,
-                            buckets: Int, bucketCol: String): Unit =
-    df.write
+                            buckets: Int, bucketCol: String): Unit = {
+    val w = df.write
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
-      .option("path", dir)
       .format("parquet")
       .mode("append")
-      .saveAsTable(table)
+    (if (df.sparkSession.catalog.tableExists(table)) w
+     else w.option("path", dir)).saveAsTable(table)
+  }
 
   /** `_toks` writer: repartition by pfx first so one append adds at
     * most [[PfxCount]] files (one task owns each prefix), not
-    * tasks×prefixes.
+    * tasks×prefixes. Same existing-table path rule as [[writeBucketed]].
     */
-  private def writeToks(df: DataFrame, table: String, dir: String): Unit =
-    df.repartition(col("pfx"))
+  private def writeToks(df: DataFrame, table: String, dir: String): Unit = {
+    val w = df.repartition(col("pfx"))
       .write
       .partitionBy("pfx")
-      .option("path", dir)
       .format("parquet")
       .mode("append")
-      .saveAsTable(table)
+    (if (df.sparkSession.catalog.tableExists(table)) w
+     else w.option("path", dir)).saveAsTable(table)
+  }
 
   /** Build the index from a corpus of (doc_id, text [, …]) — the ONE
     * time corpus text is tokenized.
@@ -191,6 +206,13 @@ object BandIndex {
     * `_toks` partition-prune list (class doc).
     */
   def dedupBatch(spark: SparkSession, batch: DataFrame, name: String): DataFrame = {
+    // layout guard: indexes created before the _toks split stored token
+    // arrays inside _docs; classifying against one would fail later
+    // with an opaque missing-table error (or, worse, a schema mismatch
+    // on append) — name the remedy up front
+    require(spark.catalog.tableExists(toksTable(name)),
+      s"band index '$name' has no ${toksTable(name)} table — it predates " +
+      "the _toks layout (or PfxCount changed); rebuild it with BandIndex.create")
     // batch tokenized once (three consumers below)
     val sigs = signatures(batch).localCheckpoint()
     val fps = spark.table(docsTable(name))
@@ -301,9 +323,11 @@ object BandIndex {
     * re-pointed via DROP + RENAME (external tables keep their
     * location through RENAME), then the old directory is deleted. A
     * crash mid-compact never loses data: before the DROP the live
-    * table is untouched; between DROP and RENAME a retry starts over
-    * from the temp table (dropped + rewritten); after RENAME only the
-    * orphaned old directory remains, re-deleted on retry or harmless.
+    * table is untouched; between DROP and RENAME the compacted
+    * generation is already complete under the temp name, and a retry
+    * RESUMES by finishing the rename (then sweeps any orphaned older
+    * generation directories); after RENAME only the orphaned old
+    * directory remains, re-deleted on retry or harmless.
     */
   def compact(spark: SparkSession, name: String, path: String,
               buckets: Int = 32): Unit = {
@@ -330,9 +354,22 @@ object BandIndex {
                            path: String,
                            write: (DataFrame, String, String) => Unit): Unit = {
     val catalog = spark.sessionState.catalog
+    val tmpTable = table + "__compacting"
+    // crash-window resume: a death between the DROP and the RENAME of a
+    // previous run leaves only the temp table, whose generation is
+    // complete (it was fully written before the DROP). Finish the swap
+    // instead of failing on the missing live table, then sweep older
+    // orphaned generation dirs (their exact names are unknowable here).
+    if (!spark.catalog.tableExists(table)) {
+      require(spark.catalog.tableExists(tmpTable),
+        s"compact resume: neither `$table` nor `$tmpTable` exists")
+      spark.sql(s"ALTER TABLE `$tmpTable` RENAME TO `$table`")
+      spark.catalog.refreshTable(table)
+      sweepOrphanGenerations(spark, table, path)
+      return
+    }
     val oldLoc = new org.apache.hadoop.fs.Path(
       catalog.getTableMetadata(TableIdentifier(table)).location)
-    val tmpTable = table + "__compacting"
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
     // fresh generation dir: path/<table>__g<epoch-nanos> — unique per
     // run, so neither a crashed compact's leftovers nor the previous
@@ -344,5 +381,26 @@ object BandIndex {
     spark.catalog.refreshTable(table)
     val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(oldLoc, true)
+  }
+
+  /** Delete every `<table>__g*` generation directory under `path`
+    * except the one the live table currently points at — the cleanup a
+    * crash-resumed [[compactTable]] owes (the normal path deletes its
+    * known old location directly).
+    */
+  private def sweepOrphanGenerations(spark: SparkSession, table: String,
+                                     path: String): Unit = {
+    val cur = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog
+        .getTableMetadata(TableIdentifier(table)).location).toUri.getPath
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val p = st.getPath
+      if (st.isDirectory && p.getName.startsWith(table + "__g") &&
+          p.toUri.getPath != cur)
+        fs.delete(p, true)
+    }
   }
 }

@@ -106,6 +106,11 @@ object CurationPipeline {
 
     val corpusDir = s"$workDir/corpus"
     val ckptDir = s"$workDir/ckpt"
+    // pre-create the sink dir: a crawl directory with no files yet
+    // (the from-scratch case) terminates AvailableNow with zero
+    // batches and nothing ever writes corpusDir — the read below
+    // must see an empty directory, not PATH_NOT_FOUND
+    new java.io.File(corpusDir).mkdirs()
     CorpusIngestJob.run(spark, srcDir, indexName, indexPath,
       corpusDir, ckptDir, buckets).awaitTermination()
 
@@ -118,19 +123,28 @@ object CurationPipeline {
     val kept = spark.read.schema(
         graft.Tables.schemas("documents").add("ingest_batch", "long"))
       .parquet(corpusDir)
-    val manifest = packSequences(selectByBudget(kept, budgetNum, budgetDen), block)
+    // budget rides along as a column (selectByBudget attached it), so
+    // the report needs NO second scoring scan of the corpus; text is
+    // projected away BEFORE the checkpoint materializes anything
+    val packed = packSequences(selectByBudget(kept, budgetNum, budgetDen), block)
       .select($"doc_id", $"source", $"m".as("n_tokens"), $"q".as("quality"),
-              $"seq_id", $"straddle")
+              $"seq_id", $"straddle", $"budget")
       .localCheckpoint() // one selection execution feeds sink + report
 
     val manifestPath = s"$workDir/manifest"
-    manifest.write.mode("overwrite").parquet(manifestPath)
+    packed.drop("budget").write.mode("overwrite").parquet(manifestPath)
 
-    val stats = manifest.agg(
+    val stats = packed.agg(
       count(lit(1)), coalesce(sum($"n_tokens"), lit(0L)),
-      coalesce(max($"seq_id"), lit(-1L)) + 1).head()
-    val budget = scoreQuality(kept)
-      .agg(coalesce(expr(s"sum(m) * $budgetNum div $budgetDen"), lit(0L))).head().getLong(0)
+      coalesce(max($"seq_id"), lit(-1L)) + 1, max($"budget")).head()
+    val budget =
+      if (stats.isNullAt(3))
+        // empty selection (empty corpus, or budget below the first
+        // doc): the rare edge where the scalar must be re-derived
+        scoreQuality(kept).agg(coalesce(
+          expr(s"sum(m) * $budgetNum div $budgetDen"), lit(0L)))
+          .head().getLong(0)
+      else stats.getLong(3)
     CurationReport(
       kept = kept.count(), selected = stats.getLong(0),
       selectedTokens = stats.getLong(1), tokenBudget = budget,

@@ -95,6 +95,10 @@ object Upsert {
               concat_ws("/", keys.map(k => col(k).cast("string")): _*))))
           .otherwise(col(effectiveCol)).as("__eff")) ++
           attrs.map(a => col(s"__u_$a")): _*)
+      // two consumers (the open-row join AND firstRows' anti-join):
+      // without this the updates scan + guard window would execute
+      // twice per merge. Same availability tradeoff as below.
+      .localCheckpoint()
     // localCheckpoint: three union branches read this join — without it
     // the key shuffle + scan would execute once per branch (the doc's
     // "one shuffle" claim would be false); checkpoint blocks are

@@ -123,13 +123,16 @@ object Fhir {
       val bundles = spark.read.option("multiLine", "true")
         .option("mode", "FAILFAST").schema(schema).json(path)
       // Load gate folded into the entry expression (see class doc): a
-      // well-formed document that is not a Bundle with entries fails
-      // the read rather than contributing 0 rows.
+      // well-formed document whose root is not a Bundle fails the read
+      // rather than contributing 0 rows. A Bundle with NO entry key is
+      // LEGAL (the R4 norm for a zero-match searchset / empty export
+      // page, total=0) — explode of the null array emits nothing, so
+      // the file contributes zero rows instead of killing the batch.
       val gatedEntries = when(
-        not(col("resourceType") <=> lit("Bundle")) || col("entry").isNull,
+        not(col("resourceType") <=> lit("Bundle")),
         raise_error(concat(
-          lit("FHIR load gate: file root is not a Bundle with entries "
-            + "(resourceType="), coalesce(col("resourceType"), lit("null")),
+          lit("FHIR load gate: file root is not a Bundle (resourceType="),
+          coalesce(col("resourceType"), lit("null")),
           lit(")"))).cast(entryType))
         .otherwise(col("entry"))
       bundles
@@ -142,10 +145,12 @@ object Fhir {
       // are null (explode_outer emits exactly one row for them).
       val parseSchema = StructType(schema.fields :+
         StructField(Formats.CorruptCol, StringType))
+      // entry-null is NOT bad: a Bundle without entries is the legal
+      // empty searchset/export page — it yields zero rows (the
+      // explode_outer row's null resource fails the type filter below)
       val bad =
         col(s"b.`${Formats.CorruptCol}`").isNotNull ||
-        not(col("b.resourceType") <=> lit("Bundle")) ||
-        col("b.entry").isNull
+        not(col("b.resourceType") <=> lit("Bundle"))
       spark.read.option("wholetext", "true").text(path)
         .select(from_json(col("value"), parseSchema, permissiveOpts).as("b"),
           col("value"))

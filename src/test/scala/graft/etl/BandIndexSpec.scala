@@ -221,6 +221,66 @@ class BandIndexSpec extends SparkSpec {
     assert(again === before)
   }
 
+  test("append keeps working after compaction (writes follow the catalog location)") {
+    // compaction re-points each table at a fresh generation directory;
+    // an append that re-passed the ORIGINAL path would be rejected by
+    // Spark with a location mismatch — every post-compaction append
+    // must follow the catalog, not the creation-time path
+    val name = "bidx_apc"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    BandIndex.compact(spark, name, path, buckets = 4)
+    BandIndex.append(spark,
+      Seq((2L, "post compact content")).toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    val flags = BandIndex.dedupBatch(spark,
+      Seq((10L, "post compact content"), (11L, "brand new words"))
+        .toDF("doc_id", "text"), name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(flags === Map(10L -> "exact", 11L -> "kept"))
+  }
+
+  test("compact resumes after a crash between DROP and RENAME") {
+    val name = "bidx_crs"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta"), (2L, bigDoc(false)))
+        .toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    val batch = Seq((10L, "alpha beta gamma delta"), (11L, "novel words"))
+      .toDF("doc_id", "text")
+    val before = BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // simulate the crash window: the live bands table is gone, the
+    // fully-written compacted generation sits under the temp name
+    spark.sql(s"ALTER TABLE `${BandIndex.bandsTable(name)}` " +
+      s"RENAME TO `${BandIndex.bandsTable(name)}__compacting`")
+    // the retry must finish the swap instead of failing on the missing
+    // live table, and classifications must be unchanged
+    BandIndex.compact(spark, name, path, buckets = 4)
+    val after = BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === before)
+  }
+
+  test("an index missing the _toks table is rejected with the rebuild remedy") {
+    val name = "bidx_old"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), name, path, buckets = 4)
+    spark.sql(s"DROP TABLE `${BandIndex.toksTable(name)}`")
+    val ex = intercept[IllegalArgumentException] {
+      BandIndex.dedupBatch(spark,
+        Seq((2L, "anything")).toDF("doc_id", "text"), name)
+    }
+    assert(ex.getMessage.contains("rebuild"))
+  }
+
   test("compactIfNeeded fires only above the file-count threshold") {
     val name = "bidx_cin"
     dropTables(name)

@@ -121,6 +121,19 @@ class PipelineSpec extends SparkSpec {
     assert(r.nSequences >= 1)
   }
 
+  test("curation stage bootstraps from an empty crawl directory (zero batches)") {
+    val name = "cur_idx_empty"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-empty")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, root.resolve("work").toString, buckets = 4)
+    assert(r.kept === 0 && r.selected === 0 && r.selectedTokens === 0)
+    assert(r.tokenBudget === 0 && r.nSequences === 0)
+  }
+
   test("readmission RCA matches a brute-force self-join oracle") {
     import spark.implicits._
     val enc = Pipeline.generateEncounters(spark, 50)

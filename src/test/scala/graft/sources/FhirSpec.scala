@@ -89,6 +89,19 @@ class FhirSpec extends SparkSpec {
     assert(rows(0).getAs[String](Formats.CorruptCol).contains("loose"))
   }
 
+  test("a legal empty Bundle (no entry key) yields zero rows, not a failure") {
+    // the R4 norm for a zero-match searchset: entry legally omitted
+    val dir = tmp("graft-fhir-empty")
+    Files.writeString(Path.of(dir, "empty.json"),
+      """{"resourceType": "Bundle", "type": "searchset", "total": 0}""")
+    assert(Fhir.readBundles(spark, dir, "Patient", Fhir.patientSchema)
+      .count() === 0)
+    // and in permissive mode it is NOT quarantined — it is a valid doc
+    val q = Fhir.readBundles(spark, dir, "Patient", Fhir.patientSchema,
+      failFast = false)
+    assert(q.count() === 0)
+  }
+
   test("failFast bundle read rejects malformed JSON; permissive quarantines") {
     val dir = tmp("graft-fhir-bad")
     Files.writeString(Path.of(dir, "good.json"), bundleJson)
