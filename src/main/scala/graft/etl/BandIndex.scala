@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *    per-append small files into one fresh layout-preserving
   *    generation (offline maintenance — not concurrent-safe with
   *    readers or appenders).
+  *  - [[remove]]: erase documents (takedown / right-to-be-forgotten) —
+  *    rewrite every table without the given ids, so the erased text's
+  *    derived data (token hashes, fingerprint, band keys) is gone and
+  *    a re-crawl of it classifies as kept again.
   *
   * Per-batch COST, precisely (an earlier revision of this doc
   * overclaimed): every Exchange is batch-sized — the exact semi-join
@@ -331,11 +335,44 @@ object BandIndex {
     */
   def compact(spark: SparkSession, name: String, path: String,
               buckets: Int = 32): Unit = {
-    compactTable(spark, bandsTable(name), path,
-      writeBucketed(_, _, _, buckets, "band_val"))
-    compactTable(spark, toksTable(name), path, writeToks)
-    compactTable(spark, docsTable(name), path,
-      writeBucketed(_, _, _, buckets, "fp"))
+    rewriteTable(spark, bandsTable(name), path,
+      writeBucketed(_, _, _, buckets, "band_val"), identity)
+    rewriteTable(spark, toksTable(name), path, writeToks, identity)
+    rewriteTable(spark, docsTable(name), path,
+      writeBucketed(_, _, _, buckets, "fp"), identity)
+  }
+
+  /** Erase documents from the index — the takedown / right-to-be-
+    * forgotten path. Deletion that stops at the corpus sink is not
+    * erasure: this index holds content-DERIVED data per doc (token
+    * hashes, an order-invariant fingerprint, MinHash band keys), and
+    * while any of it survives, a re-crawl of the erased text is
+    * classified as a duplicate of a document that officially no longer
+    * exists. `remove` rewrites each table WITHOUT the given ids
+    * through the same generation-swap machinery as [[compact]]
+    * (bucketing/partitioning preserved, crash-resumable), after which
+    * the erased doc's text classifies as `kept` again — exactly the
+    * forget-semantics erasure demands.
+    *
+    * `docIds` is a DataFrame with a `doc_id` column: the rewrite is an
+    * anti-join per table, so a million-doc takedown list scales the
+    * same as a ten-doc one (AQE broadcasts small lists). IDEMPOTENT —
+    * a crash mid-remove (some tables rewritten, some not) is completed
+    * by rerunning with the same ids; tables already cleansed anti-join
+    * to themselves. OFFLINE maintenance, same concurrency contract as
+    * [[compact]]. The token-richest table (`_toks`) rewrites first so
+    * the most content-derived data dies earliest.
+    */
+  def remove(spark: SparkSession, name: String, path: String,
+             docIds: DataFrame, buckets: Int = 32): Unit = {
+    val ids = docIds.select("doc_id").distinct().localCheckpoint()
+    def drop(df: DataFrame): DataFrame =
+      df.join(ids, Seq("doc_id"), "left_anti")
+    rewriteTable(spark, toksTable(name), path, writeToks, drop)
+    rewriteTable(spark, docsTable(name), path,
+      writeBucketed(_, _, _, buckets, "fp"), drop)
+    rewriteTable(spark, bandsTable(name), path,
+      writeBucketed(_, _, _, buckets, "band_val"), drop)
   }
 
   /** [[compact]] only when some table's data-file count exceeds
@@ -350,19 +387,26 @@ object BandIndex {
     pressed
   }
 
-  private def compactTable(spark: SparkSession, table: String,
+  /** Generation-swap rewrite of one table: write `transform(table)` to
+    * a fresh generation dir under a temp name, atomically re-point the
+    * live name, delete the old generation. Shared by [[compact]]
+    * (identity transform) and [[remove]] (anti-join transform).
+    */
+  private def rewriteTable(spark: SparkSession, table: String,
                            path: String,
-                           write: (DataFrame, String, String) => Unit): Unit = {
+                           write: (DataFrame, String, String) => Unit,
+                           transform: DataFrame => DataFrame): Unit = {
     val catalog = spark.sessionState.catalog
     val tmpTable = table + "__compacting"
     // crash-window resume: a death between the DROP and the RENAME of a
     // previous run leaves only the temp table, whose generation is
-    // complete (it was fully written before the DROP). Finish the swap
-    // instead of failing on the missing live table, then sweep older
-    // orphaned generation dirs (their exact names are unknowable here).
+    // complete (it was fully written — transform applied — before the
+    // DROP). Finish the swap instead of failing on the missing live
+    // table, then sweep older orphaned generation dirs (their exact
+    // names are unknowable here).
     if (!spark.catalog.tableExists(table)) {
       require(spark.catalog.tableExists(tmpTable),
-        s"compact resume: neither `$table` nor `$tmpTable` exists")
+        s"rewrite resume: neither `$table` nor `$tmpTable` exists")
       spark.sql(s"ALTER TABLE `$tmpTable` RENAME TO `$table`")
       spark.catalog.refreshTable(table)
       sweepOrphanGenerations(spark, table, path)
@@ -372,10 +416,10 @@ object BandIndex {
       catalog.getTableMetadata(TableIdentifier(table)).location)
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
     // fresh generation dir: path/<table>__g<epoch-nanos> — unique per
-    // run, so neither a crashed compact's leftovers nor the previous
+    // run, so neither a crashed rewrite's leftovers nor the previous
     // generation (which keeps its __g dir through RENAME) collide
     val genDir = s"$path/${table}__g${System.nanoTime()}"
-    write(spark.table(table), tmpTable, genDir)
+    write(transform(spark.table(table)), tmpTable, genDir)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmpTable` RENAME TO `$table`")
     spark.catalog.refreshTable(table)

@@ -281,6 +281,49 @@ class BandIndexSpec extends SparkSpec {
     assert(ex.getMessage.contains("rebuild"))
   }
 
+  test("remove erases a doc's derived data: its text classifies as kept again") {
+    val name = "bidx_rm"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta"), (2L, bigDoc(false)))
+        .toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta"), // exact of 1 (to be erased)
+      (11L, bigDoc(true))              // near of 2 (kept in the index)
+    ).toDF("doc_id", "text")
+    assert(BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(10L -> "exact", 11L -> "near"))
+
+    BandIndex.remove(spark, name, path,
+      Seq(1L).toDF("doc_id"), buckets = 4)
+
+    // the erased doc no longer suppresses its own text; the other doc
+    // still does — and the operation is idempotent
+    val after = BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === Map(10L -> "kept", 11L -> "near"))
+    BandIndex.remove(spark, name, path,
+      Seq(1L).toDF("doc_id"), buckets = 4)
+    assert(BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === after)
+    // no derived row of the erased doc survives anywhere
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name)).foreach { t =>
+      assert(spark.table(t).filter(col("doc_id") === 1L).count() === 0, t)
+    }
+    // the rewrite preserved the layout: appends still land (catalog
+    // location) and classify afterward
+    BandIndex.append(spark,
+      Seq((3L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    assert(BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(10L -> "exact", 11L -> "near"))
+  }
+
   test("compactIfNeeded fires only above the file-count threshold") {
     val name = "bidx_cin"
     dropTables(name)
