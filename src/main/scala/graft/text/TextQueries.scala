@@ -837,35 +837,49 @@ object TextQueries {
     * CTE — an entirely different algorithm, so agreement is strong
     * evidence of correctness.
     */
+  /** Connected-component labels over an undirected edge list: (node,
+    * lab) with lab = the component's minimum node id. Min-label
+    * propagation — each round is one shuffle on the node key; bounded
+    * by the graph diameter (near-dup graphs are shallow: chains longer
+    * than a handful of hops mean the threshold is too loose). Shared
+    * by q72 (cluster sizes) and q98 (leakage-proof splits).
+    */
+  private def componentLabels(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val sym = edges
+      .unionByName(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    var labels = edges
+      .select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
+      .withColumn("lab", $"node")
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 25, s"label propagation did not converge in 25 rounds")
+      val prop = labels.join(sym, labels("node") === sym("doc_a"))
+        .select($"doc_b".as("node"), $"lab")
+        .unionByName(labels)
+        .groupBy($"node").agg(min($"lab").as("lab"))
+        .localCheckpoint()
+      changed = prop.as("p")
+        .join(labels.as("o"), "node")
+        .filter($"p.lab" =!= $"o.lab")
+        .count()
+      labels = prop
+    }
+    labels
+  }
+
   val q72 = Q(
     "q72_dedup_components",
     (s, dir) => {
       import s.implicits._
       val edges = ngramJaccardPairs(s, dir, t = 0.8)
         .select($"doc_a", $"doc_b").cache()
-      val sym = edges
-        .unionByName(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      var labels = edges
-        .select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
-        .withColumn("lab", $"node")
-        .localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0) {
-        rounds += 1
-        require(rounds <= 25, s"label propagation did not converge in 25 rounds")
-        val prop = labels.join(sym, labels("node") === sym("doc_a"))
-          .select($"doc_b".as("node"), $"lab")
-          .unionByName(labels)
-          .groupBy($"node").agg(min($"lab").as("lab"))
-          .localCheckpoint()
-        changed = prop.as("p")
-          .join(labels.as("o"), "node")
-          .filter($"p.lab" =!= $"o.lab")
-          .count()
-        labels = prop
-      }
-      labels.groupBy($"lab".as("cluster_root"))
+      componentLabels(edges)
+        .groupBy($"lab".as("cluster_root"))
         .agg(count(lit(1)).as("cluster_size"))
         .orderBy($"cluster_root")
     },
@@ -1860,7 +1874,101 @@ object TextQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     doc = "forensics: cross-source shared-8-gram matrix (syndication / split-leak audit)")
 
+  /** q98 — leakage-proof train/test split: assign splits by near-dup
+    * CLUSTER, not by document, so no near-duplicate pair ever straddles
+    * the split boundary — the eval-hygiene step that makes held-out
+    * perplexity/benchmark numbers trustworthy (a doc-hash split leaks:
+    * a test doc's near-duplicate sits in train and the model has
+    * effectively seen the answer). Output compares both methods per
+    * split: `by_cluster` has crossing_edges ≡ 0 BY CONSTRUCTION (both
+    * endpoints of an edge share a component label, hence a split), and
+    * the `by_doc` rows show the leak a naive split would ship.
+    *
+    * Scale design: components via [[componentLabels]] (min-label
+    * propagation — one node-keyed shuffle per round, rounds bounded by
+    * the near-dup graph's diameter); singleton docs label themselves
+    * (left join + coalesce, no giant-component risk). Split assignment
+    * is a map-side md5 of the label (the deterministic cross-engine
+    * idiom — no rand(), stable under corpus growth). The crossing
+    * audit joins edges to assignments on doc keys (edge-cardinality);
+    * the final frame is 2 methods × 2 splits = 4 rows.
+    */
+  val q98 = Q(
+    "q98_leakproof_split",
+    (s, dir) => {
+      import s.implicits._
+      val edges = ngramJaccardPairs(s, dir, t = 0.8)
+        .select($"doc_a", $"doc_b").cache()
+      val labs = docs(s, dir).select($"doc_id")
+        .join(componentLabels(edges).withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"lab", $"doc_id").as("lab"))
+      def sp(c: String) = when(expr(
+        s"cast(conv(substring(md5(concat('sp98_', cast($c as string))), 1, 15), 16, 10) as bigint) % 10 < 8"),
+        "train").otherwise("test")
+      val assign = labs
+        .withColumn("cl_split", sp("lab"))
+        .withColumn("doc_split", sp("doc_id"))
+        .cache()
+      val ea = edges
+        .join(assign.select($"doc_id".as("doc_a"),
+          $"cl_split".as("ca"), $"doc_split".as("da")), Seq("doc_a"))
+        .join(assign.select($"doc_id".as("doc_b"),
+          $"cl_split".as("cb"), $"doc_split".as("db")), Seq("doc_b"))
+      val crossing = ea.agg(
+          count_if($"ca" =!= $"cb").as("bc"),
+          count_if($"da" =!= $"db").as("bd"))
+        .select(explode(map(
+          lit("by_cluster"), $"bc", lit("by_doc"), $"bd"))
+          .as(Seq("method", "crossing_edges")))
+      assign.select(lit("by_cluster").as("method"), $"doc_id",
+          $"cl_split".as("split"))
+        .unionByName(assign.select(lit("by_doc").as("method"), $"doc_id",
+          $"doc_split".as("split")))
+        .groupBy($"method", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("doc_checksum"))
+        .join(broadcast(crossing), Seq("method"))
+        .orderBy($"method", $"split")
+    },
+    Some(s"""WITH RECURSIVE $NgramPairsCtes,
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |closure(node, reach) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT c.node, s.b FROM closure c JOIN sym s ON s.a = c.reach),
+      |roots AS (SELECT node, MIN(reach) AS lab FROM closure GROUP BY node),
+      |labs AS (
+      |  SELECT d.doc_id, COALESCE(r.lab, d.doc_id) AS lab
+      |  FROM documents d LEFT JOIN roots r ON d.doc_id = r.node),
+      |assign AS (
+      |  SELECT doc_id, lab,
+      |    CASE WHEN CAST(('0x' || substr(md5('sp98_' || CAST(lab AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+      |      THEN 'train' ELSE 'test' END AS cl_split,
+      |    CASE WHEN CAST(('0x' || substr(md5('sp98_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+      |      THEN 'train' ELSE 'test' END AS doc_split
+      |  FROM labs),
+      |crossing AS (
+      |  SELECT 'by_cluster' AS method,
+      |         CAST(COUNT(CASE WHEN x.cl_split <> y.cl_split THEN 1 END) AS BIGINT) AS crossing_edges
+      |  FROM pairs p JOIN assign x ON p.doc_a = x.doc_id
+      |                JOIN assign y ON p.doc_b = y.doc_id
+      |  UNION ALL
+      |  SELECT 'by_doc',
+      |         CAST(COUNT(CASE WHEN x.doc_split <> y.doc_split THEN 1 END) AS BIGINT)
+      |  FROM pairs p JOIN assign x ON p.doc_a = x.doc_id
+      |                JOIN assign y ON p.doc_b = y.doc_id),
+      |msplit AS (
+      |  SELECT 'by_cluster' AS method, doc_id, cl_split AS split FROM assign
+      |  UNION ALL SELECT 'by_doc', doc_id, doc_split FROM assign)
+      |SELECT m.method, m.split, COUNT(*) AS n_docs,
+      |       CAST(SUM(m.doc_id) AS BIGINT) AS doc_checksum,
+      |       MIN(c.crossing_edges) AS crossing_edges
+      |FROM msplit m JOIN crossing c ON m.method = c.method
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    doc = "training: leakage-proof split by near-dup cluster (crossing edges 0 vs doc-hash leak)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
-        q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97)
+        q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 97 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 97)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 97)
+  test("registry has 98 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 98)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 98)
   }
 
   test("every query has a DuckDB oracle") {
