@@ -50,7 +50,9 @@ object PlanDump {
     "q96_dupgram_coverage" ->
       "Substring-dup coverage: 8-gram positions hash to 60-bit longs BEFORE the explode output shuffles (never gram text); df aggregate map-side combines on the key; gram⋈df equi-join reuses the same partitioning.",
     "q97_cross_source_overlap" ->
-      "Cross-source overlap: ONE gram-key exchange into a bounded collect_set (partial buffers ≤ |sources| — hot grams combine map-side, no skew), pairs exploded from the sorted set (≤ sources²/2 per gram), no join.")
+      "Cross-source overlap: ONE gram-key exchange into a bounded collect_set (partial buffers ≤ |sources| — hot grams combine map-side, no skew), pairs exploded from the sorted set (≤ sources²/2 per gram), no join.",
+    "q98_leakproof_split" ->
+      "Leakage-proof split: bounded-round min-label propagation (node-keyed shuffles), map-side md5 split assignment of the cluster label, edge-cardinality crossing audit — by_cluster crossing_edges ≡ 0 by construction.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
