@@ -210,13 +210,20 @@ object BandIndex {
     * `_toks` partition-prune list (class doc).
     */
   def dedupBatch(spark: SparkSession, batch: DataFrame, name: String): DataFrame = {
-    // layout guard: indexes created before the _toks split stored token
-    // arrays inside _docs; classifying against one would fail later
-    // with an opaque missing-table error (or, worse, a schema mismatch
-    // on append) — name the remedy up front
+    // layout guard: a missing _toks table means either a rewrite
+    // (compact/remove) crashed mid-swap — the remedy is to RESUME it,
+    // never to re-create (create's append mode would double every
+    // band/fp row in the surviving tables) — or the index predates the
+    // _toks split / a PfxCount change and needs a rebuild. Name the
+    // right remedy for the state found.
     require(spark.catalog.tableExists(toksTable(name)),
-      s"band index '$name' has no ${toksTable(name)} table — it predates " +
-      "the _toks layout (or PfxCount changed); rebuild it with BandIndex.create")
+      if (spark.catalog.tableExists(toksTable(name) + "__compacting"))
+        s"band index '$name': a compact/remove crashed mid-swap on " +
+        s"${toksTable(name)} — rerun BandIndex.compact (or the " +
+        "interrupted remove) to resume; do NOT re-create"
+      else
+        s"band index '$name' has no ${toksTable(name)} table — it predates " +
+        "the _toks layout (or PfxCount changed); rebuild it with BandIndex.create")
     // batch tokenized once (three consumers below)
     val sigs = signatures(batch).localCheckpoint()
     val fps = spark.table(docsTable(name))
@@ -366,6 +373,15 @@ object BandIndex {
   def remove(spark: SparkSession, name: String, path: String,
              docIds: DataFrame, buckets: Int = 32): Unit = {
     val ids = docIds.select("doc_id").distinct().localCheckpoint()
+    // no-op probe: `_bands` is rewritten LAST, so ids absent from it
+    // mean every prior remove completed all three tables — reruns and
+    // never-indexed takedown lists cost one semi-join, not three
+    // full-table rewrites. A missing/mid-swap bands table skips the
+    // probe: the rewrites below must run to resume.
+    if (spark.catalog.tableExists(bandsTable(name)) &&
+        spark.table(bandsTable(name))
+          .join(ids, Seq("doc_id"), "left_semi").isEmpty)
+      return
     def drop(df: DataFrame): DataFrame =
       df.join(ids, Seq("doc_id"), "left_anti")
     rewriteTable(spark, toksTable(name), path, writeToks, drop)
@@ -389,8 +405,19 @@ object BandIndex {
 
   /** Generation-swap rewrite of one table: write `transform(table)` to
     * a fresh generation dir under a temp name, atomically re-point the
-    * live name, delete the old generation. Shared by [[compact]]
+    * live name, sweep superseded generations. Shared by [[compact]]
     * (identity transform) and [[remove]] (anti-join transform).
+    *
+    * Crash windows, all healed by re-running ANY rewrite of the table:
+    * a death after the tmp write but before the DROP leaves an orphan
+    * generation dir the normal path's sweep deletes next time
+    * (DROP TABLE IF EXISTS removes only the external tmp's catalog
+    * entry, never its files); a death between DROP and RENAME leaves
+    * only the tmp table — the resume branch finishes the swap and then
+    * FALLS THROUGH to the normal rewrite, because the resumed
+    * generation carries the CRASHED run's transform, not this call's:
+    * returning early would let a pending [[remove]] report success
+    * while the ids' derived rows survive.
     */
   private def rewriteTable(spark: SparkSession, table: String,
                            path: String,
@@ -398,22 +425,13 @@ object BandIndex {
                            transform: DataFrame => DataFrame): Unit = {
     val catalog = spark.sessionState.catalog
     val tmpTable = table + "__compacting"
-    // crash-window resume: a death between the DROP and the RENAME of a
-    // previous run leaves only the temp table, whose generation is
-    // complete (it was fully written — transform applied — before the
-    // DROP). Finish the swap instead of failing on the missing live
-    // table, then sweep older orphaned generation dirs (their exact
-    // names are unknowable here).
     if (!spark.catalog.tableExists(table)) {
       require(spark.catalog.tableExists(tmpTable),
         s"rewrite resume: neither `$table` nor `$tmpTable` exists")
       spark.sql(s"ALTER TABLE `$tmpTable` RENAME TO `$table`")
       spark.catalog.refreshTable(table)
-      sweepOrphanGenerations(spark, table, path)
-      return
+      // no return: this call's transform still has to apply (below)
     }
-    val oldLoc = new org.apache.hadoop.fs.Path(
-      catalog.getTableMetadata(TableIdentifier(table)).location)
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
     // fresh generation dir: path/<table>__g<epoch-nanos> — unique per
     // run, so neither a crashed rewrite's leftovers nor the previous
@@ -423,14 +441,15 @@ object BandIndex {
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmpTable` RENAME TO `$table`")
     spark.catalog.refreshTable(table)
-    val fs = oldLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(oldLoc, true)
+    sweepOrphanGenerations(spark, table, path)
   }
 
-  /** Delete every `<table>__g*` generation directory under `path`
-    * except the one the live table currently points at — the cleanup a
-    * crash-resumed [[compactTable]] owes (the normal path deletes its
-    * known old location directly).
+  /** Delete every superseded generation of `table` under `path` — the
+    * `<table>__g*` dirs AND the create-time `path/<table>` dir — except
+    * the one the live table currently points at. Runs after every
+    * [[rewriteTable]] swap, so orphans from crashed runs (whose exact
+    * names are unknowable at resume time) are reclaimed on the next
+    * successful rewrite rather than leaking erased data forever.
     */
   private def sweepOrphanGenerations(spark: SparkSession, table: String,
                                      path: String): Unit = {
@@ -442,7 +461,8 @@ object BandIndex {
     if (!fs.exists(root)) return
     fs.listStatus(root).foreach { st =>
       val p = st.getPath
-      if (st.isDirectory && p.getName.startsWith(table + "__g") &&
+      if (st.isDirectory &&
+          (p.getName == table || p.getName.startsWith(table + "__g")) &&
           p.toUri.getPath != cur)
         fs.delete(p, true)
     }

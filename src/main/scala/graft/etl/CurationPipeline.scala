@@ -109,8 +109,11 @@ object CurationPipeline {
     // pre-create the sink dir: a crawl directory with no files yet
     // (the from-scratch case) terminates AvailableNow with zero
     // batches and nothing ever writes corpusDir — the read below
-    // must see an empty directory, not PATH_NOT_FOUND
-    new java.io.File(corpusDir).mkdirs()
+    // must see an empty directory, not PATH_NOT_FOUND. Through the
+    // Hadoop FS API, not java.io.File: workDir may be s3a://.../hdfs
+    val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+    corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(corpusPath)
     CorpusIngestJob.run(spark, srcDir, indexName, indexPath,
       corpusDir, ckptDir, buckets).awaitTermination()
 

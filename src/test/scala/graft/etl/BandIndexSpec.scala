@@ -267,6 +267,30 @@ class BandIndexSpec extends SparkSpec {
     assert(after === before)
   }
 
+  test("a crashed swap does not swallow a pending remove's transform") {
+    // crash window between DROP and RENAME (here on _bands), then a
+    // REMOVE arrives: the resume must finish the old swap AND still
+    // apply this call's anti-join — an early return would let the
+    // takedown report success while the erased doc's band rows survive
+    val name = "bidx_crm"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta"), (2L, bigDoc(false)))
+        .toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    spark.sql(s"ALTER TABLE `${BandIndex.bandsTable(name)}` " +
+      s"RENAME TO `${BandIndex.bandsTable(name)}__compacting`")
+    BandIndex.remove(spark, name, path, Seq(1L).toDF("doc_id"), buckets = 4)
+    assert(spark.table(BandIndex.bandsTable(name))
+      .filter(col("doc_id") === 1L).count() === 0)
+    val flags = BandIndex.dedupBatch(spark,
+      Seq((10L, "alpha beta gamma delta"), (11L, bigDoc(true)))
+        .toDF("doc_id", "text"), name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(flags === Map(10L -> "kept", 11L -> "near"))
+  }
+
   test("an index missing the _toks table is rejected with the rebuild remedy") {
     val name = "bidx_old"
     dropTables(name)
