@@ -423,7 +423,6 @@ object BandIndex {
                            path: String,
                            write: (DataFrame, String, String) => Unit,
                            transform: DataFrame => DataFrame): Unit = {
-    val catalog = spark.sessionState.catalog
     val tmpTable = table + "__compacting"
     if (!spark.catalog.tableExists(table)) {
       require(spark.catalog.tableExists(tmpTable),
