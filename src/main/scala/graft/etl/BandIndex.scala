@@ -24,8 +24,17 @@ import org.apache.spark.sql.functions._
   *    the index is appended to, never rebuilt.
   *  - [[compact]] / [[compactIfNeeded]]: rewrite a table's accumulated
   *    per-append small files into one fresh layout-preserving
-  *    generation (offline maintenance — not concurrent-safe with
-  *    readers or appenders).
+  *    generation (offline maintenance — the lease below keeps readers
+  *    and appenders out while it runs).
+  *
+  * MAINTENANCE LEASE: compact/remove (and [[graft.etl.Erasure.erase]])
+  * hold `<path>/_maintenance_lease` for their duration; [[append]] and
+  * [[dedupBatch]] throw [[ConcurrentMaintenanceException]] while it is
+  * on file, so an append can never write into a generation directory a
+  * concurrent swap is about to sweep. A crashed holder's lease goes
+  * stale after its TTL and the next maintenance run takes it over
+  * (appenders stay blocked until then — rerunning the interrupted op
+  * is the recovery, [[breakLease]] the operator override).
   *  - [[remove]]: erase documents (takedown / right-to-be-forgotten) —
   *    rewrite every table without the given ids, so the erased text's
   *    derived data (token hashes, fingerprint, band keys) is gone and
@@ -77,6 +86,153 @@ import org.apache.spark.sql.functions._
 object BandIndex {
 
   private val Threshold = 0.99
+
+  /** Raised when an index operation runs into the offline-maintenance
+    * lease — an append/classify while compact/remove/erase holds it, or
+    * a second maintenance op racing a live one. The message names the
+    * holder and the remedy; callers (a streaming ingest loop above all)
+    * should treat it as "retry after maintenance", never swallow it.
+    */
+  final class ConcurrentMaintenanceException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** The maintenance lease: op name, wall-clock acquisition time, TTL.
+    * Stored as one line (`op|acquiredAtMs|ttlMs`) in
+    * `<path>/_maintenance_lease`. Wall-clock staleness is the standard
+    * lease compromise: a crashed holder's lease expires instead of
+    * blocking forever, at the cost that a PAUSED holder (GC, VM
+    * migration) longer than the TTL could be taken over — size `ttlMs`
+    * to an upper bound of the maintenance op's duration.
+    */
+  final case class Lease(op: String, acquiredAtMs: Long, ttlMs: Long) {
+    def staleAt(nowMs: Long): Boolean = nowMs >= acquiredAtMs + ttlMs
+  }
+
+  /** Default lease TTL — one hour covers a full-index rewrite at any
+    * scale this code has seen; raise per-call for petabyte compactions.
+    */
+  val DefaultLeaseTtlMs: Long = 60L * 60 * 1000
+
+  private val LeaseFileName = "_maintenance_lease"
+
+  private def hadoopPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def leasePath(path: String) =
+    new org.apache.hadoop.fs.Path(path, LeaseFileName)
+
+  /** The lease currently on file, if any. A half-written/unparsable
+    * lease file (crash inside acquire) reads as an already-stale lease
+    * of unknown op: appenders still fail fast on it, and the next
+    * maintenance run takes it over.
+    */
+  def readLease(spark: SparkSession, path: String): Option[Lease] = {
+    val p = leasePath(path)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    text.split('|') match {
+      case Array(op, at, ttl) if at.forall(_.isDigit) && ttl.forall(_.isDigit) =>
+        Some(Lease(op, at.toLong, ttl.toLong))
+      case _ => Some(Lease("unknown", 0L, 0L))
+    }
+  }
+
+  /** Operator override: drop the lease without running maintenance.
+    * ONLY for a lease whose holder is known dead before its TTL — a
+    * break while the holder still runs re-opens the silent-sweep race
+    * the lease exists to close.
+    */
+  def breakLease(spark: SparkSession, path: String): Unit = {
+    val p = leasePath(path)
+    fsOf(spark, p).delete(p, false)
+  }
+
+  /** Take the maintenance lease or fail fast. A fresh lease means
+    * another maintenance op is (probably) live → named error; a stale
+    * one is a crashed holder → takeover. The create(overwrite=false)
+    * makes two racing acquirers on the same filesystem serialize on
+    * file creation (best-effort on stores without atomic create).
+    */
+  private[etl] def acquireLease(spark: SparkSession, path: String, op: String,
+                                ttlMs: Long): Unit = {
+    val now = System.currentTimeMillis()
+    readLease(spark, path).foreach { l =>
+      if (!l.staleAt(now))
+        throw new ConcurrentMaintenanceException(
+          s"maintenance lease at $path is held by '${l.op}' (expires in " +
+          s"${(l.acquiredAtMs + l.ttlMs - now) / 1000}s) — wait for it to " +
+          "finish; if its holder crashed, wait for expiry or call " +
+          "BandIndex.breakLease")
+      // stale: crashed holder — take over
+      breakLease(spark, path)
+    }
+    val p = leasePath(path)
+    val out =
+      try fsOf(spark, p).create(p, false)
+      catch { case _: java.io.IOException =>
+        throw new ConcurrentMaintenanceException(
+          s"maintenance lease at $path was acquired concurrently — retry")
+      }
+    try out.write(s"$op|$now|$ttlMs".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fail fast when a maintenance lease is on file — the guard
+    * [[append]] and [[dedupBatch]] run so an append can never race a
+    * generation swap into a directory the swap then sweeps (silent
+    * data loss), and a classify can never read a half-removed index.
+    * A STALE lease still blocks: the crashed op may have left tables
+    * mid-swap, and the safe order is finish-the-maintenance-first
+    * (rerun it — it takes the stale lease over and releases it).
+    */
+  private[etl] def assertNoMaintenance(spark: SparkSession, path: String,
+                                       action: String): Unit =
+    readLease(spark, path).foreach { l =>
+      val msg =
+        if (!l.staleAt(System.currentTimeMillis()))
+          s"cannot $action: offline maintenance '${l.op}' holds the lease " +
+          s"at $path — retry after it completes"
+        else
+          s"cannot $action: maintenance '${l.op}' crashed holding the lease " +
+          s"at $path — rerun the interrupted op (compact / remove / " +
+          "Erasure.erase take over a stale lease and release it), or " +
+          "BandIndex.breakLease if certain nothing is mid-swap"
+      throw new ConcurrentMaintenanceException(msg)
+    }
+
+  /** Run `body` under the maintenance lease; released on success only.
+    * A failed run LEAVES the lease on file — the index may be mid-swap,
+    * so appenders must stay blocked until the op is rerun (stale
+    * takeover) or an operator breaks the lease deliberately.
+    */
+  private[etl] def withLease[T](spark: SparkSession, path: String, op: String,
+                                ttlMs: Long)(body: => T): T = {
+    acquireLease(spark, path, op, ttlMs)
+    val r = body
+    breakLease(spark, path)
+    r
+  }
+
+  /** Root directory the lease lives under, derived from the catalog for
+    * callers that don't carry `path` ([[dedupBatch]]): every generation
+    * dir `<path>/<table>[__g*]` is a direct child of the index root, so
+    * the live table location's parent IS the root.
+    */
+  private def leaseRootOf(spark: SparkSession, name: String): Option[String] =
+    (Seq(bandsTable(name), docsTable(name), toksTable(name))
+      .flatMap(t => Seq(t, t + "__compacting")))
+      .find(spark.catalog.tableExists)
+      .map { t =>
+        new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog
+            .getTableMetadata(TableIdentifier(t)).location)
+          .getParent.toString
+      }
 
   /** Partition count of the `_toks` table — the verify-scan prune
     * granularity. Fixed per index: create/append/read must agree, so
@@ -198,6 +354,7 @@ object BandIndex {
     */
   def append(spark: SparkSession, docs: DataFrame, name: String,
              path: String, buckets: Int = 32): Unit = {
+    assertNoMaintenance(spark, path, s"append to band index '$name'")
     create(spark, docs, name, path, buckets)
     Seq(docsTable(name), bandsTable(name), toksTable(name))
       .foreach(spark.catalog.refreshTable)
@@ -210,6 +367,11 @@ object BandIndex {
     * `_toks` partition-prune list (class doc).
     */
   def dedupBatch(spark: SparkSession, batch: DataFrame, name: String): DataFrame = {
+    // maintenance guard: classifying against an index mid-generation-swap
+    // (or mid-remove) would silently mis-flag; the lease root is derived
+    // from the catalog since this entry point carries no path
+    leaseRootOf(spark, name)
+      .foreach(assertNoMaintenance(spark, _, s"classify against band index '$name'"))
     // layout guard: a missing _toks table means either a rewrite
     // (compact/remove) crashed mid-swap — the remedy is to RESUME it,
     // never to re-create (create's append mode would double every
@@ -327,8 +489,12 @@ object BandIndex {
     * per bucket, and this folds them back to one file per bucket /
     * prefix.
     *
-    * OFFLINE maintenance: not concurrent-safe with readers or
-    * appenders (run it between streaming restarts). Per table:
+    * OFFLINE maintenance, ENFORCED by the maintenance lease: this op
+    * takes `<path>/_maintenance_lease` for its duration, and
+    * [[append]]/[[dedupBatch]] fail fast with
+    * [[ConcurrentMaintenanceException]] while it is on file — an
+    * append can no longer race a generation swap into a directory the
+    * swap then sweeps. Run it between streaming restarts. Per table:
     * compacted data is written to a NEW generation directory as a
     * temporary catalog table, the live table name is atomically
     * re-pointed via DROP + RENAME (external tables keep their
@@ -341,7 +507,17 @@ object BandIndex {
     * directory remains, re-deleted on retry or harmless.
     */
   def compact(spark: SparkSession, name: String, path: String,
-              buckets: Int = 32): Unit = {
+              buckets: Int = 32,
+              leaseTtlMs: Long = DefaultLeaseTtlMs): Unit =
+    withLease(spark, path, "compact", leaseTtlMs) {
+      compactUnderLease(spark, name, path, buckets)
+    }
+
+  /** [[compact]] body, lease already held — for composed maintenance
+    * ops ([[graft.etl.Erasure]]) that take one lease across steps.
+    */
+  private[etl] def compactUnderLease(spark: SparkSession, name: String,
+                                     path: String, buckets: Int): Unit = {
     rewriteTable(spark, bandsTable(name), path,
       writeBucketed(_, _, _, buckets, "band_val"), identity)
     rewriteTable(spark, toksTable(name), path, writeToks, identity)
@@ -366,22 +542,47 @@ object BandIndex {
     * same as a ten-doc one (AQE broadcasts small lists). IDEMPOTENT —
     * a crash mid-remove (some tables rewritten, some not) is completed
     * by rerunning with the same ids; tables already cleansed anti-join
-    * to themselves. OFFLINE maintenance, same concurrency contract as
+    * to themselves. OFFLINE maintenance, lease-enforced like
     * [[compact]]. The token-richest table (`_toks`) rewrites first so
     * the most content-derived data dies earliest.
+    *
+    * Returns true when table rewrites ran, false when the no-op probe
+    * found nothing to remove — callers composing a takedown report
+    * ([[graft.etl.Erasure]]) can distinguish "cleaned the index" from
+    * "already clean".
     */
   def remove(spark: SparkSession, name: String, path: String,
-             docIds: DataFrame, buckets: Int = 32): Unit = {
+             docIds: DataFrame, buckets: Int = 32,
+             leaseTtlMs: Long = DefaultLeaseTtlMs): Boolean =
+    withLease(spark, path, "remove", leaseTtlMs) {
+      removeUnderLease(spark, name, path, docIds, buckets)
+    }
+
+  /** [[remove]] body, lease already held (see [[compactUnderLease]]). */
+  private[etl] def removeUnderLease(spark: SparkSession, name: String,
+                                    path: String, docIds: DataFrame,
+                                    buckets: Int): Boolean = {
     val ids = docIds.select("doc_id").distinct().localCheckpoint()
     // no-op probe: `_bands` is rewritten LAST, so ids absent from it
     // mean every prior remove completed all three tables — reruns and
     // never-indexed takedown lists cost one semi-join, not three
-    // full-table rewrites. A missing/mid-swap bands table skips the
-    // probe: the rewrites below must run to resume.
-    if (spark.catalog.tableExists(bandsTable(name)) &&
+    // full-table rewrites. The shortcut is DISABLED while any table is
+    // mid-swap (__compacting): the rewrites below must run to resume.
+    // And before returning, sweep orphan generations of all three
+    // tables (a cheap directory listing): a prior remove that crashed
+    // between its final swap and its sweep left a superseded generation
+    // dir — still holding the erased docs' derived rows — that the
+    // documented rerun-recovery would otherwise never reclaim.
+    val midSwap = Seq(bandsTable(name), docsTable(name), toksTable(name))
+      .exists(t => spark.catalog.tableExists(t + "__compacting"))
+    if (!midSwap && spark.catalog.tableExists(bandsTable(name)) &&
         spark.table(bandsTable(name))
-          .join(ids, Seq("doc_id"), "left_semi").isEmpty)
-      return
+          .join(ids, Seq("doc_id"), "left_semi").isEmpty) {
+      Seq(bandsTable(name), docsTable(name), toksTable(name))
+        .filter(spark.catalog.tableExists)
+        .foreach(sweepOrphanGenerations(spark, _, path))
+      return false
+    }
     def drop(df: DataFrame): DataFrame =
       df.join(ids, Seq("doc_id"), "left_anti")
     rewriteTable(spark, toksTable(name), path, writeToks, drop)
@@ -389,6 +590,7 @@ object BandIndex {
       writeBucketed(_, _, _, buckets, "fp"), drop)
     rewriteTable(spark, bandsTable(name), path,
       writeBucketed(_, _, _, buckets, "band_val"), drop)
+    true
   }
 
   /** [[compact]] only when some table's data-file count exceeds
@@ -396,10 +598,11 @@ object BandIndex {
     * Returns true when a compaction ran.
     */
   def compactIfNeeded(spark: SparkSession, name: String, path: String,
-                      buckets: Int = 32, maxFiles: Long = 512): Boolean = {
+                      buckets: Int = 32, maxFiles: Long = 512,
+                      leaseTtlMs: Long = DefaultLeaseTtlMs): Boolean = {
     val pressed = Seq(docsTable(name), bandsTable(name), toksTable(name))
       .exists(dataFileCount(spark, _) > maxFiles)
-    if (pressed) compact(spark, name, path, buckets)
+    if (pressed) compact(spark, name, path, buckets, leaseTtlMs)
     pressed
   }
 
@@ -432,10 +635,14 @@ object BandIndex {
       // no return: this call's transform still has to apply (below)
     }
     spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
-    // fresh generation dir: path/<table>__g<epoch-nanos> — unique per
-    // run, so neither a crashed rewrite's leftovers nor the previous
-    // generation (which keeps its __g dir through RENAME) collide
-    val genDir = s"$path/${table}__g${System.nanoTime()}"
+    // fresh generation dir: path/<table>__g<epoch-millis>_<uuid8> — the
+    // random suffix (not a clock alone: nanoTime resets across reboots,
+    // millis can repeat under clock skew) guarantees neither a crashed
+    // rewrite's leftovers nor the previous generation (which keeps its
+    // __g dir through RENAME) collide, so append-mode saveAsTable can
+    // never register over a directory holding stale parquet
+    val genDir = s"$path/${table}__g${System.currentTimeMillis()}_" +
+      java.util.UUID.randomUUID().toString.take(8)
     write(transform(spark.table(table)), tmpTable, genDir)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmpTable` RENAME TO `$table`")

@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** End-to-end document erasure — the takedown / right-to-be-forgotten
-  * workflow across BOTH stores a curated corpus lives in: the parquet
+  * workflow across EVERY store a curated corpus lives in: the parquet
   * sink ([[graft.streaming.CorpusIngestJob]]'s output, partitioned by
-  * `ingest_batch`) and the derived [[BandIndex]]. The reference's
-  * compliance posture (PII masking, encryption, audit) implies
-  * deletion must reach derived data too; for an LLM corpus this is
-  * the standard takedown path.
+  * `ingest_batch`), the derived [[BandIndex]], and the
+  * [[CurationPipeline]] manifest (which retains erased doc ids plus
+  * their derived metadata — token counts, quality scores, packing
+  * positions — a third derived store deletion must reach). The
+  * reference's compliance posture (PII masking, encryption, audit)
+  * implies deletion must reach derived data too; for an LLM corpus
+  * this is the standard takedown path.
   *
   * Scale design of the sink rewrite: erasing k docs from a corpus of
   * N batches rewrites ONLY the partitions that contain them — a
@@ -23,11 +26,35 @@ import org.apache.spark.sql.functions._
   * partitions present in the written data, so an emptied partition
   * must be removed explicitly or its files would survive).
   *
+  * The manifest rewrite is FILE-granular (the manifest is flat
+  * parquet, no partition column): `_metadata.file_path` + a semi-join
+  * find the files holding erased rows — everything else is untouched,
+  * byte-for-byte — and a staged two-phase commit (stage survivors →
+  * persist the delete plan → delete affected, move staged in) makes a
+  * crash at any point resumable by rerunning. Sequence RE-numbering is
+  * explicitly out of scope: erased docs leave holes in the packed
+  * seq_id space, and a neighbor's `straddle` flag still describes the
+  * layout at pack time — re-pack (rerun the pipeline's pack stage) when
+  * contiguous sequences matter.
+  *
   * Idempotent: re-running with the same ids finds no affected
-  * partitions and is a no-op. OFFLINE, like [[BandIndex.remove]] —
-  * not concurrent-safe with an active ingest stream.
+  * partitions/files and reports zeros. OFFLINE maintenance — [[erase]]
+  * holds the [[BandIndex]] maintenance lease for its whole duration,
+  * so a concurrent ingest append fails fast instead of racing the
+  * index rewrite.
   */
 object Erasure {
+
+  /** What one [[erase]] invocation actually did. A rerun that finishes
+    * a crashed takedown can legitimately report `corpusRowsErased = 0`
+    * with `indexRewriteRan = true` (the corpus was cleansed by the
+    * crashed run; this run completed the index) — auditors should sum
+    * `corpusRowsErased` across attempts, and treat all-zeros +
+    * `indexRewriteRan = false` as "ids were never present".
+    */
+  final case class EraseReport(corpusRowsErased: Long,
+                               manifestRowsErased: Long,
+                               indexRewriteRan: Boolean)
 
   /** Remove `docIds` rows from the partitioned corpus sink. Returns
     * the number of docs actually erased.
@@ -65,17 +92,121 @@ object Erasure {
     erased
   }
 
-  /** Full takedown: erase from the corpus sink AND the band index, in
-    * that order (the sink holds the text itself — the most sensitive
-    * artifact dies first; the index holds only derived hashes and is
-    * cleansed by the idempotent [[BandIndex.remove]], resumable on
-    * failure by re-running).
+  private val StagingName = "_erase_staging"
+  private val PlanName = "_delete_plan"
+
+  /** Remove `docIds` rows from a flat-parquet manifest (the
+    * [[CurationPipeline]] output, or any unpartitioned parquet store of
+    * per-doc metadata). Only the FILES containing erased rows are
+    * rewritten; every other file is untouched on disk. Returns the
+    * number of rows erased.
+    *
+    * Crash safety is a staged commit under `<dir>/_erase_staging`:
+    *   1. survivors of the affected files are written to the staging
+    *      dir (overwrite mode — a rerun of a crash here restarts clean);
+    *   2. the affected-file list is persisted as the delete plan — the
+    *      COMMIT POINT;
+    *   3. commit: delete planned files, move staged part files into the
+    *      manifest, drop the staging dir.
+    * Every entry point first resumes a planned-but-uncommitted erase
+    * (plan present → re-run commit, each step idempotent) or discards
+    * an unplanned one (no plan → nothing was deleted yet).
+    */
+  def eraseFromManifest(spark: SparkSession, manifestDir: String,
+                        docIds: DataFrame): Long = {
+    val root = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    resumeManifestCommit(spark, manifestDir)
+    // a fully-erased manifest has no data files left — nothing to do
+    // (and no schema to infer a read from)
+    if (!fs.listStatus(root).exists { st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")
+    }) return 0L
+
+    val ids = docIds.select("doc_id").distinct().localCheckpoint()
+    val mf = spark.read.parquet(manifestDir)
+      .withColumn("__f", col("_metadata.file_path"))
+    // affected files: bounded by file count, not row count
+    val hit = mf.join(ids, Seq("doc_id"), "left_semi")
+      .groupBy(col("__f")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (hit.isEmpty) return 0L
+
+    val staging = new org.apache.hadoop.fs.Path(root, StagingName)
+    mf.filter(col("__f").isin(hit.keys.toSeq: _*))
+      .join(ids, Seq("doc_id"), "left_anti")
+      .drop("__f")
+      .write.mode("overwrite").parquet(staging.toString)
+    // the plan write is the commit point: rows before it, files after
+    val plan = new org.apache.hadoop.fs.Path(staging, PlanName)
+    val out = fs.create(plan, true)
+    try out.write(hit.keys.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    commitManifestErase(fs, root)
+    hit.values.sum
+  }
+
+  /** Finish (plan on file) or discard (no plan — nothing deleted yet)
+    * a staged manifest erase left by a crashed run.
+    */
+  private def resumeManifestCommit(spark: SparkSession,
+                                   manifestDir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(manifestDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(root, StagingName)
+    if (!fs.exists(staging)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging, PlanName)))
+      commitManifestErase(fs, root)
+    else fs.delete(staging, true)
+  }
+
+  /** The idempotent commit: delete planned files (absent = already
+    * done), move staged data files in (absent = already moved; staged
+    * part names carry job UUIDs so they cannot collide with live
+    * files), drop the staging dir last.
+    */
+  private def commitManifestErase(fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(root, StagingName)
+    val plan = new org.apache.hadoop.fs.Path(staging, PlanName)
+    val in = fs.open(plan)
+    val doomed =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    doomed.filter(_.nonEmpty).foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+    }
+    fs.listStatus(staging).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith("."))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n))
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Full takedown: erase from the corpus sink, the curation manifest
+    * (when given), AND the band index, in that order — the sink holds
+    * the text itself, the most sensitive artifact, so it dies first;
+    * the manifest holds per-doc derived metadata; the index holds only
+    * derived hashes and is cleansed by the idempotent
+    * [[BandIndex.removeUnderLease]], resumable on failure by
+    * re-running. The whole operation runs under the index's
+    * maintenance lease, so concurrent appends/classifies fail fast
+    * (see [[BandIndex]]); a failed run leaves the lease on file and a
+    * rerun takes it over once stale.
     */
   def erase(spark: SparkSession, corpusDir: String, indexName: String,
-            indexPath: String, docIds: DataFrame,
-            buckets: Int = 32): Long = {
-    val n = eraseFromCorpus(spark, corpusDir, docIds)
-    BandIndex.remove(spark, indexName, indexPath, docIds, buckets)
-    n
-  }
+            indexPath: String, docIds: DataFrame, buckets: Int = 32,
+            manifestDir: Option[String] = None,
+            leaseTtlMs: Long = BandIndex.DefaultLeaseTtlMs): EraseReport =
+    BandIndex.withLease(spark, indexPath, "erase", leaseTtlMs) {
+      val nCorpus = eraseFromCorpus(spark, corpusDir, docIds)
+      val nManifest = manifestDir
+        .map(eraseFromManifest(spark, _, docIds)).getOrElse(0L)
+      val rewrote =
+        BandIndex.removeUnderLease(spark, indexName, indexPath, docIds, buckets)
+      EraseReport(nCorpus, nManifest, rewrote)
+    }
 }

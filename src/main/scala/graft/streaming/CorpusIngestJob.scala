@@ -60,9 +60,13 @@ object CorpusIngestJob {
     * — tune it to the crawl's file sizes. Even so, a long-running
     * ingest accumulates thousands of small files per bucket: run
     * [[BandIndex.compactIfNeeded]] periodically BETWEEN stream
-    * restarts (compaction is offline maintenance, not concurrent-safe
-    * with an active stream) to fold them back to one file per
-    * bucket/prefix.
+    * restarts (compaction is offline maintenance — it takes the index's
+    * maintenance lease, and this job's per-batch append/classify FAIL
+    * FAST with [[graft.etl.BandIndex.ConcurrentMaintenanceException]]
+    * while the lease is on file, killing the stream rather than
+    * silently losing an append to a mid-swap generation sweep; restart
+    * the stream after maintenance completes) to fold them back to one
+    * file per bucket/prefix.
     */
   def run(spark: SparkSession, srcDir: String, indexName: String,
           indexPath: String, outDir: String, checkpointDir: String,

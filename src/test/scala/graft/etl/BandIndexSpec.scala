@@ -348,6 +348,98 @@ class BandIndexSpec extends SparkSpec {
       === Map(10L -> "exact", 11L -> "near"))
   }
 
+  test("append and dedupBatch fail fast while a maintenance lease is held") {
+    // the round-4 race: an append during a compact/remove generation
+    // swap wrote into a directory the swap then swept — silent data
+    // loss on operator error. The lease turns it into a named error.
+    val name = "bidx_lse"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    BandIndex.acquireLease(spark, path, "compact", 60L * 60 * 1000)
+    val exA = intercept[BandIndex.ConcurrentMaintenanceException] {
+      BandIndex.append(spark,
+        Seq((2L, "racing append")).toDF("doc_id", "text"), name, path, 4)
+    }
+    assert(exA.getMessage.contains("compact"))
+    intercept[BandIndex.ConcurrentMaintenanceException] {
+      BandIndex.dedupBatch(spark,
+        Seq((3L, "racing classify")).toDF("doc_id", "text"), name)
+    }
+    // nothing landed while blocked
+    assert(spark.table(BandIndex.docsTable(name)).count() === 1)
+    BandIndex.breakLease(spark, path)
+    BandIndex.append(spark,
+      Seq((2L, "post maintenance append")).toDF("doc_id", "text"), name, path, 4)
+    assert(spark.table(BandIndex.docsTable(name)).count() === 2)
+  }
+
+  test("a stale lease blocks appenders but is taken over by the next maintenance run") {
+    val name = "bidx_stl"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    // ttl 0: stale the instant it is written — the crashed-holder state
+    BandIndex.acquireLease(spark, path, "remove", ttlMs = 0)
+    // appenders stay blocked (the crashed op may have left a mid-swap
+    // index), with the resume remedy in the message
+    val ex = intercept[BandIndex.ConcurrentMaintenanceException] {
+      BandIndex.append(spark,
+        Seq((2L, "blocked")).toDF("doc_id", "text"), name, path, 4)
+    }
+    assert(ex.getMessage.contains("crashed"))
+    // the next maintenance run takes the stale lease over, finishes,
+    // and releases it
+    BandIndex.compact(spark, name, path, buckets = 4)
+    assert(BandIndex.readLease(spark, path).isEmpty)
+    BandIndex.append(spark,
+      Seq((2L, "unblocked")).toDF("doc_id", "text"), name, path, 4)
+    assert(spark.table(BandIndex.docsTable(name)).count() === 2)
+  }
+
+  test("a second maintenance op fails fast on a fresh lease") {
+    val name = "bidx_2mx"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), name, path, buckets = 4)
+    BandIndex.acquireLease(spark, path, "remove", 60L * 60 * 1000)
+    intercept[BandIndex.ConcurrentMaintenanceException] {
+      BandIndex.compact(spark, name, path, buckets = 4)
+    }
+    BandIndex.breakLease(spark, path)
+    BandIndex.compact(spark, name, path, buckets = 4)
+    assert(BandIndex.readLease(spark, path).isEmpty)
+  }
+
+  test("a remove rerun reclaims the orphan generation a crash left behind") {
+    // ADVICE r4: crash between remove's final swap and its sweep leaves
+    // the superseded generation — still holding the erased doc's band
+    // rows — on disk, and the documented rerun short-circuited at the
+    // no-op probe without reclaiming it. The rerun must sweep.
+    val name = "bidx_orp"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta"), (2L, bigDoc(false)))
+        .toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    assert(BandIndex.remove(spark, name, path, Seq(1L).toDF("doc_id"), 4))
+    // simulate the crash leftover: an orphaned generation dir with data
+    val orphan = new java.io.File(s"$path/${BandIndex.bandsTable(name)}__g0_dead")
+    orphan.mkdirs()
+    java.nio.file.Files.write(orphan.toPath.resolve("part-0.parquet"),
+      "stale".getBytes)
+    // rerun hits the no-op probe (false = nothing rewritten) AND sweeps
+    assert(!BandIndex.remove(spark, name, path, Seq(1L).toDF("doc_id"), 4))
+    assert(!orphan.exists(), "orphan generation survived the rerun")
+    assert(BandIndex.readLease(spark, path).isEmpty)
+  }
+
   test("compactIfNeeded fires only above the file-count threshold") {
     val name = "bidx_cin"
     dropTables(name)

@@ -45,9 +45,10 @@ class ErasureSpec extends SparkSpec {
     }
     val untouchedBefore = partFiles(1L)
 
-    val n = Erasure.erase(spark, corpusDir, name,
+    val report = Erasure.erase(spark, corpusDir, name,
       root.resolve("idx").toString, Seq(2L, 5L).toDF("doc_id"), buckets = 4)
-    assert(n === 2)
+    assert(report.corpusRowsErased === 2)
+    assert(report.indexRewriteRan)
 
     // corpus: doc 2 gone from partition 0, partition 2 deleted outright,
     // partition 1 byte-untouched (same file set)
@@ -66,8 +67,85 @@ class ErasureSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(flags === Map(20L -> "kept", 21L -> "kept", 22L -> "exact"))
 
-    // idempotent: nothing left to erase
-    assert(Erasure.erase(spark, corpusDir, name,
-      root.resolve("idx").toString, Seq(2L, 5L).toDF("doc_id"), buckets = 4) === 0)
+    // idempotent: nothing left to erase anywhere, and the report says so
+    val rerun = Erasure.erase(spark, corpusDir, name,
+      root.resolve("idx").toString, Seq(2L, 5L).toDF("doc_id"), buckets = 4)
+    assert(rerun === Erasure.EraseReport(0L, 0L, indexRewriteRan = false))
+    // success released the maintenance lease both times
+    assert(BandIndex.readLease(spark, root.resolve("idx").toString).isEmpty)
+  }
+
+  private def md5Of(f: java.io.File): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Files.readAllBytes(f.toPath))
+      .map("%02x".format(_)).mkString
+
+  private def dataFiles(dir: String): Map[String, String] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .map(f => f.getName -> md5Of(f)).toMap
+
+  test("manifest erase rewrites only the files holding erased rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mf")
+    val mdir = root.resolve("manifest").toString
+    // two physically separate files, written one append at a time
+    Seq((1L, "web", 10L), (2L, "books", 20L))
+      .toDF("doc_id", "source", "n_tokens")
+      .coalesce(1).write.mode("append").parquet(mdir)
+    Seq((3L, "web", 30L), (4L, "books", 40L))
+      .toDF("doc_id", "source", "n_tokens")
+      .coalesce(1).write.mode("append").parquet(mdir)
+    val before = dataFiles(mdir)
+    // which physical file holds the doomed row
+    val doomedFile = before.keys.find { f =>
+      spark.read.parquet(s"$mdir/$f").filter($"doc_id" === 2L).count() > 0
+    }.get
+
+    assert(Erasure.eraseFromManifest(spark, mdir, Seq(2L).toDF("doc_id")) === 1)
+
+    assert(spark.read.parquet(mdir).select($"doc_id").as[Long].collect().toSet
+      === Set(1L, 3L, 4L))
+    val after = dataFiles(mdir)
+    // the hit file was replaced; every other file is byte-identical
+    assert(!after.contains(doomedFile))
+    (before - doomedFile).foreach { case (f, h) =>
+      assert(after.get(f).contains(h), s"untouched file $f changed")
+    }
+    // no staging residue, and a rerun is a free no-op
+    assert(!new java.io.File(s"$mdir/_erase_staging").exists())
+    assert(Erasure.eraseFromManifest(spark, mdir, Seq(2L).toDF("doc_id")) === 0)
+  }
+
+  test("a planned-but-uncommitted manifest erase is resumed before the next one") {
+    // the crash window AFTER the delete plan is on file: survivors are
+    // staged, nothing is deleted yet. Any later erase must first finish
+    // that commit (delete planned files, move staged in) or rows erased
+    // by the crashed run would resurrect.
+    val root = java.nio.file.Files.createTempDirectory("graft-mfres")
+    val mdir = root.resolve("manifest").toString
+    Seq((1L, "web", 10L), (2L, "books", 20L))
+      .toDF("doc_id", "source", "n_tokens")
+      .coalesce(1).write.mode("append").parquet(mdir)
+    Seq((3L, "web", 30L))
+      .toDF("doc_id", "source", "n_tokens")
+      .coalesce(1).write.mode("append").parquet(mdir)
+    val f12 = dataFiles(mdir).keys.find { f =>
+      spark.read.parquet(s"$mdir/$f").filter($"doc_id" === 2L).count() > 0
+    }.get
+    // hand-craft the crashed state: survivors of the doc-2 file staged,
+    // plan naming that file, no deletes done
+    val staging = s"$mdir/_erase_staging"
+    Seq((1L, "web", 10L)).toDF("doc_id", "source", "n_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$staging/_delete_plan"),
+      s"$mdir/$f12".getBytes("UTF-8"))
+
+    // an unrelated erase resumes the crashed commit first, then runs
+    assert(Erasure.eraseFromManifest(spark, mdir, Seq(3L).toDF("doc_id")) === 1)
+    assert(spark.read.parquet(mdir).select($"doc_id").as[Long].collect().toSet
+      === Set(1L))
+    assert(!new java.io.File(staging).exists())
   }
 }

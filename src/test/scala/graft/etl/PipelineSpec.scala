@@ -121,6 +121,55 @@ class PipelineSpec extends SparkSpec {
     assert(r.nSequences >= 1)
   }
 
+  test("takedown erasure reaches the curation manifest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_ers"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-cur-erase")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("web"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val takedownText = "sensitive document that must be fully forgotten later"
+    docsDf(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> takedownText,
+      3L -> "distributed systems require careful coordination of state")
+      .coalesce(1).write.parquet(s"$srcDir/a")
+    val work = root.resolve("work").toString
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, work, buckets = 4,
+      budgetNum = 1, budgetDen = 1, block = 16L) // full budget: all selected
+    val beforeRows = spark.read.parquet(r.manifestPath)
+      .collect().map(_.toSeq).toSet
+    assert(beforeRows.exists(_.head == 2L), "doc 2 missing from the manifest")
+
+    val report = Erasure.erase(spark, s"$work/corpus", name,
+      root.resolve("idx").toString, Seq(2L).toDF("doc_id"), buckets = 4,
+      manifestDir = Some(r.manifestPath))
+    assert(report === Erasure.EraseReport(1L, 1L, indexRewriteRan = true))
+
+    // the manifest no longer knows the doc — and every surviving row is
+    // exactly what it was (no re-pack: seq_id holes are documented)
+    val afterRows = spark.read.parquet(r.manifestPath)
+      .collect().map(_.toSeq).toSet
+    assert(afterRows === beforeRows.filterNot(_.head == 2L))
+    // corpus sink cleaned, and a re-crawl of the text classifies kept
+    assert(!spark.read.schema(
+        graft.Tables.schemas("documents").add("ingest_batch", "long"))
+      .parquet(s"$work/corpus")
+      .select($"doc_id").as[Long].collect().contains(2L))
+    val flags = BandIndex.dedupBatch(spark,
+      Seq((20L, takedownText)).toDF("doc_id", "text"), name)
+      .collect().map(rr => rr.getLong(0) -> rr.getString(1)).toMap
+    assert(flags === Map(20L -> "kept"))
+  }
+
   test("curation stage bootstraps from an empty crawl directory (zero batches)") {
     val name = "cur_idx_empty"
     Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
