@@ -37,6 +37,7 @@ object Bench {
     "q60_salted_skew_join",
     "q63_hll_distinct",
     "q83_decontamination",
+    "q85_repetition_score",
     "q86_sequence_packing",
     "q88_incremental_dedup",
     "q89_mixture_resample",
@@ -47,7 +48,8 @@ object Bench {
     "q94_tfidf_topk",
     "q95_pii_scrub",
     "q96_dupgram_coverage",
-    "q97_cross_source_overlap")
+    "q97_cross_source_overlap",
+    "q98_leakproof_split")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -109,11 +111,14 @@ object Bench {
     val totalMed = results.map { case (_, s) => s(s.length / 2) }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"queries_max":$maxJson,"sf":"$sfDir"}"""
     println(line)
-    // Also write the JSON line to a file when asked: the driver grepping
-    // it out of sbt's log tail has failed to parse every round so far
-    // ("parsed": null in BENCH_r*.json, and a truncated tail once lost
-    // the per-query map) — a file survives log truncation and prefixing.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Also write the JSON line to a file: the driver grepping it out of
+    // sbt's log tail has failed to parse every round so far ("parsed":
+    // null in BENCH_r*.json, and a truncated tail once lost the
+    // per-query map) — a file survives log truncation and prefixing.
+    // The default name is COMMITTED to git per round (the old default,
+    // bench_out.json, was gitignored — the round-4 receipt asked for
+    // the complete min/median/max maps in the tree).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_r05.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>

@@ -1,7 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.graftshim.InternalRowBridge
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Exact global ranking WITHOUT the single-task window.
   *
@@ -12,29 +15,75 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
   *
   *   1. a DISTRIBUTED range sort (`orderBy` → RangePartitioning: every
   *      partition holds a contiguous key range, sorted within);
-  *   2. `zipWithIndex`, which assigns global contiguous indices from
-  *      per-partition counts + prefix offsets (one lightweight count
-  *      job — the driver sees P integers, never rows).
+  *   2. per-partition counts/sums + prefix offsets (one lightweight
+  *      pass — the driver sees P integers, never rows), then a
+  *      streaming numbering pass that starts each partition at its
+  *      offset.
   *
   * The sort order must be TOTAL (include a tiebreak column) or indices
   * within ties are partition-placement-dependent — same caveat a
   * window row_number has.
   *
-  * The one `.rdd` hop exits codegen for this pass; that is the
-  * documented cost of exact global ranking at scale (the alternative —
-  * approximate quantile cutoffs — changes semantics).
+  * Both passes run on the Tungsten binary row format: rows come off
+  * `queryExecution.toRdd` as UnsafeRows and the appended column is
+  * written by an `UnsafeProjection` over a `JoinedRow` — one packed
+  * byte-copy per output row, no per-column boxing into external
+  * `Row`s (the old `df.rdd` round-trip deserialized and re-encoded
+  * every column of every row). The passes still execute outside
+  * whole-stage codegen; that is the documented cost of exact global
+  * ranking at scale (the alternative — approximate quantile cutoffs —
+  * changes semantics).
   */
 object DistributedRank {
+
+  /** Append one computed long column via a per-partition streaming
+    * function, entirely in internal-row format. `makeStep` is invoked
+    * once per partition and may close over mutable per-partition state;
+    * it must be deterministic given the partition's row stream (the
+    * frame is layout-frozen by the caller's localCheckpoint).
+    */
+  private def appendStreamedLong(sorted: DataFrame, out: String)
+      (makeStep: Int => InternalRow => Long): DataFrame = {
+    val outSchema = sorted.schema.add(out, LongType, nullable = false)
+    val rdd = InternalRowBridge.toInternalRdd(sorted)
+      .mapPartitionsWithIndex { (pid, it) =>
+        val proj = UnsafeProjection.create(outSchema)
+        val joined = new JoinedRow
+        val extra = new GenericInternalRow(1)
+        val step = makeStep(pid)
+        it.map[InternalRow] { r =>
+          extra.update(0, step(r))
+          // copy: the projection reuses its result buffer, and
+          // downstream operators may hold rows across iterator steps
+          proj(joined(r, extra)).copy()
+        }
+      }
+    InternalRowBridge.fromInternalRdd(sorted, rdd, outSchema)
+  }
+
+  /** Per-partition totals of `fold` over the frozen layout, ordered by
+    * partition id — the driver-side input for prefix offsets (P longs,
+    * never rows).
+    */
+  private def partitionTotals(sorted: DataFrame)
+      (fold: (Long, InternalRow) => Long): Array[Long] =
+    InternalRowBridge.toInternalRdd(sorted)
+      .mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.foldLeft(0L)(fold)))
+      }.collect().sortBy(_._1).map(_._2)
 
   /** Append 1-based global row numbers in `sortCols` order. */
   def withRowNumber(df: DataFrame, sortCols: Seq[Column],
                     out: String = "rn"): DataFrame = {
-    val sorted = df.orderBy(sortCols: _*)
-    val schema = sorted.schema.add(out, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+    // localCheckpoint: both passes must see one frozen partition
+    // layout (see withPrefixSum for the full rationale)
+    val sorted = df.orderBy(sortCols: _*).localCheckpoint()
+    val counts = partitionTotals(sorted)((n, _) => n + 1L)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    appendStreamedLong(sorted, out) { pid =>
+      var acc = offsets(pid)
+      _ => { acc += 1L; acc }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Append 1-based row numbers per key group in `sortCols` order —
@@ -65,25 +114,32 @@ object DistributedRank {
     // (see withPrefixSum). Range boundaries sample the composite key, so
     // a big source splits across many partitions by its sort columns.
     val sorted = df.orderBy(keys.map(col) ++ sortCols: _*).localCheckpoint()
-    val keyIdx = keys.map(sorted.schema.fieldIndex)
-    def keyOf(r: Row): Vector[Any] = keyIdx.map(r.get(_)).toVector
+    val keyFields = keys.map(k =>
+      sorted.schema.fieldIndex(k) -> sorted.schema(k).dataType)
+    // group identity off the internal row: values are copied out of the
+    // (possibly buffer-reused) row — copyValue handles UTF8String et al.
+    def keyOf(r: InternalRow): Vector[Any] =
+      keyFields.iterator.map { case (i, dt) =>
+        InternalRow.copyValue(r.get(i, dt))
+      }.toVector
     // Runs of consecutive equal keys per partition (globally sorted by
     // key first, so each key is one run per partition).
-    val runs = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Vector[Any], Long)]
-      var cur: Vector[Any] = null
-      var n = 0L
-      it.foreach { r =>
-        val k = keyOf(r)
-        if (!(k == cur)) {
-          if (cur != null) buf += ((cur, n))
-          cur = k; n = 0L
+    val runs = InternalRowBridge.toInternalRdd(sorted)
+      .mapPartitionsWithIndex { (pid, it) =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Vector[Any], Long)]
+        var cur: Vector[Any] = null
+        var n = 0L
+        it.foreach { r =>
+          val k = keyOf(r)
+          if (!(k == cur)) {
+            if (cur != null) buf += ((cur, n))
+            cur = k; n = 0L
+          }
+          n += 1L
         }
-        n += 1L
-      }
-      if (cur != null) buf += ((cur, n))
-      Iterator.single((pid, buf.toArray))
-    }.collect().sortBy(_._1)
+        if (cur != null) buf += ((cur, n))
+        Iterator.single((pid, buf.toArray))
+      }.collect().sortBy(_._1)
     // Global start offset for each (partition, key): rows of that key
     // in earlier partitions. Driver-side scan over the tiny run list.
     val seen = scala.collection.mutable.HashMap.empty[Vector[Any], Long]
@@ -96,18 +152,16 @@ object DistributedRank {
         }
       }.toMap
     val bc = df.sparkSession.sparkContext.broadcast(offsets)
-    val schema = sorted.schema.add(out, LongType, nullable = false)
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    appendStreamedLong(sorted, out) { pid =>
       var cur: Vector[Any] = null
       var acc = 0L
-      it.map { r =>
+      r => {
         val k = keyOf(r)
         if (!(k == cur)) { cur = k; acc = bc.value((pid, k)) }
         acc += 1L
-        Row.fromSeq(r.toSeq :+ acc)
+        acc
       }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Append the inclusive running sum of `value` in `sortCols` order —
@@ -138,21 +192,12 @@ object DistributedRank {
           org.apache.spark.sql.functions.lit(0L)))
       .orderBy(sortCols: _*).localCheckpoint()
     val vIdx = sorted.schema.fieldIndex("__v")
-    val partSums = sorted.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        Iterator.single((pid, it.foldLeft(0L)(_ + _.getLong(vIdx))))
-      }.collect().sortBy(_._1).map(_._2)
+    val partSums = partitionTotals(sorted)((s, r) => s + r.getLong(vIdx))
     val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix of partition totals
-    val schema = sorted.schema
-      .add(out, LongType, nullable = false)
-    val rdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+    appendStreamedLong(sorted, out) { pid =>
       var acc = offsets(pid)
-      it.map { r =>
-        acc += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ acc)
-      }
-    }
-    df.sparkSession.createDataFrame(rdd, schema).drop("__v")
+      r => { acc += r.getLong(vIdx); acc }
+    }.drop("__v")
   }
 
   /** Append NTILE(n) over the whole frame in `sortCols` order — SQL

@@ -1738,13 +1738,25 @@ object TextQueries {
     * hash to longs BEFORE the shuffle (md5-prefix, the q86 idiom —
     * deterministic cross-engine, so the oracle groups identically;
     * collisions are ~2⁻⁶⁰, and deterministic-identical in both
-    * engines). The df aggregate map-side combines on the gram key, and
-    * the grams⋈df join shuffles the cached gram rows by that same key.
-    * Docs under 8 tokens have no gram positions and
-    * are excluded (same stance as q85's len≥3). At 100 TB the gram⋈df
-    * join dominates; a production dedup would bloom-filter df≥2 keys
-    * first — the analysis form keeps the exact join the oracle can
-    * replay.
+    * engines). The df aggregate map-side combines on the gram key.
+    * Docs under 8 tokens have no gram positions and are excluded (same
+    * stance as q85's len≥3).
+    *
+    * The gram⋈df join — the 100 TB bottleneck in the naive form — is
+    * GONE as a full join: per-doc `m` (gram-position count) is just
+    * `size(tk) − 7`, needing no join at all, and `ndup` only needs the
+    * gram rows whose key is actually duplicated, so the exploded rows
+    * are SEMI-joined against the df≥2 key set. In real corpora the
+    * overwhelming majority of grams are df=1 (Lee et al.'s long tail),
+    * so the build side is orders of magnitude smaller than the gram
+    * stream — small enough for AQE to broadcast at moderate scale
+    * (probe side then never shuffles), and at 100 TB, where the dup-key
+    * set outgrows broadcast, the shuffled semi-join still moves only
+    * df≥2 probe hits into the per-doc aggregate and remains
+    * AQE-skew-splittable on a boilerplate gram. The DuckDB oracle keeps
+    * the exact full-join formulation — same results, independently
+    * derived. `DupGramSpec` pins the semi-join shape and the
+    * probe-drop metric.
     */
   val q96 = Q(
     "q96_dupgram_coverage",
@@ -1776,12 +1788,22 @@ object TextQueries {
       // scale note: a boilerplate gram in billions of docs makes gh a
       // hot key — BOTH downstream uses stay safe: count(distinct) is
       // planned as (gh, doc_id) partial groups before the per-gh count,
-      // and the gram⋈df equi-join is AQE-skew-splittable (a window
-      // count over gh would NOT be — one task per hot gram).
-      val dfreq = grams.groupBy($"gh").agg(countDistinct($"doc_id").as("df"))
-      val perDoc = grams.join(dfreq, Seq("gh"))
+      // and the semi-join is AQE-skew-splittable (a window count over
+      // gh would NOT be — one task per hot gram).
+      val dupKeys = grams.groupBy($"gh")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= 2)
+        .select($"gh")
+      // only rows whose gram is duplicated survive into the per-doc
+      // aggregate; m needs no join at all (one gram per token position)
+      val perDocDup = grams.join(dupKeys, Seq("gh"), "left_semi")
         .groupBy($"doc_id", $"source")
-        .agg(count(lit(1)).as("m"), count_if($"df" >= 2).as("ndup"))
+        .agg(count(lit(1)).as("ndup"))
+      val perDoc = toks
+        .select($"doc_id", $"source", (size($"tk") - 7).cast("long").as("m"))
+        .join(perDocDup, Seq("doc_id", "source"), "left_outer")
+        .select($"doc_id", $"source", $"m",
+          coalesce($"ndup", lit(0L)).as("ndup"))
       perDoc.groupBy($"source")
         .agg(
           count(lit(1)).as("n_docs"),
