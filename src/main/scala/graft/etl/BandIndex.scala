@@ -67,9 +67,11 @@ import org.apache.spark.sql.functions._
   * Band ids are folded INTO the 64-bit band hash (`xxhash64(bandNo,
   * …)`) so one long is the entire join key; hash collisions only merge
   * buckets, adding spurious candidates that exact verification removes
-  * (the q45 argument). Signature math (tokenize → 8 salted md5 min
-  * hashes → 2 bands of 4, threshold 0.99) is bit-identical to
-  * q45/q88, so the classifications agree with the verified queries.
+  * (the q45 argument). Signature math (tokenize → k salted md5 min
+  * hashes → b nested bands, threshold t per [[graft.text.LshParams]],
+  * pinned on disk at create — see the params-file note in the object)
+  * is bit-identical to q45/q88 at the defaults, so the classifications
+  * agree with the verified queries.
   *
   * Tables are written via `saveAsTable` with an explicit `path`:
   * external data, catalog-tracked bucketing. On a fresh session,
@@ -85,7 +87,46 @@ import org.apache.spark.sql.functions._
   */
 object BandIndex {
 
-  private val Threshold = 0.99
+  import graft.text.LshParams
+
+  /** The index's LSH tunables are pinned ON DISK at [[create]] time
+    * (`<path>/_lsh_params`): signatures already written are a function
+    * of (numHashes, bands), so appends and classifies MUST use the
+    * creation-time values — loading them from the index itself makes
+    * drift impossible (a caller cannot pass mismatched params to
+    * [[append]]/[[dedupBatch]]; there is nothing to pass). Changing
+    * params means rebuilding the index, same as a [[PfxCount]] change.
+    * A params file absent (index predating it) reads as the historical
+    * defaults — exactly what such an index was built with.
+    */
+  private val ParamsFileName = "_lsh_params"
+
+  /** The LSH params the index at `path` was created with. */
+  def loadParams(spark: SparkSession, path: String): LshParams = {
+    val p = new org.apache.hadoop.fs.Path(path, ParamsFileName)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return LshParams()
+    val in = fs.open(p)
+    try LshParams.decode(
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+    finally in.close()
+  }
+
+  private def writeParamsIfAbsent(spark: SparkSession, path: String,
+                                  params: LshParams): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, ParamsFileName)
+    val fs = fsOf(spark, p)
+    if (fs.exists(p)) {
+      val existing = loadParams(spark, path)
+      require(existing == params,
+        s"band index at $path was created with ${existing.encode}; " +
+        s"cannot re-create with ${params.encode} — rebuild from scratch")
+      return
+    }
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try out.write(params.encode.getBytes("UTF-8")) finally out.close()
+  }
 
   /** Raised when an index operation runs into the offline-maintenance
     * lease — an append/classify while compact/remove/erase holds it, or
@@ -250,12 +291,13 @@ object BandIndex {
     pmod(xxhash64(c), lit(PfxCount.toLong))
 
   /** Per-doc signature rows off (doc_id, text): distinct token array →
-    * count, order-invariant fingerprint, 64-bit token hashes, 8 salted
-    * min-hashes. NULL text coalesces to the one-empty-token array (the
-    * q88 cross-engine convention).
+    * count, order-invariant fingerprint, 64-bit token hashes, k salted
+    * min-hashes per [[LshParams]]. NULL text coalesces to the
+    * one-empty-token array (the q88 cross-engine convention).
     */
-  private[etl] def signatures(docs: DataFrame): DataFrame = {
-    val mins = (1 to 8).map(i => expr(
+  private[etl] def signatures(docs: DataFrame,
+                              params: LshParams = LshParams()): DataFrame = {
+    val mins = (1 to params.numHashes).map(i => expr(
       s"array_min(transform(ta, t -> md5(cast(concat('$i|', t) as binary))))")
       .as(s"m$i"))
     docs
@@ -268,12 +310,16 @@ object BandIndex {
   }
 
   /** Signature rows → band rows (doc_id, n, band_val); the band number
-    * is folded into the hash so band_val alone is the join key.
+    * is folded into the hash so band_val alone is the join key. Band
+    * membership follows [[LshParams.bandMembers]] (nested boundaries —
+    * the recall-monotonicity property).
     */
-  private[etl] def bandRows(sigs: DataFrame): DataFrame =
+  private[etl] def bandRows(sigs: DataFrame,
+                            params: LshParams = LshParams()): DataFrame =
     sigs.select(col("doc_id"), col("n"), explode(array(
-      xxhash64(lit(1), concat(col("m1"), col("m2"), col("m3"), col("m4"))),
-      xxhash64(lit(2), concat(col("m5"), col("m6"), col("m7"), col("m8")))))
+      (1 to params.bands).map(b =>
+        xxhash64(lit(b),
+          concat(params.bandMembers(b).map(i => col(s"m$i")): _*))): _*))
       .as("band_val"))
 
   /** The explicit `path` is passed ONLY when the table does not exist
@@ -325,14 +371,17 @@ object BandIndex {
     * goes permanently blind to that doc.
     */
   def create(spark: SparkSession, corpus: DataFrame, name: String,
-             path: String, buckets: Int = 32): Unit = {
+             path: String, buckets: Int = 32,
+             params: LshParams = LshParams()): Unit = {
+    // pin (or re-check) the LSH tunables before any signature lands
+    writeParamsIfAbsent(spark, path, params)
     // localCheckpoint: one tokenization feeding all tables, released
     // by the ContextCleaner (not a session-lifetime cache entry).
     // Caveat: localCheckpoint blocks are executor-local and
     // non-replicated — an executor loss between here and the last
     // write fails the job (rerun it) instead of recomputing lineage.
-    val sigs = signatures(corpus).localCheckpoint()
-    writeBucketed(bandRows(sigs), bandsTable(name),
+    val sigs = signatures(corpus, params).localCheckpoint()
+    writeBucketed(bandRows(sigs, params), bandsTable(name),
       s"$path/${bandsTable(name)}", buckets, "band_val")
     writeToks(sigs.select(pfxOf(col("doc_id")).as("pfx"),
         col("doc_id"), col("th")),
@@ -355,7 +404,8 @@ object BandIndex {
   def append(spark: SparkSession, docs: DataFrame, name: String,
              path: String, buckets: Int = 32): Unit = {
     assertNoMaintenance(spark, path, s"append to band index '$name'")
-    create(spark, docs, name, path, buckets)
+    // params come from the index, never the caller — no drift possible
+    create(spark, docs, name, path, buckets, loadParams(spark, path))
     Seq(docsTable(name), bandsTable(name), toksTable(name))
       .foreach(spark.catalog.refreshTable)
   }
@@ -386,8 +436,11 @@ object BandIndex {
       else
         s"band index '$name' has no ${toksTable(name)} table — it predates " +
         "the _toks layout (or PfxCount changed); rebuild it with BandIndex.create")
+    // the index's pinned tunables, off its own directory
+    val params = leaseRootOf(spark, name)
+      .map(loadParams(spark, _)).getOrElse(LshParams())
     // batch tokenized once (three consumers below)
-    val sigs = signatures(batch).localCheckpoint()
+    val sigs = signatures(batch, params).localCheckpoint()
     val fps = spark.table(docsTable(name))
     // exact layer: fingerprint semi-join — corpus side pre-bucketed on fp
     val exact = sigs.join(fps.select("fp"), Seq("fp"), "left_semi")
@@ -396,7 +449,7 @@ object BandIndex {
     // near layer: compact band keys vs the pre-bucketed band index.
     // localCheckpoint: the pairs feed both the prefix collection and
     // the verify join — one band-join execution, one frozen layout.
-    val cand = candidates(spark, survivors, name).localCheckpoint()
+    val cand = candidates(spark, survivors, name, params).localCheckpoint()
     // bounded driver round-trip: ≤ PfxCount longs, the literal
     // partition-prune list for the wide token-array table
     val pfxs = cand.select(pfxOf(col("old_id")).as("pfx")).distinct()
@@ -412,7 +465,8 @@ object BandIndex {
           .select(col("doc_id").as("old_id"), col("th").as("toa")),
           Seq("old_id"))
         .withColumn("isz", size(array_intersect(col("tia"), col("toa"))).cast("long"))
-        .filter(col("isz") * 1.0 / (col("ni") + col("no") - col("isz")) >= Threshold)
+        .filter(col("isz") * 1.0 / (col("ni") + col("no") - col("isz"))
+          >= params.threshold)
         .select("doc_id").distinct()
     sigs.select("doc_id")
       .join(exact.withColumn("ex", lit(1)), Seq("doc_id"), "left_outer")
@@ -430,12 +484,13 @@ object BandIndex {
     * frame's plan).
     */
   private[etl] def candidates(spark: SparkSession, sigs: DataFrame,
-                              name: String): DataFrame =
-    bandRows(sigs).as("i")
+                              name: String,
+                              params: LshParams = LshParams()): DataFrame =
+    bandRows(sigs, params).as("i")
       .join(spark.table(bandsTable(name)).as("o"),
         col("i.band_val") === col("o.band_val") &&
-        col("i.n") >= col("o.n") * Threshold &&
-        col("o.n") >= col("i.n") * Threshold)
+        col("i.n") >= col("o.n") * params.threshold &&
+        col("o.n") >= col("i.n") * params.threshold)
       .select(col("i.doc_id").as("doc_id"), col("o.doc_id").as("old_id"),
               col("i.n").as("ni"), col("o.n").as("no"))
       .distinct()

@@ -296,21 +296,50 @@ object TextQueries {
     if (dedupe) pairs.distinct() else pairs
   }
 
+  /** Min-hash signature columns m1..mk over a distinct token array
+    * column `ta` — MAP-SIDE array projections (array_min(transform)):
+    * the min over a random permutation of the token universe is the
+    * same min whether taken per-row or per-group. Shared by q45 and
+    * the recall-monotonicity property.
+    */
+  private[graft] def minhashCols(p: LshParams): Seq[Column] =
+    (1 to p.numHashes).map(i => expr(
+      s"array_min(transform(ta, t -> md5(cast(concat('$i|', t) as binary))))")
+      .as(s"m$i"))
+
+  /** Banded signature rows (doc_id, n, band_id, band_val) off a frame
+    * carrying (doc_id, n, m1..mk) — one explode, band values re-hashed
+    * to 64-bit longs (see the q45 collision note). Band membership
+    * follows [[LshParams.bandMembers]]: contiguous, NESTED boundaries,
+    * which is what makes candidate recall monotone in `bands`.
+    */
+  private[graft] def minhashBandRows(sig: DataFrame, p: LshParams): DataFrame = {
+    val bandStructs = (1 to p.bands).map { b =>
+      struct(lit(b).as("band_id"),
+        xxhash64(concat(p.bandMembers(b).map(i => col(s"m$i")): _*))
+          .as("band_val"))
+    }
+    sig.select(col("doc_id"), col("n"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("n"), col("b.band_id"), col("b.band_val"))
+  }
+
   /** q45 — MinHash + LSH near-duplicate detection. The full scale
-    * pipeline: tokenize → distinct (doc, token) → 8 md5-salted min-hash
-    * signature → 2 LSH bands of 4 → band-equality join for candidates →
-    * exact Jaccard verify ≥ 0.99.
+    * pipeline: tokenize → distinct (doc, token) → k md5-salted min-hash
+    * signature → b LSH bands of k/b → band-equality join for
+    * candidates → exact Jaccard verify ≥ t. (k, b, t) come from
+    * [[LshParams]] — the S-curve tradeoff is documented there; the
+    * registered query runs the defaults (8, 2, 0.99), which the DuckDB
+    * oracle mirrors.
     *
     * Scale design: the only joins are (a) band-value equality — true
-    * near-dups collide with P≈1, random pairs with P≈j⁸ — and (b) the
-    * candidate-pair token-intersection join, both linear-ish in the
-    * duplicate count, never O(n²) all-pairs. The min-hash itself is a
-    * map-side partial aggregate (MIN of md5 strings: lexicographic min
-    * ≡ min over a random permutation of the token universe).
+    * near-dups collide with P≈1, random pairs with P≈j^r per band —
+    * and (b) the candidate-pair token-intersection join, both
+    * linear-ish in the duplicate count, never O(n²) all-pairs. The
+    * min-hash itself is a map-side array projection.
     */
-  val q45 = Q(
-    "q45_minhash_lsh_neardup",
-    (s, dir) => {
+  private[graft] def minhashNearDupPairs(s: SparkSession, dir: String,
+                                         p: LshParams = LshParams()): DataFrame = {
       import s.implicits._
       // Per-doc distinct token ARRAYS, kept compact (never exploded
       // into the candidate pairs). The cache doubles as the barrier
@@ -342,16 +371,11 @@ object TextQueries {
             |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"""
             .stripMargin)).as("p"))
         .select($"p.a".as("doc_a"), $"p.b".as("doc_b"), lit(1.0).as("jaccard"))
-      // Representative-level MinHash signatures, computed MAP-SIDE as
-      // array projections — array_min(transform(...)) over the compact
-      // token array replaces the explode + groupBy formulation (one
-      // full-table shuffle of token rows deleted; the min over a random
-      // permutation is the same min whether taken per-row or per-group).
-      val mins = (1 to 8).map(i => expr(
-        s"array_min(transform(ta, t -> md5(cast(concat('$i|', t) as binary))))")
-        .as(s"m$i"))
+      // Representative-level MinHash signatures via minhashCols —
+      // map-side, no explode + groupBy formulation (one full-table
+      // shuffle of token rows deleted).
       val sig = groups.select(
-        Seq($"rep".as("doc_id"), $"n") ++ mins: _*)
+        Seq($"rep".as("doc_id"), $"n") ++ minhashCols(p): _*)
       // Bands via a single explode (the unionByName formulation would
       // re-evaluate the whole signature aggregation once per band).
       // Band values re-hashed to 64-bit longs: the pair generator
@@ -360,13 +384,8 @@ object TextQueries {
       // counts are intersection sizes): a 64-bit collision only merges
       // two buckets, adding spurious CANDIDATES that exact verification
       // removes — the result set is collision-proof by construction.
-      val bands = sig.select($"doc_id", $"n", explode(array(
-          struct(lit(1).as("band_id"),
-                 xxhash64(concat($"m1", $"m2", $"m3", $"m4")).as("band_val")),
-          struct(lit(2).as("band_id"),
-                 xxhash64(concat($"m5", $"m6", $"m7", $"m8")).as("band_val")))).as("b"))
-        .select($"doc_id", $"n", $"b.band_id", $"b.band_val")
-      val cand = lshCandidatePairs(bands, lengthRatio = 0.99)
+      val bands = minhashBandRows(sig, p)
+      val cand = lshCandidatePairs(bands, lengthRatio = p.threshold)
       // Exact verify on representative pairs only: attach the two token
       // arrays (narrow joins — AQE broadcasts the small cached side) and
       // intersect map-side. vs the exploded candidate×token join this
@@ -382,7 +401,7 @@ object TextQueries {
         .join(repHash.select($"doc_id".as("doc_b"), $"th".as("arr_b")), Seq("doc_b"))
         .withColumn("i", size(array_intersect($"arr_a", $"arr_b")).cast("long"))
         .withColumn("jaccard", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
-        .filter($"jaccard" >= 0.99)
+        .filter($"jaccard" >= p.threshold)
       // Expand passing representative pairs to doc pairs: every
       // cross-group pair shares the representatives' Jaccard (identical
       // sets within a group).
@@ -396,7 +415,11 @@ object TextQueries {
       intra.unionByName(expanded)
         .select($"doc_a", $"doc_b", round($"jaccard", 4).as("jaccard"))
         .orderBy($"doc_a", $"doc_b")
-    },
+  }
+
+  val q45 = Q(
+    "q45_minhash_lsh_neardup",
+    (s, dir) => minhashNearDupPairs(s, dir),
     Some("""WITH sh AS (
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, UNNEST(string_split(text, ' ')) AS s FROM documents)),

@@ -71,6 +71,37 @@ object PropertySpec extends Properties("graft") {
       a.forall(u => u > 0.0 && u < 1.0) && a.sameElements(b)
     }
 
+  // LSH S-curve knob: candidate recall is MONOTONE in bands at fixed
+  // numHashes — band boundaries nest (LshParams.bandMembers), so a
+  // full-band match at b bands implies both half-band matches at 2b:
+  // each doubling's candidate set is a SUPERSET, deterministically,
+  // on any corpus. This is the guarantee that makes the (bands, rows)
+  // tradeoff safe to tune upward for recall.
+  private val lshCorpusGen = Gen.chooseNum(2, 6).flatMap(nd =>
+    Gen.listOfN(nd, Gen.nonEmptyListOf(Gen.oneOf((0 until 6).map(i => s"t$i")))))
+
+  property("lsh candidate set monotone in bands at fixed numHashes") =
+    Prop.forAll(lshCorpusGen) { docsToks =>
+      import graft.text.{LshParams, TextQueries}
+      val base = docsToks.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts) }.toDF("doc_id", "ta0")
+        .select($"doc_id", array_distinct($"ta0").as("ta"))
+        .withColumn("n", size($"ta").cast("long"))
+      val sig = base.select(
+        Seq($"doc_id", $"n") ++ TextQueries.minhashCols(LshParams(8, 1)): _*)
+      def candSet(b: Int): Set[(Long, Long)] = {
+        val bands = TextQueries.minhashBandRows(sig, LshParams(8, b))
+        bands.as("a").join(bands.as("b"),
+            col("a.band_id") === col("b.band_id") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("x"), col("b.doc_id").as("y"))
+          .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val chain = Seq(1, 2, 4, 8).map(candSet)
+      chain.sliding(2).forall { case Seq(lo, hi) => lo.subsetOf(hi) }
+    }
+
   // The window-based readmission flag agrees with the reference's
   // brute-force EXISTS self-join on arbitrary encounter histories.
   private val encGen = Gen.nonEmptyListOf(for {
