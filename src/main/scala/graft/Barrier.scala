@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Materialization barrier for multi-consumed corpus-scale
+  * intermediates (tokenized arrays, exploded gram rows, near-dup edge
+  * lists). Two jobs in one:
+  *
+  *  1. '''Plan barrier''': a lambda body referencing an un-materialized
+  *     projected column gets the column's DEFINING EXPRESSION inlined
+  *     by CollapseProject — `slice(split(text), i, n)` inside a
+  *     `transform` re-runs split() per gram position. Persisting the
+  *     projection (or checkpointing it) cuts the plan there.
+  *  2. '''Reuse''': the frame has ≥2 consumers (size + explode, df
+  *     aggregate + join probe); without a barrier each consumer
+  *     recomputes the whole upstream plan.
+  *
+  * The STRATEGY is a session conf, because the right answer is
+  * corpus-dependent at 100 TB: `spark.graft.barrierStorage` =
+  *  - a [[StorageLevel]] name (`MEMORY_AND_DISK` default, `DISK_ONLY`,
+  *    `MEMORY_ONLY`, …) → `persist(level)`; spills per level;
+  *  - `LOCAL_CHECKPOINT` → eager localCheckpoint: blocks are freed by
+  *    the ContextCleaner when the frame is collected (no
+  *    session-lifetime CacheManager entry), at the availability cost
+  *    documented in [[operators.DistributedRank.withPrefixSum]];
+  *  - `NONE` → no barrier: identical results, upstream recomputed per
+  *    consumer (including the CollapseProject inlining cost) — the
+  *    right trade when the intermediate is wider than the recompute.
+  *
+  * Persisted barriers are REGISTERED per session; a driver that runs
+  * many queries in one session ([[Verify]], [[Bench]]) calls
+  * [[release]] between queries so corpus-sized cache entries don't
+  * accumulate and lean on LRU eviction under memory pressure. Within
+  * one query the barrier must NOT be unpersisted before the returned
+  * lazy frame is consumed — hence release-at-the-driver, not inside
+  * the query functions.
+  */
+object Barrier {
+
+  val ConfKey = "spark.graft.barrierStorage"
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.sql.SparkSession,
+      java.util.Queue[DataFrame]]()
+
+  /** Barrier `df` per the session's configured strategy. */
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.get(ConfKey, "MEMORY_AND_DISK").trim.toUpperCase match {
+      case "NONE" => df
+      case "LOCAL_CHECKPOINT" => df.localCheckpoint()
+      case level =>
+        val p = df.persist(StorageLevel.fromString(level))
+        registry.computeIfAbsent(spark,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())
+          .add(p)
+        p
+    }
+  }
+
+  /** Unpersist every barrier registered in `spark` since the last
+    * release — for multi-query drivers, between queries (after the
+    * previous query's frames are fully consumed).
+    */
+  def release(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val q = registry.remove(spark)
+    if (q != null) {
+      var df = q.poll()
+      while (df != null) { df.unpersist(blocking = false); df = q.poll() }
+    }
+  }
+}

@@ -80,6 +80,7 @@ object Bench {
     selected.filter(qs.contains).foreach { name =>
       try qs(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      finally Barrier.release(spark)
     }
     spark.catalog.clearCache()
 
@@ -90,6 +91,9 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = selected.filter(qs.contains).map { name =>
       val samples = (1 to reps).map { _ =>
+        // clearCache drops the data; release also empties the barrier
+        // registry so driver-side references don't pile up over reps
+        Barrier.release(spark)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { qs(name)(spark, sfDir).count() }

@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // corpus-sized barrier caches are per-query scratch: release them
+      // so 98 queries in one session don't stack spilled token arrays
+      // and lean on LRU eviction (they'd be recomputed anyway — the
+      // next query never reuses another query's barrier)
+      finally Barrier.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

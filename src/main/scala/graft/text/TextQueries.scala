@@ -19,6 +19,17 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String) = Tables.load(s, dir, "documents")
 
+  /** Corpus-scale materialization barriers (tokenized arrays, gram
+    * rows, edge lists) route through [[graft.Barrier]], so the storage
+    * strategy is the session's `spark.graft.barrierStorage` choice
+    * instead of a hard-coded MEMORY_AND_DISK cache. Small aggregated
+    * frames (bucket lists, fingerprint groups) keep plain `.cache()` —
+    * they are bounded by group counts, not corpus size.
+    */
+  private implicit class CorpusBarrierOps(df: DataFrame) {
+    def corpusBarrier: DataFrame = graft.Barrier(df)
+  }
+
   /** Tokenization shared by all text ops: whitespace split (the corpus
     * is single-space word-soup; BPE-ish regex splitting is exposed in
     * TextFunctions for real corpora).
@@ -350,7 +361,7 @@ object TextQueries {
         .withColumn("n", size($"ta").cast("long"))
         .withColumn("fp",
           md5(concat_ws(" ", array_sort($"ta")).cast("binary")))
-        .cache()
+        .corpusBarrier
       // EXACT-DUP COLLAPSE before the near-dup machinery: identical
       // token sets (the dominant duplicate mode in real corpora — at
       // sf0.1 every single ≥0.99 pair is one) fold into one
@@ -364,7 +375,7 @@ object TextQueries {
              min($"n").as("n"), // identical within a group
              first($"ta").as("ta")) // any member's array: same set
         .withColumn("rep", element_at($"ids", 1))
-        .cache()
+        .corpusBarrier
       val intra = groups.filter(size($"ids") >= 2)
         .select(explode(expr(
           """flatten(transform(ids, (x, i) ->
@@ -527,7 +538,7 @@ object TextQueries {
             |    i -> concat_ws(' ', element_at(tk, i),
             |                   element_at(tk, i + 1), element_at(tk, i + 2)))
             |  ELSE array() END""".stripMargin)).as("shs"))
-        .cache()
+        .corpusBarrier
       // The shingle inverted index is the same shape as an LSH band
       // frame (bucket value = shingle); reuse the skew-split pair
       // generator with dedupe=false so each shared shingle contributes
@@ -900,7 +911,7 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       val edges = ngramJaccardPairs(s, dir, t = 0.8)
-        .select($"doc_a", $"doc_b").cache()
+        .select($"doc_a", $"doc_b").corpusBarrier
       componentLabels(edges)
         .groupBy($"lab".as("cluster_root"))
         .agg(count(lit(1)).as("cluster_size"))
@@ -1138,7 +1149,7 @@ object TextQueries {
       val toks = docs(s, dir)
         .select($"source", split($"text", " ").as("tk"))
         .filter(size($"tk") >= 3)
-        .cache()
+        .corpusBarrier
       val scored = toks
         .select($"source", (size($"tk") - 2).cast("long").as("m"),
           size(array_distinct(expr(
@@ -1287,7 +1298,7 @@ object TextQueries {
         .withColumn("n", size($"ta").cast("long"))
         .withColumn("fp",
           md5(concat_ws(" ", array_sort($"ta")).cast("binary")))
-        .cache()
+        .corpusBarrier
       val old = base.filter($"is_old")
       val inc = base.filter(!$"is_old")
       // exact layer: fingerprint semi-join against the corpus
@@ -1794,7 +1805,7 @@ object TextQueries {
       val toks = docs(s, dir)
         .select($"doc_id", $"source", split($"text", " ").as("tk"))
         .filter(size($"tk") >= 8)
-        .cache()
+        .corpusBarrier
       val grams = toks
         .select($"doc_id", $"source", explode(expr(
           """transform(sequence(1, size(tk) - 7),
@@ -1803,11 +1814,11 @@ object TextQueries {
           .as("gh"))
         // second barrier: the gram rows have two consumers (df aggregate
         // + probe side of the join) — without it the explode and the
-        // per-gram md5s run twice. Columnar .cache(), not
-        // localCheckpoint: no layout dependence (both consumers
+        // per-gram md5s run twice. Columnar persist (not
+        // localCheckpoint): no layout dependence (both consumers
         // re-shuffle by gh), and the compressed columnar form keeps the
         // re-read in Tungsten.
-        .cache()
+        .corpusBarrier
       // scale note: a boilerplate gram in billions of docs makes gh a
       // hot key — BOTH downstream uses stay safe: count(distinct) is
       // planned as (gh, doc_id) partial groups before the per-gh count,
@@ -1886,7 +1897,7 @@ object TextQueries {
       val toks = docs(s, dir)
         .select($"source", split($"text", " ").as("tk"))
         .filter(size($"tk") >= 8)
-        .cache()
+        .corpusBarrier
       val g = toks
         .select($"source", explode(expr(
           """transform(sequence(1, size(tk) - 7),
@@ -1943,7 +1954,7 @@ object TextQueries {
     (s, dir) => {
       import s.implicits._
       val edges = ngramJaccardPairs(s, dir, t = 0.8)
-        .select($"doc_a", $"doc_b").cache()
+        .select($"doc_a", $"doc_b").corpusBarrier
       val labs = docs(s, dir).select($"doc_id")
         .join(componentLabels(edges).withColumnRenamed("node", "doc_id"),
           Seq("doc_id"), "left_outer")
@@ -1954,7 +1965,7 @@ object TextQueries {
       val assign = labs
         .withColumn("cl_split", sp("lab"))
         .withColumn("doc_split", sp("doc_id"))
-        .cache()
+        .corpusBarrier
       val ea = edges
         .join(assign.select($"doc_id".as("doc_a"),
           $"cl_split".as("ca"), $"doc_split".as("da")), Seq("doc_a"))
