@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import graft.etl.BandIndex
+import graft.etl.{BandIndex, Erasure}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -50,6 +50,46 @@ object CorpusIngestJob {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
 
+  /** Drain the takedown queue at a batch boundary: every parquet file
+    * under `takedownDir` (schema: `doc_id long`) is a takedown request;
+    * the union of their ids is erased from the corpus sink AND the band
+    * index via [[Erasure.erase]], then the drained files are deleted.
+    *
+    * This is the scheduled form of the offline-maintenance window the
+    * erase contract requires: inside `foreachBatch` the stream is
+    * quiescent by construction (batches are serialized), so the
+    * maintenance lease is taken and released with no appender to
+    * collide with — takedown becomes an operational routine instead of
+    * a stop-the-world manual step. Crash-safe under at-least-once
+    * replay: the queue-file snapshot is taken BEFORE erasing (requests
+    * landing mid-drain wait for the next boundary), erase is
+    * idempotent, and a crash between the erase and the file deletes
+    * just re-runs a no-op erase before deleting. CAVEAT: an idle
+    * stream (no new crawl files) never enters `foreachBatch` — a
+    * takedown that must not wait for the next crawl batch should run
+    * [[Erasure.erase]] directly while the stream is stopped.
+    */
+  private[streaming] def drainTakedowns(ss: SparkSession, takedownDir: String,
+                                        outDir: String, indexName: String,
+                                        indexPath: String,
+                                        buckets: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(takedownDir)
+    val fs = root.getFileSystem(ss.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val files = fs.listStatus(root)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    if (files.isEmpty) return
+    val ids = ss.read.schema("doc_id long")
+      .parquet(files.map(_.toString).toIndexedSeq: _*)
+    if (fs.exists(new org.apache.hadoop.fs.Path(outDir)))
+      Erasure.erase(ss, outDir, indexName, indexPath, ids, buckets)
+    else // nothing sunk yet: only the index can hold the ids
+      BandIndex.remove(ss, indexName, indexPath, ids, buckets)
+    files.foreach(fs.delete(_, false))
+  }
+
   /** Run until all available files are processed (Trigger.AvailableNow).
     * The band index at `indexName`/`indexPath` must exist
     * ([[BandIndex.create]] on the seed corpus — or on an empty frame for
@@ -70,7 +110,8 @@ object CorpusIngestJob {
     */
   def run(spark: SparkSession, srcDir: String, indexName: String,
           indexPath: String, outDir: String, checkpointDir: String,
-          buckets: Int = 32, maxFilesPerTrigger: Int = 1): StreamingQuery =
+          buckets: Int = 32, maxFilesPerTrigger: Int = 1,
+          takedownDir: Option[String] = None): StreamingQuery =
     readDocStream(spark, srcDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -79,6 +120,10 @@ object CorpusIngestJob {
         // invalidation must all go through ONE session or batch N+1
         // classifies against batch N's stale file listing
         val ss = batch.sparkSession
+        // takedowns drain FIRST, before this batch classifies: an
+        // erased doc's re-crawl in this very batch is kept (forgotten)
+        takedownDir.foreach(
+          drainTakedowns(ss, _, outDir, indexName, indexPath, buckets))
         val flags = BandIndex.dedupBatch(ss, batch, indexName).localCheckpoint()
         // sink FIRST, idempotently (per-batch partition, dynamic
         // overwrite), THEN append to the index — see the replay-safety

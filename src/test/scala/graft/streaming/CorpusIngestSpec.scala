@@ -71,6 +71,55 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.table(BandIndex.docsTable(name)).count() === 5)
   }
 
+  test("a queued takedown erases at the next batch boundary; its re-crawl classifies kept") {
+    val name = "cidx_takedown"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = java.nio.file.Files.createTempDirectory("graft-takedown")
+    val (srcDir, indexPath, outDir, ckpt, tdDir) =
+      (root.resolve("src"), root.resolve("idx").toString,
+       root.resolve("out").toString, root.resolve("ckpt").toString,
+       root.resolve("takedowns").toString)
+    java.nio.file.Files.createDirectories(srcDir)
+    BandIndex.create(spark, docsDf(1L -> "seed").limit(0), name, indexPath,
+      buckets = 4)
+
+    val secret = "sensitive takedown text that must be forgotten"
+    docsDf(1L -> secret, 2L -> "ordinary surviving document")
+      .coalesce(1).write.parquet(s"$srcDir/a")
+    CorpusIngestJob.run(spark, s"$srcDir/*", name, indexPath, outDir, ckpt,
+      buckets = 4, takedownDir = Some(tdDir)).awaitTermination()
+    assert(spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      === Set(1L, 2L))
+
+    // enqueue the takedown of doc 1, then crawl batch B containing a
+    // verbatim re-crawl of the secret text plus a fresh doc
+    Seq(1L).toDF("doc_id").coalesce(1).write.parquet(tdDir)
+    docsDf(10L -> secret, 11L -> "fresh post takedown content")
+      .coalesce(1).write.parquet(s"$srcDir/b")
+    CorpusIngestJob.run(spark, s"$srcDir/*", name, indexPath, outDir, ckpt,
+      buckets = 4, takedownDir = Some(tdDir)).awaitTermination()
+
+    // doc 1 is gone from the sink; the re-crawl (10) was KEPT — the
+    // index really forgot the derived signatures before classifying
+    assert(spark.read.parquet(outDir).select($"doc_id").as[Long].collect().toSet
+      === Set(2L, 10L, 11L))
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name)).foreach { t =>
+      spark.catalog.refreshTable(t)
+      assert(spark.table(t)
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+        .count() === 0, t)
+    }
+    // the queue is drained (no data files) and the lease released
+    val left = new java.io.File(tdDir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(left.isEmpty, left.mkString(","))
+    assert(BandIndex.readLease(spark, indexPath).isEmpty)
+  }
+
   test("crash-window replay: sink-then-append sequence is idempotent") {
     import org.apache.spark.sql.functions.lit
     val name = "cidx_replay"
