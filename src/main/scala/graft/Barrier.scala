@@ -65,7 +65,13 @@ object Barrier {
     * previous query's frames are fully consumed).
     */
   def release(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val q = registry.remove(spark)
+    // drain in place, never registry.remove: a concurrent apply() that
+    // already fetched this queue must not end up adding to an orphaned
+    // one no future release can reach (its barrier would stay pinned
+    // for the session's lifetime). An entry racing past the drain just
+    // waits for the next release. The empty queue object per session
+    // is a bounded, trivial residue.
+    val q = registry.get(spark)
     if (q != null) {
       var df = q.poll()
       while (df != null) { df.unpersist(blocking = false); df = q.poll() }

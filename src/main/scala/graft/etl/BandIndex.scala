@@ -113,7 +113,8 @@ object BandIndex {
   }
 
   private def writeParamsIfAbsent(spark: SparkSession, path: String,
-                                  params: LshParams): Unit = {
+                                  params: LshParams,
+                                  tablesExist: Boolean): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, ParamsFileName)
     val fs = fsOf(spark, p)
     if (fs.exists(p)) {
@@ -123,6 +124,12 @@ object BandIndex {
         s"cannot re-create with ${params.encode} — rebuild from scratch")
       return
     }
+    // tables but no params file: a pre-params-file index, necessarily
+    // built with the historical defaults — pinning anything ELSE here
+    // would stamp params the stored signatures don't match
+    require(!tablesExist || params == LshParams(),
+      s"band index at $path predates the params file (built with the " +
+      s"defaults ${LshParams().encode}); rebuild to use ${params.encode}")
     fs.mkdirs(p.getParent)
     val out = fs.create(p, false)
     try out.write(params.encode.getBytes("UTF-8")) finally out.close()
@@ -173,16 +180,28 @@ object BandIndex {
     val p = leasePath(path)
     val fs = fsOf(spark, p)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
+    val in =
+      try fs.open(p)
+      catch { case _: java.io.FileNotFoundException =>
+        return None // raced a release between exists and open
+      }
     val text =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
     text.split('|') match {
       case Array(op, at, ttl) if at.forall(_.isDigit) && ttl.forall(_.isDigit) =>
         Some(Lease(op, at.toLong, ttl.toLong))
-      case _ => Some(Lease("unknown", 0L, 0L))
+      case _ => Some(Lease(CorruptOp, 0L, 0L))
     }
   }
+
+  /** Marker op for an unparsable lease file (crash inside acquire, or
+    * a reader catching the moment between create and content write).
+    * NEVER auto-taken-over — its age is unknowable, so the holder
+    * might be live; [[breakLease]] is the remedy once the operator has
+    * confirmed nothing runs.
+    */
+  private val CorruptOp = "corrupt"
 
   /** Operator override: drop the lease without running maintenance.
     * ONLY for a lease whose holder is known dead before its TTL — a
@@ -196,31 +215,113 @@ object BandIndex {
 
   /** Take the maintenance lease or fail fast. A fresh lease means
     * another maintenance op is (probably) live → named error; a stale
-    * one is a crashed holder → takeover. The create(overwrite=false)
-    * makes two racing acquirers on the same filesystem serialize on
-    * file creation (best-effort on stores without atomic create).
+    * one is a crashed holder → takeover. Takeover CLAIMS the stale file
+    * by atomic rename first — of two racing takers exactly one rename
+    * succeeds (the loser's source is gone), so a taker can never
+    * delete a rival's freshly-written lease (the delete-then-create
+    * race). A corrupt lease (unknown age — the holder might be live)
+    * is never auto-taken-over. The create(overwrite=false) then makes
+    * racing creators serialize on file creation (best-effort on stores
+    * without atomic create). After the lease lands, the taker WAITS
+    * for in-flight append beacons (see [[withAppendBeacon]]) to drain:
+    * the lease fences new appends from starting, the beacon wait
+    * fences maintenance from starting under an append already landing
+    * files — the two halves of the reader-writer contract.
     */
   private[etl] def acquireLease(spark: SparkSession, path: String, op: String,
                                 ttlMs: Long): Unit = {
     val now = System.currentTimeMillis()
+    val p = leasePath(path)
+    val fs = fsOf(spark, p)
     readLease(spark, path).foreach { l =>
+      if (l.op == CorruptOp)
+        throw new ConcurrentMaintenanceException(
+          s"maintenance lease at $path is unreadable (crash during a " +
+          "previous acquire?) and its holder's age is unknowable — " +
+          "confirm nothing is running, then BandIndex.breakLease")
       if (!l.staleAt(now))
         throw new ConcurrentMaintenanceException(
           s"maintenance lease at $path is held by '${l.op}' (expires in " +
           s"${(l.acquiredAtMs + l.ttlMs - now) / 1000}s) — wait for it to " +
           "finish; if its holder crashed, wait for expiry or call " +
           "BandIndex.breakLease")
-      // stale: crashed holder — take over
-      breakLease(spark, path)
+      // stale: claim it by rename — atomic win against racing takers
+      val claim = new org.apache.hadoop.fs.Path(path,
+        LeaseFileName + ".claim." + java.util.UUID.randomUUID().toString.take(8))
+      if (!fs.rename(p, claim))
+        throw new ConcurrentMaintenanceException(
+          s"lost the stale-lease takeover race at $path — retry")
+      fs.delete(claim, false)
     }
-    val p = leasePath(path)
     val out =
-      try fsOf(spark, p).create(p, false)
+      try fs.create(p, false)
       catch { case _: java.io.IOException =>
         throw new ConcurrentMaintenanceException(
           s"maintenance lease at $path was acquired concurrently — retry")
       }
     try out.write(s"$op|$now|$ttlMs".getBytes("UTF-8")) finally out.close()
+    try awaitNoAppendBeacons(spark, path)
+    catch { case e: Throwable => breakLease(spark, path); throw e }
+  }
+
+  private val BeaconPrefix = "_append_beacon_"
+
+  /** How long a beacon is trusted: a crashed appender's beacon blocks
+    * maintenance for at most this long. Size to an upper bound of one
+    * append's duration.
+    */
+  val BeaconTtlMs: Long = 10L * 60 * 1000
+
+  private def freshBeacons(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path): Seq[String] = {
+    if (!fs.exists(root)) return Nil
+    val now = System.currentTimeMillis()
+    fs.listStatus(root).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith(BeaconPrefix))
+      .filter(st => now - st.getModificationTime < BeaconTtlMs)
+      .map(_.getPath.getName)
+  }
+
+  /** Run `body` (an append's table writes) under a uniquely-named
+    * beacon file, deleted when the append finishes — even on failure:
+    * a failed append leaves no mid-swap state maintenance must wait
+    * for. Beacons are what close the in-flight-append window: the
+    * lease stops NEW appends, but an append that passed the lease
+    * check and is still landing files would otherwise race a
+    * maintenance op acquiring the lease right after.
+    */
+  private def withAppendBeacon[T](spark: SparkSession, path: String)
+                                 (body: => T): T = {
+    val p = new org.apache.hadoop.fs.Path(path,
+      BeaconPrefix + java.util.UUID.randomUUID().toString.take(12))
+    val fs = fsOf(spark, p)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, false)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+    try body finally fs.delete(p, false)
+  }
+
+  /** Wait (bounded) for in-flight append beacons to drain after the
+    * lease is taken. New appends are already fenced by the lease;
+    * crashed appenders' beacons expire after [[BeaconTtlMs]].
+    */
+  private[etl] def awaitNoAppendBeacons(spark: SparkSession, path: String,
+                                        waitMs: Long = 60000): Unit = {
+    val root = hadoopPath(path)
+    val fs = fsOf(spark, root)
+    val deadline = System.currentTimeMillis() + waitMs
+    var live = freshBeacons(fs, root)
+    while (live.nonEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(500)
+      live = freshBeacons(fs, root)
+    }
+    if (live.nonEmpty)
+      throw new ConcurrentMaintenanceException(
+        s"appends still in flight at $path after ${waitMs / 1000}s " +
+        s"(beacons: ${live.mkString(", ")}) — retry maintenance once the " +
+        "ingest quiesces; a crashed appender's beacon expires after " +
+        s"${BeaconTtlMs / 1000}s")
   }
 
   /** Fail fast when a maintenance lease is on file — the guard
@@ -235,7 +336,10 @@ object BandIndex {
                                        action: String): Unit =
     readLease(spark, path).foreach { l =>
       val msg =
-        if (!l.staleAt(System.currentTimeMillis()))
+        if (l.op == CorruptOp)
+          s"cannot $action: the maintenance lease at $path is unreadable — " +
+          "confirm no maintenance runs, then BandIndex.breakLease"
+        else if (!l.staleAt(System.currentTimeMillis()))
           s"cannot $action: offline maintenance '${l.op}' holds the lease " +
           s"at $path — retry after it completes"
         else
@@ -297,9 +401,10 @@ object BandIndex {
     */
   private[etl] def signatures(docs: DataFrame,
                               params: LshParams = LshParams()): DataFrame = {
-    val mins = (1 to params.numHashes).map(i => expr(
-      s"array_min(transform(ta, t -> md5(cast(concat('$i|', t) as binary))))")
-      .as(s"m$i"))
+    // ONE definition of the salted min-hash math for index and queries:
+    // index-vs-q45/q88 classification agreement is an invariant, so the
+    // expression lives in minhashCols and is shared, never re-typed
+    val mins = graft.text.TextQueries.minhashCols(params)
     docs
       .select(col("doc_id"),
         array_distinct(split(coalesce(col("text"), lit("")), " ")).as("ta"))
@@ -373,8 +478,16 @@ object BandIndex {
   def create(spark: SparkSession, corpus: DataFrame, name: String,
              path: String, buckets: Int = 32,
              params: LshParams = LshParams()): Unit = {
+    // create on an EXISTING index is an append (saveAsTable append
+    // mode) and gets the same maintenance fence appends have — without
+    // it a bootstrap-script rerun during a compact would write into a
+    // generation directory the swap then sweeps
+    val tablesExist = Seq(docsTable(name), bandsTable(name), toksTable(name))
+      .exists(spark.catalog.tableExists)
+    if (tablesExist)
+      assertNoMaintenance(spark, path, s"append (create) to band index '$name'")
     // pin (or re-check) the LSH tunables before any signature lands
-    writeParamsIfAbsent(spark, path, params)
+    writeParamsIfAbsent(spark, path, params, tablesExist)
     // localCheckpoint: one tokenization feeding all tables, released
     // by the ContextCleaner (not a session-lifetime cache entry).
     // Caveat: localCheckpoint blocks are executor-local and
@@ -402,13 +515,18 @@ object BandIndex {
     * stale file listing and silently re-admit duplicates.
     */
   def append(spark: SparkSession, docs: DataFrame, name: String,
-             path: String, buckets: Int = 32): Unit = {
-    assertNoMaintenance(spark, path, s"append to band index '$name'")
-    // params come from the index, never the caller — no drift possible
-    create(spark, docs, name, path, buckets, loadParams(spark, path))
-    Seq(docsTable(name), bandsTable(name), toksTable(name))
-      .foreach(spark.catalog.refreshTable)
-  }
+             path: String, buckets: Int = 32): Unit =
+    // beacon BEFORE the lease check: if a maintenance op acquires the
+    // lease in between, either its beacon scan sees ours (it waits) or
+    // its lease landed first and our check below throws — there is no
+    // interleaving where both proceed
+    withAppendBeacon(spark, path) {
+      assertNoMaintenance(spark, path, s"append to band index '$name'")
+      // params come from the index, never the caller — no drift possible
+      create(spark, docs, name, path, buckets, loadParams(spark, path))
+      Seq(docsTable(name), bandsTable(name), toksTable(name))
+        .foreach(spark.catalog.refreshTable)
+    }
 
   /** Classify a batch of (doc_id, text [, …]) against the persisted
     * index: returns (doc_id, flag) with flag ∈ exact | near | kept.
@@ -419,8 +537,10 @@ object BandIndex {
   def dedupBatch(spark: SparkSession, batch: DataFrame, name: String): DataFrame = {
     // maintenance guard: classifying against an index mid-generation-swap
     // (or mid-remove) would silently mis-flag; the lease root is derived
-    // from the catalog since this entry point carries no path
-    leaseRootOf(spark, name)
+    // from the catalog since this entry point carries no path (resolved
+    // ONCE — it also locates the pinned params below)
+    val indexRoot = leaseRootOf(spark, name)
+    indexRoot
       .foreach(assertNoMaintenance(spark, _, s"classify against band index '$name'"))
     // layout guard: a missing _toks table means either a rewrite
     // (compact/remove) crashed mid-swap — the remedy is to RESUME it,
@@ -437,8 +557,7 @@ object BandIndex {
         s"band index '$name' has no ${toksTable(name)} table — it predates " +
         "the _toks layout (or PfxCount changed); rebuild it with BandIndex.create")
     // the index's pinned tunables, off its own directory
-    val params = leaseRootOf(spark, name)
-      .map(loadParams(spark, _)).getOrElse(LshParams())
+    val params = indexRoot.map(loadParams(spark, _)).getOrElse(LshParams())
     // batch tokenized once (three consumers below)
     val sigs = signatures(batch, params).localCheckpoint()
     val fps = spark.table(docsTable(name))

@@ -401,6 +401,28 @@ class BandIndexSpec extends SparkSpec {
     assert(spark.table(BandIndex.docsTable(name)).count() === 2)
   }
 
+  test("maintenance waits out in-flight append beacons; stale beacons don't block") {
+    // the in-flight-append window: an append past the lease check but
+    // still landing files posts a beacon; maintenance taking the lease
+    // must wait for it (bounded) instead of sweeping under the append
+    val name = "bidx_bcn"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta")).toDF("doc_id", "text"), name, path, buckets = 4)
+    val beacon = new java.io.File(path, "_append_beacon_test1234")
+    java.nio.file.Files.write(beacon.toPath,
+      System.currentTimeMillis().toString.getBytes)
+    val ex = intercept[BandIndex.ConcurrentMaintenanceException] {
+      BandIndex.awaitNoAppendBeacons(spark, path, waitMs = 1200)
+    }
+    assert(ex.getMessage.contains("in flight"))
+    // a crashed appender's beacon goes stale and stops blocking
+    beacon.setLastModified(
+      System.currentTimeMillis() - BandIndex.BeaconTtlMs - 1000)
+    BandIndex.awaitNoAppendBeacons(spark, path, waitMs = 1200) // returns
+  }
+
   test("a second maintenance op fails fast on a fresh lease") {
     val name = "bidx_2mx"
     dropTables(name)
