@@ -48,7 +48,7 @@ object PlanDump {
     "q95_pii_scrub" ->
       "PII scrub: seeding + regexp counts + replaces all codegen'd string expressions in ONE map pass over the scan; the only Exchange is the final per-source aggregate.",
     "q96_dupgram_coverage" ->
-      "Substring-dup coverage: 8-gram positions hash to 60-bit longs BEFORE the explode output shuffles (never gram text); df aggregate map-side combines on the key; gram⋈df equi-join reuses the same partitioning.",
+      "Substring-dup coverage: 8-gram positions hash to 60-bit longs BEFORE the explode output shuffles (never gram text); df aggregate map-side combines on the key; per-doc m needs no join (size(tk)-7) and ndup comes from a LEFT-SEMI join of the gram stream against the (small) df>=2 key set — broadcast here, skew-splittable shuffle at scale.",
     "q97_cross_source_overlap" ->
       "Cross-source overlap: ONE gram-key exchange into a bounded collect_set (partial buffers ≤ |sources| — hot grams combine map-side, no skew), pairs exploded from the sorted set (≤ sources²/2 per gram), no join.",
     "q98_leakproof_split" ->
