@@ -887,9 +887,20 @@ object TextQueries {
       .select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
       .withColumn("lab", $"node")
       .localCheckpoint()
-    var changed = 1L
+    // Convergence via the EXACT label-sum: min-label propagation is
+    // monotone (a label only ever decreases), so "any node changed"
+    // ⟺ "the total strictly decreased" — one tiny columnar aggregate
+    // over the just-checkpointed frame per round, replacing the
+    // node-keyed join + count job the naive changed-row check costs.
+    // decimal(38,0), not long: the sum stays exact at any corpus size
+    // (a wrapped long sum could collide two different states).
+    def labSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum($"lab".cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var prevSum = labSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0) {
+    while (changed) {
       rounds += 1
       require(rounds <= 25, s"label propagation did not converge in 25 rounds")
       val prop = labels.join(sym, labels("node") === sym("doc_a"))
@@ -897,10 +908,9 @@ object TextQueries {
         .unionByName(labels)
         .groupBy($"node").agg(min($"lab").as("lab"))
         .localCheckpoint()
-      changed = prop.as("p")
-        .join(labels.as("o"), "node")
-        .filter($"p.lab" =!= $"o.lab")
-        .count()
+      val s = labSum(prop)
+      changed = s.compareTo(prevSum) < 0
+      prevSum = s
       labels = prop
     }
     labels
