@@ -479,28 +479,38 @@ object BandIndex {
              path: String, buckets: Int = 32,
              params: LshParams = LshParams()): Unit = {
     // create on an EXISTING index is an append (saveAsTable append
-    // mode) and gets the same maintenance fence appends have — without
-    // it a bootstrap-script rerun during a compact would write into a
-    // generation directory the swap then sweeps
+    // mode) and gets the FULL append fence — maintenance check AND a
+    // beacon posted for the duration of the table writes (beacon
+    // before check: if a maintenance op takes the lease in between,
+    // either its beacon scan sees ours and waits, or its lease landed
+    // first and the check throws — no interleaving lets both proceed).
+    // Without this, a bootstrap-script rerun during a compact would
+    // write into a generation directory the swap then sweeps.
     val tablesExist = Seq(docsTable(name), bandsTable(name), toksTable(name))
       .exists(spark.catalog.tableExists)
+    def body(): Unit = {
+      // pin (or re-check) the LSH tunables before any signature lands
+      writeParamsIfAbsent(spark, path, params, tablesExist)
+      // localCheckpoint: one tokenization feeding all tables, released
+      // by the ContextCleaner (not a session-lifetime cache entry).
+      // Caveat: localCheckpoint blocks are executor-local and
+      // non-replicated — an executor loss between here and the last
+      // write fails the job (rerun it) instead of recomputing lineage.
+      val sigs = signatures(corpus, params).localCheckpoint()
+      writeBucketed(bandRows(sigs, params), bandsTable(name),
+        s"$path/${bandsTable(name)}", buckets, "band_val")
+      writeToks(sigs.select(pfxOf(col("doc_id")).as("pfx"),
+          col("doc_id"), col("th")),
+        toksTable(name), s"$path/${toksTable(name)}")
+      writeBucketed(sigs.select("doc_id", "n", "fp"),
+        docsTable(name), s"$path/${docsTable(name)}", buckets, "fp")
+    }
     if (tablesExist)
-      assertNoMaintenance(spark, path, s"append (create) to band index '$name'")
-    // pin (or re-check) the LSH tunables before any signature lands
-    writeParamsIfAbsent(spark, path, params, tablesExist)
-    // localCheckpoint: one tokenization feeding all tables, released
-    // by the ContextCleaner (not a session-lifetime cache entry).
-    // Caveat: localCheckpoint blocks are executor-local and
-    // non-replicated — an executor loss between here and the last
-    // write fails the job (rerun it) instead of recomputing lineage.
-    val sigs = signatures(corpus, params).localCheckpoint()
-    writeBucketed(bandRows(sigs, params), bandsTable(name),
-      s"$path/${bandsTable(name)}", buckets, "band_val")
-    writeToks(sigs.select(pfxOf(col("doc_id")).as("pfx"),
-        col("doc_id"), col("th")),
-      toksTable(name), s"$path/${toksTable(name)}")
-    writeBucketed(sigs.select("doc_id", "n", "fp"),
-      docsTable(name), s"$path/${docsTable(name)}", buckets, "fp")
+      withAppendBeacon(spark, path) {
+        assertNoMaintenance(spark, path, s"append (create) to band index '$name'")
+        body()
+      }
+    else body()
   }
 
   /** Append docs (normally the kept slice of a batch) to the index.
@@ -515,18 +525,14 @@ object BandIndex {
     * stale file listing and silently re-admit duplicates.
     */
   def append(spark: SparkSession, docs: DataFrame, name: String,
-             path: String, buckets: Int = 32): Unit =
-    // beacon BEFORE the lease check: if a maintenance op acquires the
-    // lease in between, either its beacon scan sees ours (it waits) or
-    // its lease landed first and our check below throws — there is no
-    // interleaving where both proceed
-    withAppendBeacon(spark, path) {
-      assertNoMaintenance(spark, path, s"append to band index '$name'")
-      // params come from the index, never the caller — no drift possible
-      create(spark, docs, name, path, buckets, loadParams(spark, path))
-      Seq(docsTable(name), bandsTable(name), toksTable(name))
-        .foreach(spark.catalog.refreshTable)
-    }
+             path: String, buckets: Int = 32): Unit = {
+    // the maintenance fence (beacon + lease check) lives in create's
+    // append mode — one implementation for both entry points; params
+    // come from the index, never the caller, so drift is impossible
+    create(spark, docs, name, path, buckets, loadParams(spark, path))
+    Seq(docsTable(name), bandsTable(name), toksTable(name))
+      .foreach(spark.catalog.refreshTable)
+  }
 
   /** Classify a batch of (doc_id, text [, …]) against the persisted
     * index: returns (doc_id, flag) with flag ∈ exact | near | kept.
