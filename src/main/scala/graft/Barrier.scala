@@ -40,10 +40,19 @@ object Barrier {
 
   val ConfKey = "spark.graft.barrierStorage"
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[
-      org.apache.spark.sql.SparkSession,
-      java.util.Queue[DataFrame]]()
+  // WEAK keys: a session that was released (empty queue, no DataFrame
+  // value referencing it) must be collectable — a strong-keyed map
+  // would pin every per-job/per-batch SparkSession for the JVM
+  // lifetime in multi-session drivers. While a queue still holds
+  // frames, those frames reference their session and keep the entry
+  // live, which is exactly right. The synchronizedMap wrapper makes
+  // computeIfAbsent/get atomic (Java's SynchronizedMap overrides the
+  // default methods).
+  private val registry: java.util.Map[
+      org.apache.spark.sql.SparkSession, java.util.Queue[DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.SparkSession, java.util.Queue[DataFrame]]())
 
   /** Barrier `df` per the session's configured strategy. */
   def apply(df: DataFrame): DataFrame = {

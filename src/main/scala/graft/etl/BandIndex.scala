@@ -172,9 +172,10 @@ object BandIndex {
     new org.apache.hadoop.fs.Path(path, LeaseFileName)
 
   /** The lease currently on file, if any. A half-written/unparsable
-    * lease file (crash inside acquire) reads as an already-stale lease
-    * of unknown op: appenders still fail fast on it, and the next
-    * maintenance run takes it over.
+    * lease file (crash inside acquire) reads as op=[[CorruptOp]]:
+    * appenders fail fast on it, and — because its holder's age is
+    * unknowable — maintenance never auto-takes it over; [[breakLease]]
+    * after confirming nothing runs is the remedy.
     */
   def readLease(spark: SparkSession, path: String): Option[Lease] = {
     val p = leasePath(path)
@@ -245,12 +246,28 @@ object BandIndex {
           s"${(l.acquiredAtMs + l.ttlMs - now) / 1000}s) — wait for it to " +
           "finish; if its holder crashed, wait for expiry or call " +
           "BandIndex.breakLease")
-      // stale: claim it by rename — atomic win against racing takers
+      // stale: claim it by rename — atomic win against racing takers —
+      // then VERIFY the claimed content is the stale lease we read. A
+      // slow taker could otherwise rename a rival's freshly-created
+      // lease (p is re-created between the rival's claim and ours);
+      // content mismatch = we grabbed a live lease → put it back, bow
+      // out. The (op, acquiredAtMs) pair makes fresh ≠ stale certain.
       val claim = new org.apache.hadoop.fs.Path(path,
         LeaseFileName + ".claim." + java.util.UUID.randomUUID().toString.take(8))
       if (!fs.rename(p, claim))
         throw new ConcurrentMaintenanceException(
           s"lost the stale-lease takeover race at $path — retry")
+      val claimedText = {
+        val in = fs.open(claim)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+      if (claimedText != s"${l.op}|${l.acquiredAtMs}|${l.ttlMs}") {
+        fs.rename(claim, p) // restore the rival's live lease (best effort)
+        throw new ConcurrentMaintenanceException(
+          s"stale-lease takeover at $path raced a completed rival " +
+          "takeover — retry")
+      }
       fs.delete(claim, false)
     }
     val out =
@@ -289,6 +306,11 @@ object BandIndex {
     * lease stops NEW appends, but an append that passed the lease
     * check and is still landing files would otherwise race a
     * maintenance op acquiring the lease right after.
+    *
+    * The beacon is HEARTBEATED (mtime refreshed every ttl/4 by a
+    * daemon thread) for as long as `body` runs, so an append of ANY
+    * duration stays fenced — only a genuinely crashed appender's
+    * beacon goes stale, after [[BeaconTtlMs]] without a heartbeat.
     */
   private def withAppendBeacon[T](spark: SparkSession, path: String)
                                  (body: => T): T = {
@@ -299,7 +321,23 @@ object BandIndex {
     val out = fs.create(p, false)
     try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
     finally out.close()
-    try body finally fs.delete(p, false)
+    val hb = new Thread(() => {
+      try {
+        while (true) {
+          Thread.sleep(BeaconTtlMs / 4)
+          fs.setTimes(p, System.currentTimeMillis(), -1)
+        }
+      } catch {
+        case _: InterruptedException => () // append finished
+        case _: java.io.IOException => () // beacon already gone
+      }
+    }, s"graft-beacon-heartbeat-${p.getName}")
+    hb.setDaemon(true)
+    hb.start()
+    try body finally {
+      hb.interrupt()
+      fs.delete(p, false)
+    }
   }
 
   /** Wait (bounded) for in-flight append beacons to drain after the
@@ -427,6 +465,26 @@ object BandIndex {
           concat(params.bandMembers(b).map(i => col(s"m$i")): _*))): _*))
       .as("band_val"))
 
+  /** Filesystem evidence that an index already lives at `path`: the
+    * params file (written by every post-params create) or any table /
+    * generation directory (pre-params indexes). Complements the
+    * session-catalog check in [[create]] — a fresh session has an
+    * empty catalog but the disk state is what maintenance sweeps.
+    */
+  private def indexOnDisk(spark: SparkSession, path: String,
+                          name: String): Boolean = {
+    val root = hadoopPath(path)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) return false
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, ParamsFileName)))
+      return true
+    val prefixes = Seq(docsTable(name), bandsTable(name), toksTable(name))
+    fs.listStatus(root).exists { st =>
+      st.isDirectory && prefixes.exists(t =>
+        st.getPath.getName == t || st.getPath.getName.startsWith(t + "__g"))
+    }
+  }
+
   /** The explicit `path` is passed ONLY when the table does not exist
     * yet (first create): once registered, appends must follow the
     * CATALOG location — after a [[compact]] the table points at a
@@ -486,8 +544,12 @@ object BandIndex {
     // first and the check throws — no interleaving lets both proceed).
     // Without this, a bootstrap-script rerun during a compact would
     // write into a generation directory the swap then sweeps.
+    // Existence is judged by catalog OR FILESYSTEM: the hazard lives
+    // on disk, and a rerun from a fresh session (empty in-memory
+    // catalog) must still fence against a maintenance op running in
+    // the long-lived app that does have the tables registered.
     val tablesExist = Seq(docsTable(name), bandsTable(name), toksTable(name))
-      .exists(spark.catalog.tableExists)
+      .exists(spark.catalog.tableExists) || indexOnDisk(spark, path, name)
     def body(): Unit = {
       // pin (or re-check) the LSH tunables before any signature lands
       writeParamsIfAbsent(spark, path, params, tablesExist)
