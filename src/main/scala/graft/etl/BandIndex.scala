@@ -321,21 +321,28 @@ object BandIndex {
     val out = fs.create(p, false)
     try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
     finally out.close()
+    // flag-stopped, NEVER interrupted: interrupting a thread inside a
+    // Hadoop FS call can fail the shared cached FileSystem client with
+    // ClosedByInterruptException (poisoning every other user of the
+    // FS) — the 200 ms poll granularity costs nothing against a
+    // ttl/4 heartbeat period
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
     val hb = new Thread(() => {
-      try {
-        while (true) {
-          Thread.sleep(BeaconTtlMs / 4)
-          fs.setTimes(p, System.currentTimeMillis(), -1)
+      var lastTouch = System.currentTimeMillis()
+      while (!done.get()) {
+        try Thread.sleep(200) catch { case _: InterruptedException => () }
+        if (!done.get() &&
+            System.currentTimeMillis() - lastTouch >= BeaconTtlMs / 4) {
+          try fs.setTimes(p, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () } // beacon already gone
+          lastTouch = System.currentTimeMillis()
         }
-      } catch {
-        case _: InterruptedException => () // append finished
-        case _: java.io.IOException => () // beacon already gone
       }
     }, s"graft-beacon-heartbeat-${p.getName}")
     hb.setDaemon(true)
     hb.start()
     try body finally {
-      hb.interrupt()
+      done.set(true)
       fs.delete(p, false)
     }
   }
