@@ -462,6 +462,57 @@ class BandIndexSpec extends SparkSpec {
     assert(BandIndex.readLease(spark, path).isEmpty)
   }
 
+  test("non-default LshParams flow end-to-end: pinned on disk, honored by classify") {
+    // 50-token doc with one token swapped: J = 49/51 ≈ 0.961 — near
+    // under t = 0.95, NOT under the default 0.99. 4 bands of 2 give
+    // the candidate stage ~1 − (1 − 0.96²)⁴ ≈ 0.9999 collision odds
+    // (and md5 is deterministic, so the outcome is fixed, not flaky).
+    def doc50(change: Boolean): String =
+      (0 until 50).map(i =>
+        if (change && i == 11) "swapped" else s"w$i").mkString(" ")
+    val p95 = graft.text.LshParams(numHashes = 8, bands = 4, threshold = 0.95)
+
+    val name = "bidx_prm"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, doc50(false))).toDF("doc_id", "text"),
+      name, path, buckets = 4, params = p95)
+    assert(BandIndex.loadParams(spark, path) === p95)
+    val batch = Seq((10L, doc50(true))).toDF("doc_id", "text")
+    assert(BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(10L -> "near"))
+
+    // appends inherit the PINNED params (4 bands), so an appended
+    // doc's near-dups still collide — and a re-create with different
+    // params is rejected with the rebuild remedy
+    BandIndex.append(spark,
+      Seq((2L, "totally different fresh content words")).toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    assert(BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(10L -> "near"))
+    val ex = intercept[IllegalArgumentException] {
+      BandIndex.create(spark,
+        Seq((3L, "x")).toDF("doc_id", "text"), name, path, buckets = 4,
+        params = graft.text.LshParams(8, 2, 0.95))
+    }
+    assert(ex.getMessage.contains("rebuild"))
+
+    // the same 0.961 pair against a DEFAULT-params index stays kept:
+    // the candidate may collide, but the 0.99 verify rejects it —
+    // threshold is honored at the exact stage, not just banding
+    val name2 = "bidx_prm_d"
+    dropTables(name2)
+    BandIndex.create(spark,
+      Seq((1L, doc50(false))).toDF("doc_id", "text"),
+      name2, tmp(), buckets = 4)
+    assert(BandIndex.dedupBatch(spark, batch, name2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      === Map(10L -> "kept"))
+  }
+
   test("compactIfNeeded fires only above the file-count threshold") {
     val name = "bidx_cin"
     dropTables(name)
