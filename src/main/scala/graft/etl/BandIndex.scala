@@ -277,6 +277,12 @@ object BandIndex {
           s"maintenance lease at $path was acquired concurrently — retry")
       }
     try out.write(s"$op|$now|$ttlMs".getBytes("UTF-8")) finally out.close()
+    // holding the lease, reclaim claim-file residue from takers that
+    // crashed between their rename and delete (nothing reads these)
+    fs.listStatus(hadoopPath(path)).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(LeaseFileName + ".claim."))
+        fs.delete(st.getPath, false)
+    }
     try awaitNoAppendBeacons(spark, path)
     catch { case e: Throwable => breakLease(spark, path); throw e }
   }
