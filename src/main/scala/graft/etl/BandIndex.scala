@@ -289,9 +289,14 @@ object BandIndex {
 
   private val BeaconPrefix = "_append_beacon_"
 
-  /** How long a beacon is trusted: a crashed appender's beacon blocks
-    * maintenance for at most this long. Size to an upper bound of one
-    * append's duration.
+  /** How long a beacon is trusted without a heartbeat: a crashed
+    * appender's beacon blocks maintenance for at most this long.
+    * [[withAppendBeacon]] refreshes the beacon's mtime every ttl/4, so
+    * on filesystems with working `setTimes` (HDFS, local) an append of
+    * ANY duration stays fenced. CAVEAT for object stores: S3A's
+    * `setTimes` is a no-op — there the heartbeat cannot extend the
+    * beacon, and this TTL must be sized to the maximum append
+    * duration instead.
     */
   val BeaconTtlMs: Long = 10L * 60 * 1000
 

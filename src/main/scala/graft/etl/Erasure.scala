@@ -71,7 +71,12 @@ object Erasure {
     if (hit.isEmpty) return 0L
     val erased = hit.values.sum
     // survivors of the affected partitions only; materialized BEFORE
-    // the overwrite destroys its own input files
+    // the overwrite destroys its own input files. The isin literal is
+    // what reaches the scan as a PARTITION filter (only affected
+    // partition dirs are listed/read); it is bounded by the affected-
+    // partition count — a takedown touching millions of micro-batch
+    // partitions would bloat the literal, at which point chunking the
+    // erase by partition ranges is the operational answer
     val survivors = corpus
       .filter(col("ingest_batch").isin(hit.keys.toSeq: _*))
       .join(ids, Seq("doc_id"), "left_anti")
