@@ -58,6 +58,34 @@ class DupGramSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("q96 degrades to a shuffled semi-join when the key set outgrows broadcast") {
+    // the 100 TB story: when the df>=2 key set cannot broadcast, the
+    // semi filter must survive as a shuffled (skew-splittable) join
+    // with identical results — simulate by disabling broadcast
+    val confs = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+                    "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.get(k)).toMap
+    val broadcasted = SparkEntry.queries("q96_dupgram_coverage")(
+      spark, SparkSpec.Sf0001).collect().map(_.toSeq).toSeq
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.catalog.clearCache()
+      val f = SparkEntry.queries("q96_dupgram_coverage")(spark, SparkSpec.Sf0001)
+      val plan = f.queryExecution.executedPlan
+      val semis = plan.collect {
+        case j: BaseJoinExec if j.joinType == LeftSemi &&
+          j.leftKeys.exists(_.references.exists(_.name == "gh")) => j
+      }
+      assert(semis.size === 1, plan.toString.take(2000))
+      assert(!semis.head.getClass.getSimpleName.contains("Broadcast"),
+        s"still broadcasting: ${semis.head.getClass.getSimpleName}")
+      assert(f.collect().map(_.toSeq).toSeq === broadcasted)
+    } finally {
+      prev.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q96 semi-join form equals the naive full-join formulation") {
     val toks = Tables.load(spark, SparkSpec.Sf0001, "documents")
       .select($"doc_id", $"source", split($"text", " ").as("tk"))
