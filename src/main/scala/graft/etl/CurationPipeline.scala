@@ -86,23 +86,36 @@ object CurationPipeline {
   /** Run the full stage. `srcDir` is the crawl drop directory (parquet
     * files in the `documents` schema); the band index at
     * `indexName`/`indexPath` is created empty if absent, so a
-    * from-scratch corpus needs no seeding step. Outputs under
-    * `workDir`: `corpus/` (the deduped kept slice, per-batch
-    * partitions), `manifest/` (the packed training manifest parquet).
-    * Re-running with the same checkpoint resumes where the crawl left
-    * off; selection and packing recompute over the whole kept corpus
-    * (they are global decisions — a budget is not incremental).
+    * from-scratch corpus needs no seeding step — with `lshParams` as
+    * its pinned tunables (see [[graft.text.LshParams]]'s S-curve
+    * notes; a pre-existing index re-checks them against its on-disk
+    * params and rejects a mismatch — stored signatures always win).
+    * Outputs under `workDir`: `corpus/` (the deduped kept
+    * slice, per-batch partitions), `manifest/` (the packed training
+    * manifest parquet). Re-running with the same checkpoint resumes
+    * where the crawl left off; selection and packing recompute over
+    * the whole kept corpus (they are global decisions — a budget is
+    * not incremental).
+    *
+    * `takedownDir`, when given, is drained at every micro-batch
+    * boundary ([[CorpusIngestJob.drainTakedowns]]) — and because the
+    * manifest is REGENERATED from the kept corpus after ingest, a
+    * drained takedown needs no separate manifest erase: this run's
+    * manifest simply never contains the erased docs. (Erasing from a
+    * manifest BETWEEN runs is [[Erasure.erase]]'s `manifestDir` path.)
     */
   def run(spark: SparkSession, srcDir: String, indexName: String,
           indexPath: String, workDir: String, buckets: Int = 32,
           budgetNum: Long = 1, budgetDen: Long = 2,
-          block: Long = 4096L): CurationReport = {
+          block: Long = 4096L,
+          lshParams: graft.text.LshParams = graft.text.LshParams(),
+          takedownDir: Option[String] = None): CurationReport = {
     import spark.implicits._
     if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
       BandIndex.create(spark,
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           graft.Tables.schemas("documents")),
-        indexName, indexPath, buckets)
+        indexName, indexPath, buckets, lshParams)
 
     val corpusDir = s"$workDir/corpus"
     val ckptDir = s"$workDir/ckpt"
@@ -115,7 +128,8 @@ object CurationPipeline {
     corpusPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .mkdirs(corpusPath)
     CorpusIngestJob.run(spark, srcDir, indexName, indexPath,
-      corpusDir, ckptDir, buckets).awaitTermination()
+      corpusDir, ckptDir, buckets,
+      takedownDir = takedownDir).awaitTermination()
 
     // ingest ran through the streaming clone session; make sure THIS
     // session sees the final file listing (the CorpusIngestSpec pitfall)

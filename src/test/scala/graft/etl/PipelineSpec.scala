@@ -170,6 +170,55 @@ class PipelineSpec extends SparkSpec {
     assert(flags === Map(20L -> "kept"))
   }
 
+  test("curation run drains queued takedowns; the regenerated manifest forgets them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_td"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-cur-takedown")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    val tdDir = root.resolve("takedowns").toString
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("web"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val secret = "queued takedown text the pipeline must forget entirely"
+    docsDf(1L -> secret, 2L -> "ordinary first batch document words")
+      .coalesce(1).write.parquet(s"$srcDir/a")
+    val work = root.resolve("work").toString
+    val r1 = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, work, buckets = 4,
+      budgetNum = 1, budgetDen = 1, block = 16L,
+      takedownDir = Some(tdDir))
+    assert(spark.read.parquet(r1.manifestPath)
+      .select($"doc_id").as[Long].collect().toSet === Set(1L, 2L))
+
+    // enqueue the takedown, drop a new crawl batch containing a
+    // verbatim re-crawl, rerun the stage from the same checkpoint
+    Seq(1L).toDF("doc_id").coalesce(1).write.parquet(tdDir)
+    docsDf(10L -> secret, 11L -> "fresh second batch content words")
+      .coalesce(1).write.parquet(s"$srcDir/b")
+    val r2 = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, work, buckets = 4,
+      budgetNum = 1, budgetDen = 1, block = 16L,
+      takedownDir = Some(tdDir))
+
+    // corpus: 1 erased, the re-crawl (10) kept; manifest regenerated
+    // from the corpus, so it forgot doc 1 with no manifest-erase step
+    val keptIds = spark.read.schema(
+        graft.Tables.schemas("documents").add("ingest_batch", "long"))
+      .parquet(s"$work/corpus").select($"doc_id").as[Long].collect().toSet
+    assert(keptIds === Set(2L, 10L, 11L))
+    assert(spark.read.parquet(r2.manifestPath)
+      .select($"doc_id").as[Long].collect().toSet === Set(2L, 10L, 11L))
+    spark.catalog.refreshTable(BandIndex.docsTable(name))
+    assert(spark.table(BandIndex.docsTable(name))
+      .filter($"doc_id" === 1L).count() === 0)
+  }
+
   test("curation stage bootstraps from an empty crawl directory (zero batches)") {
     val name = "cur_idx_empty"
     Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
