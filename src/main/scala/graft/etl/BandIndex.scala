@@ -614,6 +614,65 @@ object BandIndex {
       .foreach(spark.catalog.refreshTable)
   }
 
+  /** Re-register an on-disk index in THIS session's catalog — the
+    * fresh-session path the class doc describes, as a coded API
+    * instead of hand-written SQL: a new application (its own
+    * in-memory/derby catalog) points the three table names at the
+    * index's current data directories with the bucketing/partitioning
+    * DDL that makes the band join exchange-free again.
+    *
+    * The live generation per table is discovered from disk: after any
+    * CLEAN create/compact/remove exactly one directory exists per
+    * table (`<path>/<table>` or one `<table>__g*` — superseded
+    * generations are swept at swap time). MORE than one candidate
+    * means a rewrite crashed before its sweep and this catalog cannot
+    * know which generation the crashed session's catalog pointed at —
+    * register refuses with the remedy (finish the interrupted rewrite
+    * from the session that ran it, or consult the durable metastore)
+    * rather than guessing and silently resurrecting removed rows. A
+    * production deployment with a persistent metastore never needs
+    * this call; it exists for catalog-per-app topologies.
+    */
+  def register(spark: SparkSession, name: String, path: String,
+               buckets: Int = 32): Unit = {
+    val root = hadoopPath(path)
+    val fs = fsOf(spark, root)
+    def liveDir(table: String): String = {
+      val cands = fs.listStatus(root).toSeq.filter { st =>
+        st.isDirectory && (st.getPath.getName == table ||
+          st.getPath.getName.startsWith(table + "__g"))
+      }.map(_.getPath.toString)
+      require(cands.nonEmpty, s"no data directory for `$table` under $path")
+      require(cands.size == 1,
+        s"ambiguous generations for `$table` under $path " +
+        s"(${cands.mkString(", ")}): a rewrite crashed before its sweep — " +
+        "resume it from the session that ran it (or consult the durable " +
+        "metastore for the live location); register will not guess")
+      cands.head
+    }
+    def recreate(table: String, ddl: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      spark.sql(ddl)
+    }
+    recreate(bandsTable(name),
+      s"""CREATE TABLE `${bandsTable(name)}`
+         |(doc_id BIGINT, n BIGINT, band_val BIGINT) USING parquet
+         |CLUSTERED BY (band_val) SORTED BY (band_val) INTO $buckets BUCKETS
+         |LOCATION '${liveDir(bandsTable(name))}'""".stripMargin)
+    recreate(docsTable(name),
+      s"""CREATE TABLE `${docsTable(name)}`
+         |(doc_id BIGINT, n BIGINT, fp STRING) USING parquet
+         |CLUSTERED BY (fp) SORTED BY (fp) INTO $buckets BUCKETS
+         |LOCATION '${liveDir(docsTable(name))}'""".stripMargin)
+    recreate(toksTable(name),
+      s"""CREATE TABLE `${toksTable(name)}`
+         |(doc_id BIGINT, th ARRAY<BIGINT>, pfx BIGINT) USING parquet
+         |PARTITIONED BY (pfx)
+         |LOCATION '${liveDir(toksTable(name))}'""".stripMargin)
+    // partitioned external table: discover the pfx=… directories
+    spark.sql(s"MSCK REPAIR TABLE `${toksTable(name)}`")
+  }
+
   /** Classify a batch of (doc_id, text [, …]) against the persisted
     * index: returns (doc_id, flag) with flag ∈ exact | near | kept.
     * Reads only the index tables — never corpus text. NOT fully lazy:

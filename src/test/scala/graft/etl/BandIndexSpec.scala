@@ -513,6 +513,65 @@ class BandIndexSpec extends SparkSpec {
       === Map(10L -> "kept"))
   }
 
+  test("register rebuilds the catalog entries for an on-disk index, bucketing intact") {
+    val name = "bidx_reg"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta"), (2L, bigDoc(false)))
+        .toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    // compact so every table lives in a __g generation dir (the
+    // harder discovery case), then append post-compact content
+    BandIndex.compact(spark, name, path, buckets = 4)
+    BandIndex.append(spark,
+      Seq((3L, "post compact appended words")).toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta"),      // exact of 1
+      (11L, bigDoc(true)),                  // near of 2
+      (12L, "post compact appended words"), // exact of 3
+      (13L, "wholly new text")).toDF("doc_id", "text")
+    val before = BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // simulate a fresh application: this catalog forgets the tables
+    dropTables(name)
+    BandIndex.register(spark, name, path, buckets = 4)
+
+    val after = BandIndex.dedupBatch(spark, batch, name)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after === before)
+    assert(before === Map(10L -> "exact", 11L -> "near",
+                          12L -> "exact", 13L -> "kept"))
+    // the re-registered bucketing still makes the band join
+    // exchange-free — the whole point of re-stating CLUSTERED BY
+    val confs = Map("spark.sql.adaptive.enabled" -> "false",
+                    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.get(k)).toMap
+    val candPlan = try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      BandIndex.candidates(spark, BandIndex.signatures(batch), name)
+        .queryExecution.executedPlan
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+    assertBandJoinExchangeFree(candPlan, name)
+    // and appends keep landing through the re-registered catalog
+    BandIndex.append(spark,
+      Seq((4L, "post register append")).toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    assert(spark.table(BandIndex.docsTable(name)).count() === 4)
+
+    // ambiguity refusal: a leftover generation dir means a crashed
+    // rewrite — register must not guess which generation is live
+    dropTables(name)
+    val orphan = new java.io.File(s"$path/${BandIndex.bandsTable(name)}__g0_dead")
+    orphan.mkdirs()
+    val ex = intercept[IllegalArgumentException] {
+      BandIndex.register(spark, name, path, buckets = 4)
+    }
+    assert(ex.getMessage.contains("ambiguous"))
+  }
+
   test("compactIfNeeded fires only above the file-count threshold") {
     val name = "bidx_cin"
     dropTables(name)
