@@ -267,34 +267,53 @@ object VectorQueries {
     * to 6dp with a centroid-id tiebreak: bit-stable argmax across
     * engines.
     */
+  /** The IVF candidate stage, factored for the nesting receipt: the
+    * (query, candidate) pairs a probe scores when searching its
+    * `nprobe` closest cells. Raising `nprobe` can only ADD pairs —
+    * the rank filter `r <= nprobe` is a prefix of the same
+    * deterministic cell ranking — so accuracy is tunable upward at
+    * linear candidate cost (`KMeansSpec` pins the superset chain).
+    */
+  private[graft] def ivfCandidates(s: SparkSession, dir: String,
+                                   nprobe: Int): DataFrame = {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cents = e.filter($"vec_id" >= 8 && $"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cscore", round(cos(s, "embedding", "cvec"), 6))
+    val byVec = Window.partitionBy($"vec_id")
+      .orderBy($"cscore".desc, $"cid")
+    val cells = assigned
+      .withColumn("r", row_number().over(byVec)).filter($"r" === 1)
+      .select($"cid", $"vec_id", $"embedding")
+    val probes = assigned.filter($"vec_id" < 8)
+      .withColumn("r", row_number().over(byVec)).filter($"r" <= nprobe)
+      .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qvec"))
+    cells.join(broadcast(probes), Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+  }
+
+  /** q52 body with the knobs exposed; the registered query runs the
+    * defaults the DuckDB oracle mirrors.
+    */
+  private[graft] def ivfAnn(s: SparkSession, dir: String,
+                            nprobe: Int = 2, topK: Int = 5): DataFrame = {
+    import s.implicits._
+    val cands = ivfCandidates(s, dir, nprobe)
+      .withColumn("score", round(cos(s, "qvec", "embedding"), 4))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"vec_id")
+    cands
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"), $"score", $"rank")
+      .orderBy($"query_id", $"rank")
+  }
+
   val q52 = Q(
     "q52_ivf_ann",
-    (s, dir) => {
-      import s.implicits._
-      val e = emb(s, dir)
-      val cents = e.filter($"vec_id" >= 8 && $"vec_id" < 16)
-        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cscore", round(cos(s, "embedding", "cvec"), 6))
-      val byVec = Window.partitionBy($"vec_id")
-        .orderBy($"cscore".desc, $"cid")
-      val cells = assigned
-        .withColumn("r", row_number().over(byVec)).filter($"r" === 1)
-        .select($"cid", $"vec_id", $"embedding")
-      val probes = assigned.filter($"vec_id" < 8)
-        .withColumn("r", row_number().over(byVec)).filter($"r" <= 2)
-        .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qvec"))
-      val cands = cells.join(broadcast(probes), Seq("cid"))
-        .filter($"vec_id" =!= $"query_id")
-        .withColumn("score", round(cos(s, "qvec", "embedding"), 4))
-      val w = Window.partitionBy($"query_id")
-        .orderBy($"score".desc, $"vec_id")
-      cands
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
-        .select($"query_id", $"vec_id".as("neighbor_id"), $"score", $"rank")
-        .orderBy($"query_id", $"rank")
-    },
+    (s, dir) => ivfAnn(s, dir),
     Some(s"""WITH cents AS (
       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
       |  WHERE vec_id >= 8 AND vec_id < 16),

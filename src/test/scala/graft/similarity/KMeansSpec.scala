@@ -79,6 +79,24 @@ class KMeansSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF top-1 recall $recall below floor")
   }
 
+  test("IVF candidate set is monotone in nprobe (nested cell prefixes)") {
+    // the accuracy knob's contract: probing more cells only ever ADDS
+    // candidates — r <= nprobe is a prefix of one deterministic cell
+    // ranking, so each step's (query, neighbor) set is a superset
+    import spark.implicits._
+    val sets = (1 to 4).map { p =>
+      graft.similarity.VectorQueries
+        .ivfCandidates(spark, graft.SparkSpec.Sf0001, nprobe = p)
+        .select($"query_id", $"vec_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    sets.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(lo.subsetOf(hi), s"nprobe step lost candidates")
+    }
+    assert(sets.head.size < sets.last.size,
+      "nprobe sweep added nothing — dead receipt")
+  }
+
   test("trained centroids are unit-normalized") {
     val cents = KMeans.train(emb, k = 3, iters = 2)
     for (c <- cents) {
