@@ -49,7 +49,11 @@ object Bench {
     "q95_pii_scrub",
     "q96_dupgram_coverage",
     "q97_cross_source_overlap",
-    "q98_leakproof_split")
+    "q98_leakproof_split",
+    "q99_doc_surprisal",
+    "q100_cluster_canonical",
+    "q101_dup_run",
+    "q102_boilerplate_grams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

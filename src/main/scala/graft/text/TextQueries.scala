@@ -2034,7 +2034,313 @@ object TextQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     doc = "training: leakage-proof split by near-dup cluster (crossing edges 0 vs doc-hash leak)")
 
+  /** 60-bit gram-hash array off a tokenized column `tk`: one md5-prefix
+    * long per 8-token window (the q96 idiom — grams hash to longs BEFORE
+    * any shuffle; deterministic cross-engine, collisions ~2⁻⁶⁰).
+    */
+  private val gramHashArr = expr(
+    """transform(sequence(1, size(tk) - 7),
+      |  i -> cast(conv(substring(md5(
+      |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin)
+
+  /** q99 — unigram-LM surprisal proxy (the cheap perplexity stand-in
+    * every pre-LM quality filter uses: a doc whose tokens are corpus-rare
+    * is "surprising" — likely noise, boilerplate-free gibberish, or
+    * genuinely novel content worth a closer look). Surprisal is
+    * QUANTIZED to an integer — surp_q(t) = N_tok·10⁶ div count(t) — the
+    * q94 stance: libm ln() low bits are not cross-engine stable, while
+    * integer division is, and a monotone transform of 1/p(t) preserves
+    * every ranking this operator exists to produce. The per-source mean
+    * divides one exact long sum by one exact count (single IEEE
+    * division — bit-deterministic in both engines).
+    *
+    * Scale design: ONE token explode compressed immediately to
+    * per-(term, doc) partial counts (map-side combine; the q94 docTf
+    * shape, checkpointed for its two consumers); term totals are
+    * vocabulary-shaped; the scoring join shuffles doc-term pairs by
+    * term (hot stop-words are AQE-skew-splittable equi-join keys, never
+    * a window). Top-doc election is max(struct) — a map-side-combinable
+    * aggregate, no per-source sort. Long-overflow ceiling: surp_q tops
+    * out at N_tok·10⁶ (singleton term), so the long form holds to
+    * ~9·10¹² corpus tokens; past that, shrink the quantum or lift the
+    * weight to decimal(38,0) — noted, not silently wrong.
+    */
+  val q99 = Q(
+    "q99_doc_surprisal",
+    (s, dir) => {
+      import s.implicits._
+      val docTf = docs(s, dir)
+        .select($"doc_id", $"source",
+          explode(split(coalesce($"text", lit("")), " ")).as("t"))
+        .groupBy($"t", $"doc_id", $"source")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val termCnt = docTf.groupBy($"t").agg(sum($"c").as("cnt")).cache()
+      val tot = termCnt.agg(sum($"cnt").as("n_tok_total"))
+      val surp = termCnt.crossJoin(broadcast(tot))
+        .select($"t", expr("n_tok_total * 1000000L div cnt").as("surp_q"))
+      val perDoc = docTf.join(surp, Seq("t"))
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"c" * $"surp_q").as("ssum"), sum($"c").as("n_toks"))
+        .withColumn("mean_q", expr("ssum div n_toks"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_toks").as("n_tokens"),
+          (sum($"ssum").cast("double") / sum($"n_toks")).as("mean_surprisal"),
+          // ties in mean_q break to the LARGER doc_id (struct order) —
+          // stated in the oracle's ORDER BY ... doc_id DESC
+          max(struct($"mean_q", $"doc_id")).as("w"))
+        .select($"source", $"n_docs", $"n_tokens", $"mean_surprisal",
+          $"w.doc_id".as("top_doc"), $"w.mean_q".as("top_doc_mean_q"))
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source,
+      |         UNNEST(string_split(COALESCE(text, ''), ' ')) AS t
+      |  FROM documents),
+      |doctf AS (
+      |  SELECT t, doc_id, source, COUNT(*) AS c FROM tok GROUP BY 1, 2, 3),
+      |termcnt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cnt FROM doctf GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tok_total FROM termcnt),
+      |surp AS (
+      |  SELECT t, (SELECT n_tok_total FROM tot) * 1000000 // cnt AS surp_q
+      |  FROM termcnt),
+      |per_doc AS (
+      |  SELECT d.doc_id, d.source,
+      |         CAST(SUM(d.c * s.surp_q) AS BIGINT) AS ssum,
+      |         CAST(SUM(d.c) AS BIGINT) AS n_toks
+      |  FROM doctf d JOIN surp s ON d.t = s.t GROUP BY 1, 2),
+      |pd AS (SELECT *, ssum // n_toks AS mean_q FROM per_doc),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(ssum) AS DOUBLE) / SUM(n_toks) AS mean_surprisal
+      |  FROM pd GROUP BY 1),
+      |top AS (
+      |  SELECT source, doc_id AS top_doc, mean_q AS top_doc_mean_q
+      |  FROM (SELECT source, doc_id, mean_q,
+      |               ROW_NUMBER() OVER (PARTITION BY source
+      |                 ORDER BY mean_q DESC, doc_id DESC) AS rn
+      |        FROM pd) WHERE rn = 1)
+      |SELECT a.source, a.n_docs, a.n_tokens, a.mean_surprisal,
+      |       t.top_doc, CAST(t.top_doc_mean_q AS BIGINT) AS top_doc_mean_q
+      |FROM agg a JOIN top t USING (source) ORDER BY a.source""".stripMargin),
+    doc = "quality: quantized unigram surprisal per source + most-surprising doc (perplexity proxy)")
+
+  /** q100 — near-dup cluster CANONICAL selection: the survivor policy
+    * that turns cluster labels (q72/q98) into an actual deduplicated
+    * corpus — per cluster keep ONE representative (longest doc, ties to
+    * the smallest id) and account per source for what the policy keeps
+    * and drops. This is the step production dedup actually ships: q45
+    * et al. find the pairs, q72 names the clusters, THIS decides which
+    * bytes survive.
+    *
+    * Scale design: components via [[componentLabels]] (bounded-round
+    * min-label propagation); the election is max(struct(n_chars,
+    * −doc_id)) — one map-side-combinable aggregate per cluster, NOT a
+    * per-cluster window (a viral boilerplate cluster with millions of
+    * members would serialize a window's sort into one task; the
+    * struct-max partials stay O(1) per map partition). Membership joins
+    * back on the cluster label — equi-join, AQE-skew-splittable on a
+    * giant cluster.
+    */
+  val q100 = Q(
+    "q100_cluster_canonical",
+    (s, dir) => {
+      import s.implicits._
+      val edges = ngramJaccardPairs(s, dir, t = 0.8)
+        .select($"doc_a", $"doc_b").corpusBarrier
+      val labs = docs(s, dir).select($"doc_id", $"source", $"n_chars")
+        .join(componentLabels(edges).withColumnRenamed("node", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"source", $"n_chars",
+          coalesce($"lab", $"doc_id").as("lab"))
+        .corpusBarrier
+      val canon = labs.groupBy($"lab")
+        .agg(max(struct($"n_chars", (-$"doc_id").as("neg"))).as("w"))
+        .select($"lab", (-$"w.neg").as("canon_doc"))
+      labs.join(canon, Seq("lab"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if($"doc_id" === $"canon_doc").as("n_survivors"),
+          sum($"n_chars").as("chars_total"),
+          sum(when($"doc_id" === $"canon_doc", $"n_chars").otherwise(0L))
+            .as("chars_kept"))
+        .withColumn("n_dropped", $"n_docs" - $"n_survivors")
+        .select($"source", $"n_docs", $"n_survivors", $"n_dropped",
+          $"chars_total", $"chars_kept")
+        .orderBy($"source")
+    },
+    Some(s"""WITH RECURSIVE $NgramPairsCtes,
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |closure(node, reach) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT c.node, s.b FROM closure c JOIN sym s ON s.a = c.reach),
+      |roots AS (SELECT node, MIN(reach) AS lab FROM closure GROUP BY node),
+      |labs AS (
+      |  SELECT d.doc_id, d.source, d.n_chars, COALESCE(r.lab, d.doc_id) AS lab
+      |  FROM documents d LEFT JOIN roots r ON d.doc_id = r.node),
+      |canon AS (
+      |  SELECT lab, doc_id AS canon_doc FROM (
+      |    SELECT lab, doc_id,
+      |           ROW_NUMBER() OVER (PARTITION BY lab
+      |             ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |    FROM labs) WHERE rn = 1)
+      |SELECT l.source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(CASE WHEN l.doc_id = c.canon_doc THEN 1 END) AS BIGINT) AS n_survivors,
+      |       CAST(COUNT(CASE WHEN l.doc_id <> c.canon_doc THEN 1 END) AS BIGINT) AS n_dropped,
+      |       CAST(SUM(l.n_chars) AS BIGINT) AS chars_total,
+      |       CAST(COALESCE(SUM(CASE WHEN l.doc_id = c.canon_doc THEN l.n_chars END), 0) AS BIGINT) AS chars_kept
+      |FROM labs l JOIN canon c ON l.lab = c.lab
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "dedup: per-cluster canonical survivor selection (longest doc wins) with per-source byte accounting")
+
+  /** q101 — longest DUPLICATED-gram run per document: q96 says how much
+    * of a doc is cross-doc duplicated; this says how CONTIGUOUS that
+    * duplication is — the signal exact-substring dedup (Lee et al.
+    * 2021) actually cuts on (a 50-token verbatim quote is one remove; 50
+    * scattered dup grams are noise). Gaps-and-islands: a maximal run of
+    * consecutive duplicated gram positions has constant pos −
+    * row_number(pos), so runs fall out of one per-doc window + two
+    * aggregates; a run of r gram positions covers r+7 tokens.
+    *
+    * Scale design: gram stream and df≥2 semi-join are exactly q96's
+    * (hash-only shuffle, long-tail probe drop); the islands window
+    * partitions BY DOC — task size is bounded by one document's gram
+    * count, the right unit at any corpus scale (contrast a per-gram or
+    * global window, which a hot key would serialize).
+    */
+  val q101 = Q(
+    "q101_dup_run",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select($"doc_id", $"source", split($"text", " ").as("tk"))
+        .filter(size($"tk") >= 8)
+        .corpusBarrier
+      val grams = toks
+        .select($"doc_id", $"source",
+          posexplode(gramHashArr).as(Seq("pos", "gh")))
+        .corpusBarrier
+      val dupKeys = grams.groupBy($"gh")
+        .agg(countDistinct($"doc_id").as("df"))
+        .filter($"df" >= 2)
+        .select($"gh")
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val perDoc = grams.join(dupKeys, Seq("gh"), "left_semi")
+        .withColumn("grp", $"pos" - row_number().over(w))
+        .groupBy($"doc_id", $"source", $"grp")
+        .agg(count(lit(1)).as("run"))
+        .groupBy($"doc_id", $"source")
+        .agg((max($"run") + 7).as("max_run_tokens"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs_dup"),
+          max($"max_run_tokens").as("max_run_tokens"),
+          count_if($"max_run_tokens" >= 16).as("n_docs_run_ge16"),
+          sum($"max_run_tokens").as("sum_max_run_tokens"))
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, i,
+      |         CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+      |  FROM (SELECT doc_id, source, t,
+      |               UNNEST(generate_series(1, len(t) - 7)) AS i
+      |        FROM tok WHERE len(t) >= 8)),
+      |dupkeys AS (
+      |  SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df
+      |                  FROM g GROUP BY 1) WHERE df >= 2),
+      |runs AS (
+      |  SELECT doc_id, source,
+      |         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM g JOIN dupkeys USING (gh)),
+      |runlen AS (
+      |  SELECT doc_id, source, grp, COUNT(*) AS run FROM runs GROUP BY 1, 2, 3),
+      |per_doc AS (
+      |  SELECT doc_id, source, MAX(run) + 7 AS max_run_tokens
+      |  FROM runlen GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs_dup,
+      |       CAST(MAX(max_run_tokens) AS BIGINT) AS max_run_tokens,
+      |       CAST(COUNT(CASE WHEN max_run_tokens >= 16 THEN 1 END) AS BIGINT) AS n_docs_run_ge16,
+      |       CAST(SUM(max_run_tokens) AS BIGINT) AS sum_max_run_tokens
+      |FROM per_doc GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "dedup: longest contiguous duplicated-8-gram run per doc (exact-substring cut signal)")
+
+  /** q102 — boilerplate-gram extraction: the top-10 most-widespread
+    * 8-token grams WITH their text — the actual strip-list a C4/CCNet
+    * style cleaner consumes (q96 scores documents; this names the
+    * offending strings). Ranking is (document frequency desc, gram hash
+    * asc) — fully deterministic.
+    *
+    * Scale design: the corpus-wide pass shuffles ONLY (doc_id, pos,
+    * 60-bit hash) — never gram text; df aggregates map-side. The top-10
+    * is orderBy+limit = TakeOrdered (per-partition heaps + driver merge
+    * of 10·P rows, no global sort). Text is recovered for the 10
+    * winners only: broadcast the winner set against the position
+    * stream, elect one exemplar location per winner via min(struct) —
+    * again no window — and slice the gram out of the ONE doc that holds
+    * it. Text volume touched in phase 2: 10 slices.
+    */
+  val q102 = Q(
+    "q102_boilerplate_grams",
+    (s, dir) => {
+      import s.implicits._
+      val toks = docs(s, dir)
+        .select($"doc_id", split($"text", " ").as("tk"))
+        .filter(size($"tk") >= 8)
+        .corpusBarrier
+      val gramPos = toks
+        .select($"doc_id", posexplode(gramHashArr).as(Seq("pos", "gh")))
+        .corpusBarrier
+      val top = gramPos.groupBy($"gh")
+        .agg(countDistinct($"doc_id").as("df"))
+        .orderBy($"df".desc, $"gh".asc)
+        .limit(10)
+      val loc = gramPos.join(broadcast(top), Seq("gh"))
+        .groupBy($"gh", $"df")
+        .agg(min(struct($"doc_id", $"pos")).as("loc"))
+        .select($"gh", $"df", $"loc.doc_id".as("ldoc"),
+          ($"loc.pos" + 1).as("lpos"))
+      val withText = toks.join(broadcast(loc), $"doc_id" === $"ldoc")
+        .select($"gh", $"df",
+          concat_ws(" ", slice($"tk", $"lpos", lit(8))).as("gram"))
+      // 10-row frame: the unpartitioned window is deliberate and safe
+      withText
+        .withColumn("rank",
+          row_number().over(Window.orderBy($"df".desc, $"gh".asc)))
+        .select($"rank", $"gram", $"df")
+        .orderBy($"rank")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, i,
+      |         CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+      |  FROM (SELECT doc_id, t,
+      |               UNNEST(generate_series(1, len(t) - 7)) AS i
+      |        FROM tok WHERE len(t) >= 8)),
+      |dfreq AS (SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+      |top AS (
+      |  SELECT gh, df, CAST(ROW_NUMBER() OVER (ORDER BY df DESC, gh ASC) AS INT) AS rank
+      |  FROM dfreq ORDER BY df DESC, gh ASC LIMIT 10),
+      |loc AS (
+      |  SELECT gh, doc_id, i FROM (
+      |    SELECT g.gh, g.doc_id, g.i,
+      |           ROW_NUMBER() OVER (PARTITION BY g.gh
+      |             ORDER BY g.doc_id, g.i) AS rn
+      |    FROM g JOIN top USING (gh)) WHERE rn = 1)
+      |SELECT top.rank AS rank,
+      |       array_to_string(tok.t[loc.i:loc.i+7], ' ') AS gram,
+      |       top.df AS df
+      |FROM top JOIN loc USING (gh) JOIN tok ON tok.doc_id = loc.doc_id
+      |ORDER BY rank""".stripMargin),
+    doc = "text: top-10 boilerplate 8-gram strip-list (df-ranked, text recovered for winners only)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
-        q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98)
+        q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
+        q99, q100, q101, q102)
 }

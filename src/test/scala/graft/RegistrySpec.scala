@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 98 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 98)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 98)
+  test("registry has 102 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 102)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 102)
   }
 
   test("every query has a DuckDB oracle") {
