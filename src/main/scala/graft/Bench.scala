@@ -53,7 +53,9 @@ object Bench {
     "q99_doc_surprisal",
     "q100_cluster_canonical",
     "q101_dup_run",
-    "q102_boilerplate_grams")
+    "q102_boilerplate_grams",
+    "q103_stratified_sample",
+    "q104_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

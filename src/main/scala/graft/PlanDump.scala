@@ -60,7 +60,11 @@ object PlanDump {
     "q101_dup_run" ->
       "Longest dup run: q96's hash-only gram stream + df>=2 semi filter, islands via pos - row_number in a PER-DOC window (task size bounded by one doc's grams), two integer aggregates — no text shuffles, no global sort.",
     "q102_boilerplate_grams" ->
-      "Boilerplate strip-list: corpus-wide shuffles carry (doc_id,pos,60-bit hash) only; top-10 via TakeOrdered (per-partition heaps, no full sort); winner text recovered by broadcasting the 10-key set back and slicing ONE exemplar doc per winner — gram text crosses only single-partition 10-row tails (spec-asserted).")
+      "Boilerplate strip-list: corpus-wide shuffles carry (doc_id,pos,60-bit hash) only; top-10 via TakeOrdered (per-partition heaps, no full sort); winner text recovered by broadcasting the 10-key set back and slicing ONE exemplar doc per winner — gram text crosses only single-partition 10-row tails (spec-asserted).",
+    "q103_stratified_sample" ->
+      "Exact-N stratified draw: quota arithmetic on the |sources|-row count frame (bounded window); corpus-side per-source rank via DistributedRank.withRowNumberPerKey (range sort + offsets — no one-task-per-source window); quotas broadcast back; Σquota ≡ N by construction.",
+    "q104_pmi_collocations" ->
+      "PMI collocations: bigram rows compress map-side to distinct-bigram counts; two vocabulary-keyed unigram joins (AQE-skew-splittable on stop-words); totals broadcast; exact-integer PMI cores with ONE IEEE division; top-20 via TakeOrdered.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

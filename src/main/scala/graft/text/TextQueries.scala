@@ -521,7 +521,16 @@ object TextQueries {
     * groupBy), never an all-pairs product.
     */
   private[graft] def ngramJaccardPairs(s: SparkSession, dir: String,
-                                       t: Double): DataFrame = {
+                                       t: Double): DataFrame =
+    ngramJaccardPairsOf(docs(s, dir), t)
+
+  /** [[ngramJaccardPairs]] over an in-memory frame (any source with
+    * doc_id + text — a crawl batch, a filtered slice), shared with
+    * [[Canonicalize]].
+    */
+  private[graft] def ngramJaccardPairsOf(docsDf: DataFrame,
+                                         t: Double): DataFrame = {
+      val s = docsDf.sparkSession
       import s.implicits._
       // Shingle set per doc as a compact array, CACHED before the
       // explode: the cache is a barrier that stops CollapseProject from
@@ -530,7 +539,7 @@ object TextQueries {
       // twice per row. Size comes free off the array (a groupBy+join or
       // window would shuffle for it). element_at is O(1) per access vs
       // slice's O(n) copy — O(n) per doc, not O(n²).
-      val arrs = docs(s, dir)
+      val arrs = docsDf
         .select($"doc_id", split($"text", " ").as("tk"))
         .select($"doc_id", array_distinct(expr(
           """CASE WHEN size(tk) >= 3
@@ -876,9 +885,10 @@ object TextQueries {
     * propagation — each round is one shuffle on the node key; bounded
     * by the graph diameter (near-dup graphs are shallow: chains longer
     * than a handful of hops mean the threshold is too loose). Shared
-    * by q72 (cluster sizes) and q98 (leakage-proof splits).
+    * by q72 (cluster sizes), q98 (leakage-proof splits), q100 and
+    * [[Canonicalize]] (survivor selection).
     */
-  private def componentLabels(edges: DataFrame): DataFrame = {
+  private[graft] def componentLabels(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
     val sym = edges
@@ -2339,8 +2349,172 @@ object TextQueries {
       |ORDER BY rank""".stripMargin),
     doc = "text: top-10 boilerplate 8-gram strip-list (df-ranked, text recovered for winners only)")
 
+  /** q103 — EXACT-N stratified sample (largest-remainder quotas): draw
+    * exactly 30 docs, allocated across sources proportionally — the
+    * eval-set construction step where "about 30" is not acceptable
+    * (benchmark suites, human-review batches are fixed-size). Hamilton
+    * apportionment: quota_s = ⌊N·n_s/n_tot⌋, then the sources with the
+    * largest remainders absorb the deficit one each — integer-exact,
+    * Σquota ≡ N by construction (and quota_s ≤ n_s whenever N ≤ n_tot).
+    * Within a source, selection order is a seeded md5 of the doc id —
+    * deterministic, stable under reruns, no rand().
+    *
+    * Scale design: the quota arithmetic runs on the per-source count
+    * frame (|sources| rows — its unpartitioned window is deliberate and
+    * bounded); the corpus-side rank is
+    * [[graft.operators.DistributedRank.withRowNumberPerKey]] (range
+    * sort on (source, h) + per-partition offsets — a mega-source never
+    * serializes into one window task); quotas broadcast back. The
+    * output audits exactness: n_selected ≡ quota per source.
+    */
+  val q103 = Q(
+    "q103_stratified_sample",
+    (s, dir) => {
+      import s.implicits._
+      val N = 30
+      val counts = docs(s, dir).groupBy($"source")
+        .agg(count(lit(1)).as("n_s"))
+        .cache() // sources-shaped: quota math + deficit both read it
+      val tot = counts.agg(sum($"n_s").as("n_tot"))
+      val fl = counts.crossJoin(broadcast(tot))
+        .withColumn("fl", expr(s"$N * n_s div n_tot"))
+        .withColumn("rem", expr(s"$N * n_s % n_tot"))
+        .cache()
+      val deficit = fl.agg((lit(N.toLong) - sum($"fl")).as("d"))
+      // |sources|-row frame: the unpartitioned window is deliberate
+      val quota = fl.crossJoin(broadcast(deficit))
+        .withColumn("rk",
+          row_number().over(Window.orderBy($"rem".desc, $"source".asc)))
+        .select($"source", $"n_s",
+          ($"fl" + when($"rk" <= $"d", 1L).otherwise(0L)).as("quota"))
+      val ranked = graft.operators.DistributedRank.withRowNumberPerKey(
+        docs(s, dir).select($"doc_id", $"source").withColumn("h", expr(
+          "cast(conv(substring(md5(concat('s103_', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")),
+        Seq("source"), Seq($"h", $"doc_id"))
+      val sel = ranked.join(broadcast(quota.select($"source", $"quota")),
+          Seq("source"))
+        .filter($"rn" <= $"quota")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_selected"), sum($"doc_id").as("sel_checksum"))
+      quota.join(sel, Seq("source"), "left_outer")
+        .select($"source", $"n_s".as("n_docs"), $"quota",
+          coalesce($"n_selected", lit(0L)).as("n_selected"),
+          coalesce($"sel_checksum", lit(0L)).as("sel_checksum"))
+        .orderBy($"source")
+    },
+    Some("""WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(n_s) AS n_tot FROM counts),
+      |fl AS (
+      |  SELECT source, n_s,
+      |         30 * n_s // (SELECT n_tot FROM tot) AS fl,
+      |         30 * n_s % (SELECT n_tot FROM tot) AS rem
+      |  FROM counts),
+      |def AS (SELECT 30 - SUM(fl) AS d FROM fl),
+      |quota AS (
+      |  SELECT source, n_s,
+      |         fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+      |                     <= (SELECT d FROM def) THEN 1 ELSE 0 END AS quota
+      |  FROM fl),
+      |h AS (
+      |  SELECT doc_id, source,
+      |         CAST(('0x' || substr(md5('s103_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM documents),
+      |rn AS (
+      |  SELECT doc_id, source,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      |  FROM h),
+      |sel AS (
+      |  SELECT r.source, r.doc_id
+      |  FROM rn r JOIN quota q ON r.source = q.source AND r.rn <= q.quota)
+      |SELECT q.source, CAST(q.n_s AS BIGINT) AS n_docs,
+      |       CAST(q.quota AS BIGINT) AS quota,
+      |       CAST(COUNT(s.doc_id) AS BIGINT) AS n_selected,
+      |       CAST(COALESCE(SUM(s.doc_id), 0) AS BIGINT) AS sel_checksum
+      |FROM quota q LEFT JOIN sel s ON q.source = s.source
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin),
+    doc = "sampling: exact-N stratified draw via largest-remainder quotas (Hamilton apportionment)")
+
+  /** q104 — PMI collocations: the top-20 adjacent-token pairs whose
+    * co-occurrence most exceeds chance — the phrase-detection pass
+    * (word2vec-phrases / NLTK collocations) a tokenizer-building
+    * pipeline runs to promote "new york"-style units. PMI's monotone
+    * core is p(ab)/(p(a)p(b)) = c_ab·T² / (B·c_a·c_b); both engines
+    * compute the numerator and denominator as EXACT integers (decimal
+    * on the Spark side, HUGEINT under DuckDB) and perform one IEEE
+    * division — bit-identical, no libm log (the q94/q99 stance; log is
+    * monotone, so the ranking is PMI's). A c_ab ≥ 5 floor drops the
+    * unstable singleton tail (standard practice).
+    *
+    * Scale design: bigram rows compress map-side to (w1, w2) counts
+    * (bigram-vocabulary-shaped — the same stance as q94's term
+    * shuffle); the two unigram joins are vocabulary-keyed
+    * (AQE-skew-splittable on stop-words); totals broadcast; top-20 via
+    * TakeOrdered. At web-scale vocabularies the named upgrade is the
+    * q102 pattern — hash bigrams first, broadcast the winners back for
+    * text — kept out here because the count aggregate already bounds
+    * the shuffled rows to the distinct-bigram count.
+    */
+  val q104 = Q(
+    "q104_pmi_collocations",
+    (s, dir) => {
+      import s.implicits._
+      val toksArr = docs(s, dir)
+        .select($"doc_id", split(coalesce($"text", lit("")), " ").as("tk"))
+        .corpusBarrier // two consumers: unigram and bigram explosions
+      val uni = toksArr.select(explode($"tk").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+        .cache() // vocabulary-shaped: total + two scoring joins read it
+      val tot = uni.agg(sum($"c").as("t_tok"))
+      val big = toksArr.filter(size($"tk") >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(tk) - 1),
+            |  i -> struct(element_at(tk, i) as w1, element_at(tk, i + 1) as w2))""".stripMargin))
+          .as("b"))
+        .select($"b.w1", $"b.w2")
+        .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+        .cache() // bigram-vocabulary-shaped: total + scoring read it
+      val btot = big.agg(sum($"c_ab").as("b_big"))
+      val scored = big.filter($"c_ab" >= 5)
+        .join(uni.select($"w".as("w1"), $"c".as("c_a")), Seq("w1"))
+        .join(uni.select($"w".as("w2"), $"c".as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+        .withColumn("score", expr(
+          """cast(cast(c_ab as decimal(38,0)) * t_tok * t_tok as double)
+            | / cast(cast(b_big as decimal(38,0)) * c_a * c_b as double)""".stripMargin))
+        .select($"w1", $"w2", $"c_ab", $"score")
+      // 20-row frame after TakeOrdered: the unpartitioned window is safe
+      scored.orderBy($"score".desc, $"w1", $"w2").limit(20)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy($"score".desc, $"w1", $"w2")))
+        .select($"rank", $"w1", $"w2", $"c_ab", $"score")
+        .orderBy($"rank")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT u.w, COUNT(*) AS c
+      |  FROM (SELECT UNNEST(t) AS w FROM tok) u GROUP BY 1),
+      |tot AS (SELECT SUM(c) AS t_tok FROM uni),
+      |big AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c_ab
+      |  FROM (SELECT t, UNNEST(generate_series(1, len(t) - 1)) AS i
+      |        FROM tok WHERE len(t) >= 2)
+      |  GROUP BY 1, 2),
+      |btot AS (SELECT SUM(c_ab) AS b_big FROM big),
+      |scored AS (
+      |  SELECT b.w1, b.w2, b.c_ab,
+      |         CAST(b.c_ab * (SELECT t_tok FROM tot) * (SELECT t_tok FROM tot) AS DOUBLE)
+      |           / CAST((SELECT b_big FROM btot) * ua.c * ub.c AS DOUBLE) AS score
+      |  FROM big b JOIN uni ua ON b.w1 = ua.w JOIN uni ub ON b.w2 = ub.w
+      |  WHERE b.c_ab >= 5)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, w1, w2) AS INT) AS rank,
+      |       w1, w2, c_ab, score
+      |FROM scored ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin),
+    doc = "text: top-20 PMI collocations (exact-integer cores, one IEEE division — phrase detection)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
-        q99, q100, q101, q102)
+        q99, q100, q101, q102, q103, q104)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 102 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 102)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 102)
+  test("registry has 104 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 104)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 104)
   }
 
   test("every query has a DuckDB oracle") {

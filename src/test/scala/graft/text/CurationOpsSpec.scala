@@ -149,6 +149,73 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows("q102_boilerplate_grams") === want)
   }
 
+  test("q103 draws EXACTLY N and its window formulation agrees") {
+    val out = SparkEntry.queries("q103_stratified_sample")(spark, SparkSpec.Sf0001)
+      .collect()
+    // the defining property: quotas sum to exactly N, and every quota
+    // was actually fillable (n_selected ≡ quota — N ≤ corpus size)
+    assert(out.map(r => r.getLong(r.fieldIndex("quota"))).sum === 30L)
+    out.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_selected")) ===
+        r.getLong(r.fieldIndex("quota")))
+    }
+    // independent selection path: plain per-source window rank (the
+    // oracle's formulation) instead of DistributedRank
+    val w = Window.partitionBy($"source").orderBy($"h", $"doc_id")
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum($"n_s")).head().getLong(0)
+    val fl = counts
+      .withColumn("fl", expr(s"30 * n_s div $tot"))
+      .withColumn("rem", expr(s"30 * n_s % $tot"))
+    val d = 30L - fl.agg(sum($"fl")).head().getLong(0)
+    val quota = fl
+      .withColumn("rk", row_number().over(Window.orderBy($"rem".desc, $"source".asc)))
+      .select($"source", ($"fl" + when($"rk" <= d, 1L).otherwise(0L)).as("quota"))
+    val want = docs.select($"doc_id", $"source").withColumn("h", expr(
+        "cast(conv(substring(md5(concat('s103_', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+      .withColumn("rn", row_number().over(w))
+      .join(quota, Seq("source"))
+      .filter($"rn" <= $"quota")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_selected"), sum($"doc_id").as("sel_checksum"))
+      .orderBy($"source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = out.filter(_.getLong(3) > 0)
+      .map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === want)
+  }
+
+  test("q104 matches a position-self-join bigram formulation") {
+    // independent bigram derivation: join token positions on pos+1
+    // instead of the transform-struct explosion
+    val pos = docs
+      .select($"doc_id", posexplode(split(coalesce($"text", lit("")), " "))
+        .as(Seq("pos", "w")))
+      .cache()
+    val uni = pos.groupBy($"w").agg(count(lit(1)).as("c"))
+    val tTok = pos.count()
+    val big = pos.select($"doc_id", $"pos", $"w".as("w1"))
+      .join(pos.select($"doc_id", ($"pos" - 1).as("pos"), $"w".as("w2")),
+        Seq("doc_id", "pos"))
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+      .cache()
+    val bBig = big.agg(sum($"c_ab")).head().getLong(0)
+    val want = big.filter($"c_ab" >= 5)
+      .join(uni.select($"w".as("w1"), $"c".as("c_a")), Seq("w1"))
+      .join(uni.select($"w".as("w2"), $"c".as("c_b")), Seq("w2"))
+      .withColumn("score", expr(
+        s"""cast(cast(c_ab as decimal(38,0)) * ${tTok}L * ${tTok}L as double)
+           | / cast(cast(${bBig}L as decimal(38,0)) * c_a * c_b as double)""".stripMargin))
+      .orderBy($"score".desc, $"w1", $"w2").limit(20)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy($"score".desc, $"w1", $"w2")))
+      .select($"rank", $"w1", $"w2", $"c_ab", $"score")
+      .orderBy($"rank")
+      .collect().map(_.toSeq).toSeq
+    pos.unpersist(); big.unpersist()
+    assert(rows("q104_pmi_collocations") === want)
+  }
+
   test("q102's corpus-wide shuffles are hash-only: strings cross only single-partition tails") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
