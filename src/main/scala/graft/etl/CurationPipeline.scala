@@ -97,6 +97,14 @@ object CurationPipeline {
     * the whole kept corpus (they are global decisions — a budget is
     * not incremental).
     *
+    * `canonicalize`, when given, re-elects each near-dup cluster's
+    * survivor over the WHOLE kept corpus before selection
+    * ([[graft.text.Canonicalize.survivors]]) — the streaming ingest
+    * necessarily keeps the first-crawled member (it cannot know a
+    * better one arrives later); a batch policy like `KeepLongest`
+    * promotes the most complete mirror instead. With it set, the
+    * report's `kept` counts post-canonicalization survivors.
+    *
     * `takedownDir`, when given, is drained at every micro-batch
     * boundary ([[CorpusIngestJob.drainTakedowns]]) — and because the
     * manifest is REGENERATED from the kept corpus after ingest, a
@@ -109,7 +117,9 @@ object CurationPipeline {
           budgetNum: Long = 1, budgetDen: Long = 2,
           block: Long = 4096L,
           lshParams: graft.text.LshParams = graft.text.LshParams(),
-          takedownDir: Option[String] = None): CurationReport = {
+          takedownDir: Option[String] = None,
+          canonicalize: Option[graft.text.Canonicalize.Policy] = None)
+      : CurationReport = {
     import spark.implicits._
     if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
       BandIndex.create(spark,
@@ -137,9 +147,19 @@ object CurationPipeline {
         BandIndex.toksTable(indexName))
       .foreach(spark.catalog.refreshTable)
 
-    val kept = spark.read.schema(
+    val keptRaw = spark.read.schema(
         graft.Tables.schemas("documents").add("ingest_batch", "long"))
       .parquet(corpusDir)
+    // Optional batch re-canonicalization: the streaming ingest keeps
+    // the FIRST-crawled member of every near-dup cluster (it cannot
+    // know a better member arrives later); a policy here re-elects the
+    // survivor over the whole kept corpus — e.g. KeepLongest promotes
+    // the most complete mirror before selection spends budget on it.
+    // Exact-dup and near-dup-vs-index removal already happened at
+    // ingest; this pass only re-adjudicates WITHIN the kept slice.
+    val kept = canonicalize
+      .map(p => graft.text.Canonicalize.survivors(keptRaw, policy = p))
+      .getOrElse(keptRaw)
     // budget rides along as a column (selectByBudget attached it), so
     // the report needs NO second scoring scan of the corpus; text is
     // projected away BEFORE the checkpoint materializes anything

@@ -34,13 +34,29 @@ object Canonicalize {
   /** Smallest doc_id wins (first-crawled stance). */
   case object KeepFirst extends Policy
 
-  /** Returns the survivors of `docs` (schema preserved, one doc per
-    * near-dup cluster at 3-gram Jaccard ≥ `t`, singletons always
-    * survive). `docs` must carry `doc_id`, `text`, and — for
-    * [[KeepLongest]] — `n_chars`.
+  /** How near-dup pairs are found — the similarity DEFINITION, not just
+    * a tuning knob, so it is explicit at the call site.
     */
-  def survivors(docs: DataFrame, t: Double = 0.8,
-                policy: Policy = KeepLongest): DataFrame = {
+  sealed trait PairSource
+  /** Exact 3-gram shingle Jaccard ≥ t via the inverted index + PPJoin
+    * length filter (the q51 pipeline) — exact recall, heavier index.
+    */
+  final case class NgramJaccard(t: Double = 0.8) extends PairSource
+  /** MinHash LSH candidates + exact token-set Jaccard verify ≥
+    * params.threshold (the q45 pipeline) — the 100 TB path: banding
+    * bounds the candidate set, recall follows the [[LshParams]]
+    * S-curve (probabilistic; a missed candidate is a missed pair).
+    */
+  final case class MinhashLsh(params: LshParams = LshParams())
+      extends PairSource
+
+  /** Returns the survivors of `docs` (schema preserved, one doc per
+    * near-dup cluster, singletons always survive). `docs` must carry
+    * `doc_id`, `text`, and — for [[KeepLongest]] — `n_chars`.
+    */
+  def survivors(docs: DataFrame,
+                policy: Policy = KeepLongest,
+                pairs: PairSource = NgramJaccard()): DataFrame = {
     // the election key per policy: max(struct(k, -id)) elects (max k,
     // then min id) in one map-side-combinable aggregate. KeepFirst
     // never references n_chars, so frames without it canonicalize too.
@@ -48,7 +64,15 @@ object Canonicalize {
       case KeepLongest => col("n_chars").cast("long")
       case KeepFirst   => lit(0L)
     }
-    val edges = pairsOf(docs, t).select(col("doc_a"), col("doc_b"))
+    // barrier the edge list (the q100/q72/q98 stance): componentLabels
+    // re-reads edges several times per propagation round — without the
+    // barrier the whole pair-generation pipeline would re-execute on
+    // every read instead of once
+    val rawPairs = pairs match {
+      case NgramJaccard(t) => pairsOf(docs, t)
+      case MinhashLsh(p)   => TextQueries.minhashNearDupPairsOf(docs, p)
+    }
+    val edges = graft.Barrier(rawPairs.select(col("doc_a"), col("doc_b")))
     val labs = docs.select(col("doc_id"), k.as("k"))
       .join(TextQueries.componentLabels(edges)
           .withColumnRenamed("node", "doc_id"),

@@ -350,13 +350,21 @@ object TextQueries {
     * min-hash itself is a map-side array projection.
     */
   private[graft] def minhashNearDupPairs(s: SparkSession, dir: String,
-                                         p: LshParams = LshParams()): DataFrame = {
+                                         p: LshParams = LshParams()): DataFrame =
+    minhashNearDupPairsOf(docs(s, dir), p)
+
+  /** [[minhashNearDupPairs]] over an in-memory frame (doc_id + text),
+    * shared with [[Canonicalize]]'s LSH pair source.
+    */
+  private[graft] def minhashNearDupPairsOf(docsDf: DataFrame,
+                                           p: LshParams): DataFrame = {
+      val s = docsDf.sparkSession
       import s.implicits._
       // Per-doc distinct token ARRAYS, kept compact (never exploded
       // into the candidate pairs). The cache doubles as the barrier
       // stopping CollapseProject from re-evaluating array_distinct for
       // each consumer (n, fp, ta).
-      val docsArr = docs(s, dir)
+      val docsArr = docsDf
         .select($"doc_id", array_distinct(toks).as("ta"))
         .withColumn("n", size($"ta").cast("long"))
         .withColumn("fp",
@@ -1827,11 +1835,7 @@ object TextQueries {
         .filter(size($"tk") >= 8)
         .corpusBarrier
       val grams = toks
-        .select($"doc_id", $"source", explode(expr(
-          """transform(sequence(1, size(tk) - 7),
-            |  i -> cast(conv(substring(md5(
-            |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin))
-          .as("gh"))
+        .select($"doc_id", $"source", explode(gramHashArr).as("gh"))
         // second barrier: the gram rows have two consumers (df aggregate
         // + probe side of the join) — without it the explode and the
         // per-gram md5s run twice. Columnar persist (not
@@ -1919,11 +1923,7 @@ object TextQueries {
         .filter(size($"tk") >= 8)
         .corpusBarrier
       val g = toks
-        .select($"source", explode(expr(
-          """transform(sequence(1, size(tk) - 7),
-            |  i -> cast(conv(substring(md5(
-            |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin))
-          .as("gh"))
+        .select($"source", explode(gramHashArr).as("gh"))
       g.groupBy($"gh")
         .agg(sort_array(collect_set($"source")).as("ss"))
         .filter(size($"ss") >= 2)
@@ -2045,10 +2045,13 @@ object TextQueries {
     doc = "training: leakage-proof split by near-dup cluster (crossing edges 0 vs doc-hash leak)")
 
   /** 60-bit gram-hash array off a tokenized column `tk`: one md5-prefix
-    * long per 8-token window (the q96 idiom — grams hash to longs BEFORE
-    * any shuffle; deterministic cross-engine, collisions ~2⁻⁶⁰).
+    * long per 8-token window (grams hash to longs BEFORE any shuffle;
+    * deterministic cross-engine, collisions ~2⁻⁶⁰). The single
+    * definition of the gram key shared by q96/q97/q101/q102 and their
+    * specs — prefix width / separator / window size change in ONE place
+    * (the oracles state the equivalent SQL).
     */
-  private val gramHashArr = expr(
+  private[graft] val gramHashArr = expr(
     """transform(sequence(1, size(tk) - 7),
       |  i -> cast(conv(substring(md5(
       |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin)
@@ -2454,6 +2457,14 @@ object TextQueries {
     * q102 pattern — hash bigrams first, broadcast the winners back for
     * text — kept out here because the count aggregate already bounds
     * the shuffled rows to the distinct-bigram count.
+    *
+    * Exactness ceiling (the q99 stance — noted, not silently wrong):
+    * the numerator c_ab·T² is bounded by T³, which outgrows
+    * decimal(38,0) past ~5·10¹² corpus tokens — beyond that Spark's
+    * non-ANSI decimal overflow NULLs the score (dropping the bigram)
+    * while DuckDB's HUGEINT raises. Past that scale, divide T out of
+    * one factor first (score ranks identically) or run the scoring in
+    * ANSI mode to fail loud.
     */
   val q104 = Q(
     "q104_pmi_collocations",

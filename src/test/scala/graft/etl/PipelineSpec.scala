@@ -121,6 +121,51 @@ class PipelineSpec extends SparkSpec {
     assert(r.nSequences >= 1)
   }
 
+  test("canonicalize re-elects kept-corpus survivors (KeepLongest beats first-crawled)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Within-batch near-dup pairs BOTH pass ingest (dedupBatch
+    // classifies only against the pre-batch index — it cannot know a
+    // better member is in flight); the batch canonicalization pass is
+    // the exact safety net that re-adjudicates them.
+    val name = "cur_canon"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-canon")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("web"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // 1 and 2 are near-dups in the SAME batch (3-gram J = 10/12 ≈ 0.83,
+    // safely above the 0.8 edge and its float boundary); 2 is longer
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docsDf(
+      1L -> base,
+      2L -> (base + " sigma tau"),
+      3L -> "totally different content about storage engines and compaction policies")
+      .coalesce(1).write.parquet(s"$srcDir/a")
+
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, root.resolve("work").toString,
+      buckets = 4, budgetNum = 1, budgetDen = 1, block = 16L,
+      canonicalize = Some(graft.text.Canonicalize.KeepLongest))
+
+    // both near-dups landed in the sink; the canonical pass dropped the
+    // shorter one before selection — with the whole-corpus budget, the
+    // manifest is exactly the survivor set
+    val sinkIds = spark.read.parquet(s"${root.resolve("work")}/corpus")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(sinkIds === Set(1L, 2L, 3L), s"ingest should keep all: $sinkIds")
+    assert(r.kept === 2, s"report.kept counts survivors: ${r.kept}")
+    val manifestIds = spark.read.parquet(r.manifestPath)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(manifestIds === Set(2L, 3L),
+      s"KeepLongest promotes 2 over first-crawled 1: $manifestIds")
+  }
+
   test("takedown erasure reaches the curation manifest") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -56,6 +56,19 @@ class CanonicalizeSpec extends SparkSpec {
       "a survivor is strictly shorter than its dropped neighbor")
   }
 
+  test("MinhashLsh pair source dedups by token-set Jaccard (the 100 TB path)") {
+    val out = Canonicalize.survivors(docs,
+      pairs = Canonicalize.MinhashLsh()).cache()
+    assert(out.columns.toSeq === docs.columns.toSeq)
+    assert(out.count() < docs.count(),
+      "sf0.001 has >=0.99 token-Jaccard dups; some must drop")
+    // deterministic self-consistency: LSH banding is a pure function of
+    // the text, so any pair among the survivors would also have been a
+    // pair in the full corpus — the survivor set must re-classify clean
+    assert(TextQueries.minhashNearDupPairsOf(out, LshParams()).count() === 0)
+    out.unpersist()
+  }
+
   test("KeepFirst works without n_chars and keeps each cluster's smallest id") {
     val noLen = docs.drop("n_chars")
     val out = Canonicalize.survivors(noLen, policy = Canonicalize.KeepFirst)

@@ -21,10 +21,10 @@ class CurationOpsSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, SparkSpec.Sf0001)
       .collect().map(_.toSeq).toSeq
 
-  private val gramHashArr = expr(
-    """transform(sequence(1, size(tk) - 7),
-      |  i -> cast(conv(substring(md5(
-      |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin)
+  // the production gram-key definition itself: the spec's independent
+  // ground truths differ in OPERATOR shape (lag islands, naive text
+  // explode), not in the key — a drifted copy here would vacuously pass
+  private val gramHashArr = TextQueries.gramHashArr
 
   test("q99 matches a per-position (uncompressed) surprisal formulation") {
     // independent form: score every token POSITION directly (no per-doc

@@ -15,10 +15,7 @@ import org.apache.spark.sql.functions._
 class DupGramSpec extends SparkSpec {
   import spark.implicits._
 
-  private val gramExpr = expr(
-    """transform(sequence(1, size(tk) - 7),
-      |  i -> cast(conv(substring(md5(
-      |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin)
+  private val gramExpr = TextQueries.gramHashArr
 
   test("q96 reaches the per-doc aggregate through a df>=2 semi-join whose probe side drops") {
     // AQE off: a static plan whose nodes carry metrics we can read back
