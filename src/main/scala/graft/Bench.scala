@@ -55,7 +55,9 @@ object Bench {
     "q101_dup_run",
     "q102_boilerplate_grams",
     "q103_stratified_sample",
-    "q104_pmi_collocations")
+    "q104_pmi_collocations",
+    "q105_importance_resample",
+    "q106_semantic_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -191,9 +191,12 @@ object VectorQueries {
     * this plan degrades to exactly the r1 candidate set but spread
     * across the cell-pair grid instead of serialized per label.
     */
-  val q49 = Q(
-    "q49_embedding_neardup",
-    (s, dir) => {
+  /** The q49 pair pipeline, factored so q106 composes on it: label-
+    * blocked exact cosine near-dup pairs (score ≥ 0.4 at 4dp, oriented
+    * vec_a < vec_b), cell-pruned per the q49 Scaladoc. Unordered.
+    */
+  private[similarity] def embeddingNearDupPairs(s: SparkSession,
+                                                dir: String): DataFrame = {
       import s.implicits._
       val thetaT = math.acos(0.4) // score ≥ 0.4 ⟺ angle ≤ θt
       val eps = 1e-9              // float slack on the pruning bound only
@@ -241,8 +244,12 @@ object VectorQueries {
           least($"a.vec_id", $"b.vec_id").as("vec_a"),
           greatest($"a.vec_id", $"b.vec_id").as("vec_b"),
           $"a.label".as("label"), $"score")
-        .orderBy($"vec_a", $"vec_b")
-    },
+  }
+
+  val q49 = Q(
+    "q49_embedding_neardup",
+    (s, dir) => embeddingNearDupPairs(s, dir)
+      .orderBy(col("vec_a"), col("vec_b")),
     Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
       |       ROUND(${oCos("a.embedding", "b.embedding")}, 4) AS score
       |FROM embeddings a JOIN embeddings b
@@ -346,5 +353,112 @@ object VectorQueries {
       |ORDER BY query_id, rank""".stripMargin),
     doc = "similarity: IVF coarse-quantization ANN (nprobe=2, broadcast centroids)")
 
-  val all: Seq[Q] = Seq(q47, q48, q49, q52)
+  /** q106 — semantic dedup with survivor election (the SemDeDup shape,
+    * Abbas et al. 2023): embedding-space near-dup CLUSTERS (q49's exact
+    * label-blocked pairs → connected components) resolved to one kept
+    * vector each, keeping the member LEAST similar to its assigned
+    * centroid — the paper's rule: among semantic duplicates, the one
+    * farthest from the cluster centroid carries the most marginal
+    * information, so it survives and the redundant near-centroid copies
+    * drop. Per-label accounting of kept/dropped is what a curation run
+    * audits before committing the drop.
+    *
+    * Determinism: the election key is the centroid similarity QUANTIZED
+    * to a long (round 6dp → ×10⁶ → round 0) with a vec_id tiebreak —
+    * both engines compute the same sequential-double cosine, so the
+    * quantized key is identical and the elected survivor cannot drift.
+    * `kept_simq_sum` exposes the election numerically (a wrong survivor
+    * changes the sum, not just internal state) as an exact long sum.
+    *
+    * Scale design: pairs come from the cell-pruned q49 pipeline (never
+    * all-pairs); components via [[graft.text.TextQueries.componentLabels]]
+    * (bounded-round min-label propagation, edge list barriered — the
+    * q100 stance); centroid similarity is one broadcast-scored pass
+    * (8 centroids ≪ data); the election is min(struct) — map-side
+    * combinable, no per-cluster window (a viral semantic cluster stays
+    * O(1) per map partition); membership joins back on the cluster
+    * label — equi-join, AQE-skew-splittable.
+    */
+  val q106 = Q(
+    "q106_semantic_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val cents = e.filter($"vec_id" >= 8 && $"vec_id" < 16)
+        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      // own-centroid similarity, the q52 assignment idiom: argmax over
+      // the 8 broadcast centroids on (round 6dp, centroid-id tiebreak)
+      val celled = e.crossJoin(broadcast(cents))
+        .withColumn("sim6", round(cos(s, "embedding", "cvec"), 6))
+        .groupBy($"vec_id")
+        .agg(first($"label").as("label"),
+          max(struct($"sim6", (-$"cid").as("nc"))).as("w"))
+        .select($"vec_id", $"label",
+          expr("cast(round(w.sim6 * 1000000, 0) as bigint)").as("simq"))
+        .cache() // two consumers: election key + membership accounting
+      val edges = graft.Barrier(embeddingNearDupPairs(s, dir)
+        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+      val labeled = celled
+        .join(graft.text.TextQueries.componentLabels(edges)
+            .withColumnRenamed("node", "vec_id"),
+          Seq("vec_id"), "left_outer")
+        .select($"vec_id", $"label", $"simq",
+          coalesce($"lab", $"vec_id").as("lab"))
+      val keep = labeled.groupBy($"lab")
+        .agg(min(struct($"simq", $"vec_id")).as("w"))
+        .select($"lab", $"w.vec_id".as("keep_vec"))
+      labeled.join(keep, Seq("lab"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          count_if($"vec_id" === $"keep_vec").as("n_kept"),
+          sum(when($"vec_id" === $"keep_vec", $"simq").otherwise(0L))
+            .as("kept_simq_sum"))
+        .withColumn("n_dropped", $"n_vecs" - $"n_kept")
+        .select($"label", $"n_vecs", $"n_kept", $"n_dropped",
+          $"kept_simq_sum")
+        .orderBy($"label")
+    },
+    Some(s"""WITH RECURSIVE cents AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |scoredc AS (
+      |  SELECT e.vec_id, e.label, c.cid,
+      |         ROUND(${oCos("e.embedding", "c.cvec")}, 6) AS sim6
+      |  FROM embeddings e CROSS JOIN cents c),
+      |celled AS (
+      |  SELECT vec_id, label, CAST(ROUND(sim6 * 1000000, 0) AS BIGINT) AS simq
+      |  FROM (SELECT vec_id, label, sim6,
+      |               ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                 ORDER BY sim6 DESC, cid ASC) AS rn
+      |        FROM scoredc) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE ROUND(${oCos("a.embedding", "b.embedding")}, 4) >= 0.4),
+      |sym AS (SELECT va AS a, vb AS b FROM pairs
+      |        UNION ALL SELECT vb, va FROM pairs),
+      |closure(node, reach) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT c.node, s.b FROM closure c JOIN sym s ON s.a = c.reach),
+      |roots AS (SELECT node, MIN(reach) AS lab FROM closure GROUP BY node),
+      |labs AS (
+      |  SELECT cl.vec_id, cl.label, cl.simq, COALESCE(r.lab, cl.vec_id) AS lab
+      |  FROM celled cl LEFT JOIN roots r ON cl.vec_id = r.node),
+      |keep AS (
+      |  SELECT lab, vec_id AS keep_vec FROM (
+      |    SELECT lab, vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY lab
+      |             ORDER BY simq ASC, vec_id ASC) AS rn
+      |    FROM labs) WHERE rn = 1)
+      |SELECT l.label, COUNT(*) AS n_vecs,
+      |       CAST(COUNT(CASE WHEN l.vec_id = k.keep_vec THEN 1 END) AS BIGINT) AS n_kept,
+      |       CAST(COUNT(CASE WHEN l.vec_id <> k.keep_vec THEN 1 END) AS BIGINT) AS n_dropped,
+      |       CAST(COALESCE(SUM(CASE WHEN l.vec_id = k.keep_vec THEN l.simq END), 0) AS BIGINT) AS kept_simq_sum
+      |FROM labs l JOIN keep k ON l.lab = k.lab
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "similarity: SemDeDup-style semantic dedup — near-dup clusters elect the farthest-from-centroid survivor, per-label accounting")
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q52, q106)
 }

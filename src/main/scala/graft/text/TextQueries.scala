@@ -2524,8 +2524,131 @@ object TextQueries {
       |FROM scored ORDER BY score DESC, w1, w2 LIMIT 20""".stripMargin),
     doc = "text: top-20 PMI collocations (exact-integer cores, one IEEE division — phrase detection)")
 
+  /** Quantized log2 for exact-integer scoring: L(n) = e·2²⁰ +
+    * (n − 2ᵉ)·2²⁰ div 2ᵉ with e = ⌊log2 n⌋ read off the binary-string
+    * length (`bin()` exists in both engines) — a piecewise-linear
+    * fixed-point log2, monotone in n, pure integer arithmetic, so both
+    * engines produce the identical value where libm `ln()` low bits
+    * would not (the q99/q104 determinism stance). Valid for n ≥ 1;
+    * exact-long up to n < 2⁴³ (the frac product (n−2ᵉ)·2²⁰ < 2ᵉ⁺²⁰
+    * must stay under 2⁶³) — past ~8.8·10¹² tokens shrink the 2²⁰
+    * quantum one bit per doubling. Both renderings stated here so the
+    * definition changes in ONE place.
+    */
+  private[graft] def lqSql(x: String): String =
+    s"((length(bin($x)) - 1) * 1048576L + ((($x) - shiftleft(1L, length(bin($x)) - 1))" +
+      s" * 1048576L div shiftleft(1L, length(bin($x)) - 1)))"
+  private[graft] def lqDuck(x: String): String =
+    s"((length(bin($x)) - 1) * 1048576 + ((($x) - (CAST(1 AS BIGINT) << (length(bin($x)) - 1)))" +
+      s" * 1048576 // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))))"
+
+  /** q105 — importance resampling (DSIR, Xie et al. 2023): score every
+    * raw-pool document by how target-domain-like its hashed-unigram
+    * distribution is — the log-likelihood ratio between a target-domain
+    * LM and a raw-pool LM over 1024 hashed token buckets — and surface
+    * the top-10 raw docs to promote. This is the published cheap
+    * alternative to a trained quality classifier: the "classifier" is
+    * two smoothed count tables, built in one aggregation pass each.
+    * Target here = the alphabetically-first source (deterministic and
+    * data-driven; production passes its curated seed corpus).
+    *
+    * Determinism: weights are w_q(f) = L(ct)−L(cr)+L(Nr)−L(Nt) with L
+    * the quantized log2 above and ct/cr the +1-smoothed bucket counts —
+    * every score is an exact long, so the top-10 ranking cannot drift
+    * across engines (sum-of-IEEE-logs would).
+    *
+    * Scale design: the token explode compresses IMMEDIATELY to
+    * per-(doc, bucket) counts — ≤1024 rows per doc regardless of
+    * length, map-side combinable. The model is a FIXED 1024-row table
+    * (completed against `range(1024)` so unseen buckets get the
+    * smoothing floor): it broadcasts to the scoring join at any corpus
+    * size — feature hashing is what makes the method 100 TB-able, the
+    * vocabulary never shuffles. Per-doc scoring is one groupBy(doc);
+    * the top-10 is a TakeOrdered, never a global sort.
+    */
+  val q105 = Q(
+    "q105_importance_resample",
+    (s, dir) => {
+      import s.implicits._
+      val B = 1024
+      val d = docs(s, dir)
+      val tgt = d.agg(min($"source").as("tgt_src"))
+      val docFeat = d
+        .select($"doc_id", $"source",
+          explode(split(coalesce($"text", lit("")), " ")).as("t"))
+        .select($"doc_id", $"source", expr(
+          "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint) % 1024").as("f"))
+        .groupBy($"doc_id", $"source", $"f")
+        .agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(tgt))
+        .withColumn("is_tgt", $"source" === $"tgt_src")
+        .drop("tgt_src")
+        .cache() // two consumers: the bucket model + the scoring pass
+      // the complete 1024-bucket model: +1 smoothing means Σct/Σcr are
+      // the smoothed totals Nt/Nr directly
+      val fCnt = s.range(B).select($"id".as("f"))
+        .join(docFeat.groupBy($"f").agg(
+            sum(when($"is_tgt", $"c").otherwise(0L)).as("rt"),
+            sum(when(!$"is_tgt", $"c").otherwise(0L)).as("rr")),
+          Seq("f"), "left")
+        .select($"f",
+          (coalesce($"rt", lit(0L)) + 1L).as("ct"),
+          (coalesce($"rr", lit(0L)) + 1L).as("cr"))
+      val tots = fCnt.agg(sum($"ct").as("n_t"), sum($"cr").as("n_r"))
+      val w = fCnt.crossJoin(broadcast(tots))
+        .withColumn("wq", expr(
+          s"${lqSql("ct")} - ${lqSql("cr")} + ${lqSql("n_r")} - ${lqSql("n_t")}"))
+        .select($"f", $"wq")
+      val scored = docFeat.filter(!$"is_tgt")
+        .join(broadcast(w), Seq("f"))
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"c" * $"wq").as("score_q"), sum($"c").as("n_toks"))
+      // 10-row frame after TakeOrdered: the unpartitioned window is safe
+      scored.orderBy($"score_q".desc, $"doc_id").limit(10)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy($"score_q".desc, $"doc_id")))
+        .select($"rank", $"doc_id", $"source", $"n_toks", $"score_q")
+        .orderBy($"rank")
+    },
+    Some(s"""WITH tok AS (
+      |  SELECT doc_id, source,
+      |         CAST(('0x' || substr(md5(tkn), 1, 15)) AS BIGINT) % 1024 AS f
+      |  FROM (SELECT doc_id, source,
+      |               UNNEST(string_split(COALESCE(text, ''), ' ')) AS tkn
+      |        FROM documents)),
+      |tgt AS (SELECT MIN(source) AS tgt_src FROM documents),
+      |docfeat AS (
+      |  SELECT doc_id, source, f, COUNT(*) AS c,
+      |         source = (SELECT tgt_src FROM tgt) AS is_tgt
+      |  FROM tok GROUP BY 1, 2, 3, 5),
+      |fcnt AS (
+      |  SELECT g.f,
+      |         CAST(COALESCE(SUM(CASE WHEN is_tgt THEN c END), 0) AS BIGINT) + 1 AS ct,
+      |         CAST(COALESCE(SUM(CASE WHEN NOT is_tgt THEN c END), 0) AS BIGINT) + 1 AS cr
+      |  FROM (SELECT UNNEST(generate_series(0, 1023)) AS f) g
+      |  LEFT JOIN docfeat d ON g.f = d.f
+      |  GROUP BY 1),
+      |tots AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_t,
+      |                CAST(SUM(cr) AS BIGINT) AS n_r FROM fcnt),
+      |w AS (
+      |  SELECT f, ${lqDuck("ct")} - ${lqDuck("cr")}
+      |           + ${lqDuck("(SELECT n_r FROM tots)")}
+      |           - ${lqDuck("(SELECT n_t FROM tots)")} AS wq
+      |  FROM fcnt),
+      |scored AS (
+      |  SELECT d.doc_id, d.source,
+      |         CAST(SUM(d.c * w.wq) AS BIGINT) AS score_q,
+      |         CAST(SUM(d.c) AS BIGINT) AS n_toks
+      |  FROM docfeat d JOIN w USING (f)
+      |  WHERE NOT d.is_tgt
+      |  GROUP BY 1, 2)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank,
+      |       doc_id, source, n_toks, score_q
+      |FROM scored ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin),
+    doc = "sampling: DSIR importance resampling — hashed-unigram LLR promotion of raw docs toward a target domain (quantized-log2 exact)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
-        q99, q100, q101, q102, q103, q104)
+        q99, q100, q101, q102, q103, q104, q105)
 }

@@ -216,6 +216,63 @@ class CurationOpsSpec extends SparkSpec {
     assert(rows("q104_pmi_collocations") === want)
   }
 
+  test("the quantized-log2 SQL expression matches the bit-arithmetic definition") {
+    def lq(n: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      e * 1048576L + (n - (1L << e)) * 1048576L / (1L << e)
+    }
+    // power-of-two edges, the q105 operating range, and the documented
+    // 2^43 exactness ceiling
+    val vals = (1L to 4096L) ++
+      Seq(1L << 20, (1L << 20) + 12345L, 987654321L, (1L << 30) - 1,
+        (1L << 42) + 99999L, (1L << 43) - 1)
+    val got = vals.toDF("x")
+      .withColumn("l", expr(TextQueries.lqSql("x")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vals.foreach(v => assert(got(v) === lq(v), s"lq($v)"))
+    // monotone: a piecewise-linear log2 must preserve every ranking
+    val sortedVals = vals.distinct.sorted
+    sortedVals.zip(sortedVals.tail).foreach { case (a, b) =>
+      assert(lq(a) < lq(b), s"lq monotone at $a < $b") }
+  }
+
+  test("q105 matches a driver-side exact reimplementation of DSIR") {
+    // independent form: plain Scala end to end — MessageDigest hashing,
+    // bit-arithmetic quantized log2, in-memory count maps — sharing NO
+    // Spark expression with the production pipeline
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def feat(t: String): Long = java.lang.Long.parseLong(md5hex(t).take(15), 16) % 1024
+    def lq(n: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+      e * 1048576L + (n - (1L << e)) * 1048576L / (1L << e)
+    }
+    val in = docs.select($"doc_id", $"source", coalesce($"text", lit("")).as("text"))
+      .collect()
+      // Spark's split keeps trailing empty strings (limit -1): mirror it
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val tgtSrc = in.map(_._2).min
+    def bucketCounts(side: Array[(Long, String, Array[String])]) = {
+      val m = new scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+      side.foreach(_._3.foreach(t => m(feat(t)) += 1L))
+      m
+    }
+    val tCnt = bucketCounts(in.filter(_._2 == tgtSrc))
+    val rCnt = bucketCounts(in.filter(_._2 != tgtSrc))
+    val nT = tCnt.values.sum + 1024L
+    val nR = rCnt.values.sum + 1024L
+    def wq(f: Long): Long =
+      lq(tCnt(f) + 1L) - lq(rCnt(f) + 1L) + lq(nR) - lq(nT)
+    val want = in.filter(_._2 != tgtSrc)
+      .map { case (id, src, tk) =>
+        (id, src, tk.length.toLong, tk.map(t => wq(feat(t))).sum) }
+      .sortBy { case (id, _, _, sc) => (-sc, id) }
+      .take(10).zipWithIndex
+      .map { case ((id, src, n, sc), i) => Seq[Any](i + 1, id, src, n, sc) }
+      .toSeq
+    assert(rows("q105_importance_resample") === want)
+  }
+
   test("q102's corpus-wide shuffles are hash-only: strings cross only single-partition tails") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
