@@ -41,6 +41,17 @@ object CurationPipeline {
       kept: Long, selected: Long, selectedTokens: Long,
       tokenBudget: Long, nSequences: Long, manifestPath: String)
 
+  /** How the selection stage ranks docs before the token budget cuts. */
+  sealed trait SelectPolicy
+  /** Intrinsic quality (distinct-token ratio) — the q90 ranking. */
+  case object ByQuality extends SelectPolicy
+  /** DSIR target-affinity (the q105 model as a selection policy): rank
+    * every kept doc by [[graft.text.Dsir.scoreAffinity]] against the
+    * kept docs of `source` — spend the budget on the docs most like the
+    * seed domain instead of the intrinsically cleanest.
+    */
+  final case class ByTargetAffinity(source: String) extends SelectPolicy
+
   /** Whitespace token count + integer quality (u·10⁶ div m — the q90
     * scoring): appended as (m, q) columns. One pass over text.
     */
@@ -60,12 +71,28 @@ object CurationPipeline {
     * break on doc_id so the subset is deterministic.
     */
   def selectByBudget(docs: DataFrame, budgetNum: Long = 1,
-                     budgetDen: Long = 2): DataFrame = {
-    val scored = scoreQuality(docs)
+                     budgetDen: Long = 2): DataFrame =
+    selectByBudget(docs, budgetNum, budgetDen, ByQuality)
+
+  /** As above with an explicit ranking policy; [[ByTargetAffinity]]
+    * appends `dsir_q` and ranks on it (desc, doc_id ties) — same
+    * distributed prefix-sum cut, different order. The target slice is
+    * ranked on the same scale (its docs score high naturally, they ARE
+    * the target distribution), so one budget governs everything.
+    */
+  def selectByBudget(docs: DataFrame, budgetNum: Long, budgetDen: Long,
+                     policy: SelectPolicy): DataFrame = {
+    val scored0 = scoreQuality(docs)
+    val (scored, rankKey) = policy match {
+      case ByQuality => (scored0, Seq(col("q").desc, col("doc_id")))
+      case ByTargetAffinity(src) =>
+        (graft.text.Dsir.scoreAffinity(scored0,
+           docs.filter(col("source") === src)),
+         Seq(col("dsir_q").desc, col("doc_id")))
+    }
     val tot = scored.agg(expr(s"sum(m) * $budgetNum div $budgetDen").as("budget"))
     graft.operators.DistributedRank.withPrefixSum(
-        scored.crossJoin(broadcast(tot)),
-        Seq(col("q").desc, col("doc_id")), col("m"), "cum")
+        scored.crossJoin(broadcast(tot)), rankKey, col("m"), "cum")
       .filter(col("cum") <= col("budget"))
   }
 
@@ -105,6 +132,10 @@ object CurationPipeline {
     * promotes the most complete mirror instead. With it set, the
     * report's `kept` counts post-canonicalization survivors.
     *
+    * `selectBy` picks the selection ranking: [[ByQuality]] (default,
+    * the q90 intrinsic score) or [[ByTargetAffinity]] (the q105 DSIR
+    * model — budget goes to the docs most like a named seed source).
+    *
     * `takedownDir`, when given, is drained at every micro-batch
     * boundary ([[CorpusIngestJob.drainTakedowns]]) — and because the
     * manifest is REGENERATED from the kept corpus after ingest, a
@@ -118,7 +149,8 @@ object CurationPipeline {
           block: Long = 4096L,
           lshParams: graft.text.LshParams = graft.text.LshParams(),
           takedownDir: Option[String] = None,
-          canonicalize: Option[graft.text.Canonicalize.Policy] = None)
+          canonicalize: Option[graft.text.Canonicalize.Policy] = None,
+          selectBy: SelectPolicy = ByQuality)
       : CurationReport = {
     import spark.implicits._
     if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
@@ -163,7 +195,8 @@ object CurationPipeline {
     // budget rides along as a column (selectByBudget attached it), so
     // the report needs NO second scoring scan of the corpus; text is
     // projected away BEFORE the checkpoint materializes anything
-    val packed = packSequences(selectByBudget(kept, budgetNum, budgetDen), block)
+    val packed = packSequences(
+        selectByBudget(kept, budgetNum, budgetDen, selectBy), block)
       .select($"doc_id", $"source", $"m".as("n_tokens"), $"q".as("quality"),
               $"seq_id", $"straddle", $"budget")
       .localCheckpoint() // one selection execution feeds sink + report
