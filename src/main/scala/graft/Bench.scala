@@ -57,7 +57,9 @@ object Bench {
     "q103_stratified_sample",
     "q104_pmi_collocations",
     "q105_importance_resample",
-    "q106_semantic_dedup")
+    "q106_semantic_dedup",
+    "q107_gopher_rules",
+    "q108_contrastive_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -64,7 +64,15 @@ object PlanDump {
     "q103_stratified_sample" ->
       "Exact-N stratified draw: quota arithmetic on the |sources|-row count frame (bounded window); corpus-side per-source rank via DistributedRank.withRowNumberPerKey (range sort + offsets — no one-task-per-source window); quotas broadcast back; Σquota ≡ N by construction.",
     "q104_pmi_collocations" ->
-      "PMI collocations: bigram rows compress map-side to distinct-bigram counts; two vocabulary-keyed unigram joins (AQE-skew-splittable on stop-words); totals broadcast; exact-integer PMI cores with ONE IEEE division; top-20 via TakeOrdered.")
+      "PMI collocations: bigram rows compress map-side to distinct-bigram counts; two vocabulary-keyed unigram joins (AQE-skew-splittable on stop-words); totals broadcast; exact-integer PMI cores with ONE IEEE division; top-20 via TakeOrdered.",
+    "q105_importance_resample" ->
+      "DSIR resampling: hashed-unigram features (1024 buckets — weight table is fixed-size regardless of corpus vocabulary); LLR weights quantized to exact longs; scoring join broadcasts the 1024-row weight table; top-10 via TakeOrdered — no libm log, no vocabulary-wide shuffle.",
+    "q106_semantic_dedup" ->
+      "SemDeDup: centroid assignment broadcasts k centroids (one corpus pass); near-dup pairs bucketed by (label, cell) — no label-wide cartesian; survivor election is a struct-max per cluster, map-side combinable.",
+    "q107_gopher_rules" ->
+      "Gopher rule battery: tokens compress to (doc,token,count) FIRST (the repetition rule's max-share falls out of max(c) on the same frame); two map-side-combinable hash aggregates then a |sources|-row rollup; all thresholds integer cross-multiplications — no float, no window, no join.",
+    "q108_contrastive_pairs" ->
+      "Contrastive mining: bounded anchor set broadcast, corpus streams ONCE past the codegen'd cosine; per-(anchor,pair_type) argmax is a struct-max aggregate — map-side combinable, output 2·|anchors| rows, no corpus shuffle, no window.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

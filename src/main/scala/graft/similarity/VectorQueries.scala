@@ -460,5 +460,60 @@ object VectorQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin),
     doc = "similarity: SemDeDup-style semantic dedup — near-dup clusters elect the farthest-from-centroid survivor, per-label accounting")
 
-  val all: Seq[Q] = Seq(q47, q48, q49, q52, q106)
+  /** q108 — contrastive-pair mining for embedding-model training: for
+    * each anchor (a deterministic 1-in-25 sample), the best POSITIVE
+    * (nearest same-label neighbor) and the best HARD NEGATIVE (nearest
+    * different-label neighbor — the pair that does the work in a
+    * contrastive loss; random negatives are trivially separable).
+    *
+    * Scale shape: the anchor set is the bounded side — broadcast it and
+    * stream the corpus ONCE past the codegen'd cosine; the per
+    * (anchor, pair_type) argmax is a struct-max aggregate (map-side
+    * combinable, no window, no corpus shuffle), so output is 2·|anchors|
+    * rows regardless of corpus size. At 100 TB with a large anchor set
+    * the same plan shards the anchors into broadcast-sized slices; the
+    * q48/q52 LSH/IVF buckets are the candidate-pruned variant.
+    * Tie-break: highest score, then smallest neighbor id (the struct
+    * max negates vec_id so both engines elect identically).
+    */
+  val q108 = Q(
+    "q108_contrastive_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val anchors = e.filter($"vec_id" % 25 === 0)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"),
+          $"label".as("qlabel"))
+      e.crossJoin(broadcast(anchors))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("score", round(cos(s, "qvec", "embedding"), 4))
+        .withColumn("pair_type",
+          when($"label" === $"qlabel", "pos").otherwise("neg"))
+        .groupBy($"query_id", $"pair_type")
+        .agg(max(struct($"score", (-$"vec_id").as("nid"))).as("best"))
+        .select($"query_id", $"pair_type",
+          (-$"best.nid").as("neighbor_id"), $"best.score".as("score"))
+        .orderBy($"query_id", $"pair_type")
+    },
+    Some(s"""WITH anchors AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec, label AS qlabel
+      |  FROM embeddings WHERE vec_id % 25 = 0),
+      |scored AS (
+      |  SELECT a.query_id,
+      |         CASE WHEN e.label = a.qlabel THEN 'pos' ELSE 'neg' END AS pair_type,
+      |         e.vec_id AS neighbor_id,
+      |         ROUND(${oCos("a.qvec", "e.embedding")}, 4) AS score
+      |  FROM embeddings e CROSS JOIN anchors a
+      |  WHERE e.vec_id <> a.query_id),
+      |ranked AS (
+      |  SELECT query_id, pair_type, neighbor_id, score,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id, pair_type
+      |           ORDER BY score DESC, neighbor_id) AS rn
+      |  FROM scored)
+      |SELECT query_id, pair_type, neighbor_id, score
+      |FROM ranked WHERE rn = 1
+      |ORDER BY query_id, pair_type""".stripMargin),
+    doc = "similarity: contrastive positive + hard-negative mining per anchor — broadcast anchors, one corpus pass, struct-max argmax")
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q52, q106, q108)
 }

@@ -2647,8 +2647,107 @@ object TextQueries {
       |FROM scored ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin),
     doc = "sampling: DSIR importance resampling — hashed-unigram LLR promotion of raw docs toward a target domain (quantized-log2 exact)")
 
+  /** q107 — the Gopher quality-rule battery (Rae et al. 2021 §A1.1,
+    * adapted to the corpus's whitespace tokens): per source, how many
+    * docs fail each of six rules, and how many pass them all —
+    *   word count outside [50, 100000]      (fail_word_count)
+    *   mean word length outside [3, 10]     (fail_word_len)
+    *   fewer than 2 stopwords               (fail_stopwords)
+    *   most frequent token above 20%        (fail_top_token)
+    *   symbol-ish tokens ('#'/'...') >10%   (fail_symbols)
+    *   tokens containing a letter <80%      (fail_alpha)
+    * This is the compound pre-filter a crawl pipeline runs before any
+    * model-based scoring (q99/q105 are the next stages).
+    *
+    * Scale shape: tokens compress to (doc, token, count) FIRST — the
+    * corpus's repetition makes every later stat cheaper, and max-token
+    * share (the rule that defeats a single flat aggregate) falls out of
+    * the same frame as max(c). Two hash aggregations (doc,t) → (doc),
+    * both map-side combinable, then a |sources|-row rollup. All rule
+    * thresholds are integer cross-multiplications — no float division
+    * anywhere, so both engines agree exactly at the boundaries.
+    */
+  val q107 = Q(
+    "q107_gopher_rules",
+    (s, dir) => {
+      import s.implicits._
+      val stop = Seq("the", "a", "of", "to", "and", "in")
+      val tokCounts = docs(s, dir)
+        .select($"doc_id", $"source", explode(toks).as("t"))
+        .groupBy($"doc_id", $"source", $"t")
+        .agg(count(lit(1)).as("c"))
+      val perDoc = tokCounts
+        .groupBy($"doc_id", $"source")
+        .agg(
+          sum($"c").as("n"),
+          sum($"c" * length($"t")).as("sum_len"),
+          sum(when($"t".isin(stop: _*), $"c").otherwise(0L)).as("n_stop"),
+          max($"c").as("max_cnt"),
+          sum(when($"t".like("%#%") || $"t".like("%...%"), $"c")
+            .otherwise(0L)).as("n_sym"),
+          sum(when($"t".rlike("[a-zA-Z]"), $"c").otherwise(0L)).as("n_alpha"))
+      perDoc
+        .withColumn("f_wc", $"n" < 50L || $"n" > 100000L)
+        .withColumn("f_wl", $"sum_len" < $"n" * 3 || $"sum_len" > $"n" * 10)
+        .withColumn("f_stop", $"n_stop" < 2L)
+        .withColumn("f_rep", $"max_cnt" * 5 > $"n")
+        .withColumn("f_sym", $"n_sym" * 10 > $"n")
+        .withColumn("f_alpha", $"n_alpha" * 5 < $"n" * 4)
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_if($"f_wc").as("fail_word_count"),
+          count_if($"f_wl").as("fail_word_len"),
+          count_if($"f_stop").as("fail_stopwords"),
+          count_if($"f_rep").as("fail_top_token"),
+          count_if($"f_sym").as("fail_symbols"),
+          count_if($"f_alpha").as("fail_alpha"),
+          count_if(!$"f_wc" && !$"f_wl" && !$"f_stop" && !$"f_rep" &&
+            !$"f_sym" && !$"f_alpha").as("n_pass"))
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |tc AS (
+      |  SELECT doc_id, source, t, COUNT(*) AS c
+      |  FROM tok GROUP BY doc_id, source, t),
+      |pd AS (
+      |  SELECT doc_id, source,
+      |         SUM(c) AS n,
+      |         SUM(c * len(t)) AS sum_len,
+      |         SUM(CASE WHEN t IN ('the','a','of','to','and','in')
+      |             THEN c ELSE 0 END) AS n_stop,
+      |         MAX(c) AS max_cnt,
+      |         SUM(CASE WHEN t LIKE '%#%' OR t LIKE '%...%'
+      |             THEN c ELSE 0 END) AS n_sym,
+      |         SUM(CASE WHEN regexp_matches(t, '[a-zA-Z]')
+      |             THEN c ELSE 0 END) AS n_alpha
+      |  FROM tc GROUP BY doc_id, source),
+      |fl AS (
+      |  SELECT source,
+      |         (n < 50 OR n > 100000) AS f_wc,
+      |         (sum_len < n * 3 OR sum_len > n * 10) AS f_wl,
+      |         (n_stop < 2) AS f_stop,
+      |         (max_cnt * 5 > n) AS f_rep,
+      |         (n_sym * 10 > n) AS f_sym,
+      |         (n_alpha * 5 < n * 4) AS f_alpha
+      |  FROM pd)
+      |SELECT source,
+      |       COUNT(*) AS n_docs,
+      |       CAST(COUNT(*) FILTER (WHERE f_wc) AS BIGINT) AS fail_word_count,
+      |       CAST(COUNT(*) FILTER (WHERE f_wl) AS BIGINT) AS fail_word_len,
+      |       CAST(COUNT(*) FILTER (WHERE f_stop) AS BIGINT) AS fail_stopwords,
+      |       CAST(COUNT(*) FILTER (WHERE f_rep) AS BIGINT) AS fail_top_token,
+      |       CAST(COUNT(*) FILTER (WHERE f_sym) AS BIGINT) AS fail_symbols,
+      |       CAST(COUNT(*) FILTER (WHERE f_alpha) AS BIGINT) AS fail_alpha,
+      |       CAST(COUNT(*) FILTER (WHERE NOT f_wc AND NOT f_wl AND NOT f_stop
+      |            AND NOT f_rep AND NOT f_sym AND NOT f_alpha) AS BIGINT) AS n_pass
+      |FROM fl GROUP BY source ORDER BY source""".stripMargin),
+    doc = "filtering: Gopher quality-rule battery — six integer-exact rules, per-source fail counts + all-pass tally")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
-        q99, q100, q101, q102, q103, q104, q105)
+        q99, q100, q101, q102, q103, q104, q105, q107)
 }

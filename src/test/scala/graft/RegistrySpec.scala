@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 106 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 106)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 106)
+  test("registry has 108 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 108)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 108)
   }
 
   test("every query has a DuckDB oracle") {
