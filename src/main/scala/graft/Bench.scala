@@ -59,7 +59,9 @@ object Bench {
     "q105_importance_resample",
     "q106_semantic_dedup",
     "q107_gopher_rules",
-    "q108_contrastive_pairs")
+    "q108_contrastive_pairs",
+    "q109_bpe_merge",
+    "q110_context_chunks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

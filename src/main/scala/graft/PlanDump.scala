@@ -72,7 +72,11 @@ object PlanDump {
     "q107_gopher_rules" ->
       "Gopher rule battery: tokens compress to (doc,token,count) FIRST (the repetition rule's max-share falls out of max(c) on the same frame); two map-side-combinable hash aggregates then a |sources|-row rollup; all thresholds integer cross-multiplications — no float, no window, no join.",
     "q108_contrastive_pairs" ->
-      "Contrastive mining: bounded anchor set broadcast, corpus streams ONCE past the codegen'd cosine; per-(anchor,pair_type) argmax is a struct-max aggregate — map-side combinable, output 2·|anchors| rows, no corpus shuffle, no window.")
+      "Contrastive mining: bounded anchor set broadcast, corpus streams ONCE past the codegen'd cosine; per-(anchor,pair_type) argmax is a struct-max aggregate — map-side combinable, output 2·|anchors| rows, no corpus shuffle, no window.",
+    "q109_bpe_merge" ->
+      "BPE merge step: corpus compresses to the vocab-with-counts dict FIRST (the only corpus-sized shuffle carries words, map-side combined); char-pair explode runs on |vocab| rows weighted by count; top-20 via TakeOrdered; rank window post-limit on 20 rows.",
+    "q110_context_chunks" ->
+      "Context chunking: per-doc window starts from a closed-form sequence — pure map (no join, no window); explode output is (corpus/stride)-sized; the only exchange is the deterministic output sort (at scale: write partitioned by source instead).")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -2746,8 +2746,123 @@ object TextQueries {
       |FROM fl GROUP BY source ORDER BY source""".stripMargin),
     doc = "filtering: Gopher quality-rule battery — six integer-exact rules, per-source fail counts + all-pass tally")
 
+  /** q109 — the first BPE merge step (Sennrich et al. 2016): count
+    * adjacent character pairs across the corpus and rank the top-20
+    * merge candidates. The load-bearing scale move is the one real BPE
+    * trainers make: compress the corpus to its VOCAB-WITH-COUNTS dict
+    * first — pair counting then runs over |vocab| rows weighted by word
+    * frequency, not over corpus tokens. At 100 TB the vocab is millions
+    * of rows where the corpus is trillions; every subsequent merge
+    * iteration (out of scope here) re-scans only the dict too.
+    *
+    * Scale shape: token explode → (word, count) hash aggregate
+    * (map-side combinable; the only corpus-sized shuffle carries words)
+    * → per-word adjacent-pair explode on the dict → pair aggregate →
+    * TakeOrdered top-20. The 20-row window for rank is post-limit.
+    */
+  val q109 = Q(
+    "q109_bpe_merge",
+    (s, dir) => {
+      import s.implicits._
+      val vocab = docs(s, dir)
+        .select(explode(toks).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("c"))
+      val pairs = vocab
+        .filter(length($"w") >= 2)
+        .select($"c", explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy($"pair").agg(sum($"c").as("n_pairs"))
+      pairs.orderBy($"n_pairs".desc, $"pair").limit(20)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy($"n_pairs".desc, $"pair")))
+        .select($"rank", $"pair", $"n_pairs")
+        .orderBy($"rank")
+    },
+    Some("""WITH v AS (
+      |  SELECT w, COUNT(*) AS c
+      |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY w),
+      |p AS (
+      |  SELECT substr(w, i, 2) AS pair, c
+      |  FROM (SELECT w, c, UNNEST(generate_series(1, len(w) - 1)) AS i
+      |        FROM v WHERE len(w) >= 2)),
+      |agg AS (
+      |  SELECT pair, CAST(SUM(c) AS BIGINT) AS n_pairs
+      |  FROM p GROUP BY pair)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair) AS INT) AS rank,
+      |       pair, n_pairs
+      |FROM agg ORDER BY n_pairs DESC, pair LIMIT 20""".stripMargin),
+    doc = "tokenizer: first BPE merge step — char-pair counts off the vocab-with-counts dict, top-20 merge candidates")
+
+  /** q110 — context-window chunking (training-example construction):
+    * slide a 64-token window with stride 48 over every doc; the last
+    * chunk right-aligns to the doc end (no padding, bounded overlap)
+    * — the standard long-document sharding ahead of sequence packing
+    * (q86 packs what this emits). Each chunk row carries an md5 over
+    * its joined tokens, so the oracle verifies the actual slice
+    * content, not just the chunk arithmetic.
+    *
+    * Scale shape: pure map — per-doc chunk starts come from a
+    * closed-form sequence (no self-join, no window), the explode output
+    * is (corpus/stride)-sized and already partitioned by input split;
+    * the only exchange is the final doc_id/chunk_idx sort for the
+    * deterministic dump. At 100 TB you'd write this partitioned by
+    * source instead of sorting globally.
+    */
+  val q110 = Q(
+    "q110_context_chunks",
+    (s, dir) => {
+      import s.implicits._
+      val W = 64
+      val S = 48
+      docs(s, dir)
+        .withColumn("tk", toks)
+        .withColumn("n", size($"tk"))
+        .withColumn("n_chunks",
+          when($"n" <= W, lit(1))
+            .otherwise(expr(s"cast(1 + (n - $W + ${S - 1}) div $S as int)")))
+        .select($"doc_id", $"source", $"tk", $"n",
+          posexplode(expr(
+            s"""transform(sequence(0, n_chunks - 1),
+               |  i -> CASE WHEN i = n_chunks - 1 AND n > $W
+               |            THEN n - $W + 1 ELSE 1 + $S * i END)""".stripMargin))
+            .as(Seq("chunk_idx", "start_pos")))
+        .withColumn("chunk_len", least(lit(W), $"n"))
+        .select($"doc_id", $"chunk_idx", $"start_pos", $"chunk_len",
+          md5(concat_ws(" ", slice($"tk", $"start_pos", $"chunk_len"))
+            .cast("binary")).as("chunk_md5"),
+          $"source")
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS tk,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, tk, n,
+      |         CASE WHEN n <= 64 THEN 1
+      |              ELSE 1 + (n - 64 + 47) // 48 END AS n_chunks
+      |  FROM d),
+      |e AS (
+      |  SELECT doc_id, source, tk, n, n_chunks,
+      |         UNNEST(generate_series(0, n_chunks - 1)) AS chunk_idx
+      |  FROM c),
+      |st AS (
+      |  SELECT doc_id, source, tk, n,
+      |         CAST(chunk_idx AS INT) AS chunk_idx,
+      |         CAST(CASE WHEN chunk_idx = n_chunks - 1 AND n > 64
+      |              THEN n - 64 + 1 ELSE 1 + 48 * chunk_idx END AS INT) AS start_pos,
+      |         CAST(LEAST(64, n) AS INT) AS chunk_len
+      |  FROM e)
+      |SELECT doc_id, chunk_idx, start_pos, chunk_len,
+      |       md5(array_to_string(tk[start_pos:start_pos + chunk_len - 1], ' ')) AS chunk_md5,
+      |       source
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin),
+    doc = "chunking: 64-token windows at stride 48, last chunk right-aligned — chunk rows with content md5 (the q86 packing input)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
-        q99, q100, q101, q102, q103, q104, q105, q107)
+        q99, q100, q101, q102, q103, q104, q105, q107, q109, q110)
 }
