@@ -102,13 +102,56 @@ object CurationPipeline {
     */
   def packSequences(selected: DataFrame, block: Long = 4096L,
                     seed: String = "pack42_"): DataFrame =
+    packSequencesBy(selected, Seq("doc_id"), block, seed)
+
+  /** As [[packSequences]] but keyed by a composite unit id — for packing
+    * sub-document units (e.g. [[chunkWindows]] context chunks), where
+    * doc_id alone no longer distinguishes rows: the order hash and the
+    * tie-break must see the full unit key, or the chunks of one doc —
+    * identical in every sorted column — would be order-ambiguous in the
+    * prefix sum and seq assignment would differ run to run.
+    */
+  def packSequencesBy(selected: DataFrame, idCols: Seq[String],
+                      block: Long = 4096L,
+                      seed: String = "pack42_"): DataFrame = {
+    require(idCols.nonEmpty, "need at least one unit-id column")
+    val keyExpr = idCols.map(c => s"cast($c as string)").mkString(", '_', ")
     graft.operators.DistributedRank.withPrefixSum(
         selected.withColumn("key", expr(
-          s"cast(conv(substring(md5(concat('$seed', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")),
-        Seq(col("key"), col("doc_id")), col("m"), "pack_cum")
+          s"cast(conv(substring(md5(concat('$seed', $keyExpr)), 1, 15), 16, 10) as bigint)")),
+        col("key") +: idCols.map(col), col("m"), "pack_cum")
       .withColumn("seq_id", expr(s"(pack_cum - m) div $block"))
       .withColumn("straddle", expr(s"(pack_cum - m) div $block != (pack_cum - 1) div $block"))
       .drop("key")
+  }
+
+  /** Explode selected docs into fixed context windows (the q110
+    * chunking as a pipeline stage): `window` tokens per chunk at
+    * `stride`, the last chunk right-aligned to the doc end — no
+    * padding, bounded overlap. Pure ARITHMETIC on the token count `m`:
+    * no text is read or shuffled here; the training reader re-derives
+    * each chunk's token slice from (doc_id, start_pos, n_tokens) at
+    * materialization time. Each chunk row replaces `m` with the chunk
+    * length min(window, m), so downstream packing totals deliberately
+    * count window overlap — that is what the trainer consumes. The
+    * doc-level quality column rides along unchanged (chunks inherit
+    * their doc's score).
+    */
+  def chunkWindows(selected: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    selected
+      .withColumn("n_chunks",
+        when(col("m") <= window, lit(1))
+          .otherwise(expr(s"cast(1 + (m - $window + ${stride - 1}) div $stride as int)")))
+      .withColumn("chunk_idx", explode(expr("sequence(0, n_chunks - 1)")))
+      .withColumn("start_pos", expr(
+        s"""CASE WHEN chunk_idx = n_chunks - 1 AND m > $window
+           |     THEN cast(m - $window + 1 as int)
+           |     ELSE cast(1 + $stride * chunk_idx as int) END""".stripMargin))
+      .withColumn("m", least(lit(window.toLong), col("m")))
+      .drop("n_chunks")
+  }
 
   /** Run the full stage. `srcDir` is the crawl drop directory (parquet
     * files in the `documents` schema); the band index at
@@ -142,6 +185,22 @@ object CurationPipeline {
     * drained takedown needs no separate manifest erase: this run's
     * manifest simply never contains the erased docs. (Erasing from a
     * manifest BETWEEN runs is [[Erasure.erase]]'s `manifestDir` path.)
+    *
+    * `chunk = Some((window, stride))` inserts [[chunkWindows]] between
+    * selection and packing: the budget still governs SELECTION on raw
+    * doc tokens, then selected docs shard into context windows and the
+    * manifest packs CHUNKS — its rows gain (chunk_idx, start_pos), its
+    * n_tokens become chunk lengths (overlap counted, as trained), and
+    * the report's `selected`/`selectedTokens` count packed units.
+    * Erasure by doc_id still reaches every chunk row.
+    *
+    * `qualityGate`, when given, drops kept docs failing the Gopher
+    * rule battery ([[graft.text.QualityRules.passing]] — the q107
+    * rules) AFTER canonicalization and BEFORE selection: rule-failing
+    * docs never compete for budget, and the report's `kept` counts
+    * gate survivors. (The dedup index still learns gated-out docs —
+    * they were crawled; re-crawls of them classify as duplicates, not
+    * fresh content.)
     */
   def run(spark: SparkSession, srcDir: String, indexName: String,
           indexPath: String, workDir: String, buckets: Int = 32,
@@ -150,7 +209,9 @@ object CurationPipeline {
           lshParams: graft.text.LshParams = graft.text.LshParams(),
           takedownDir: Option[String] = None,
           canonicalize: Option[graft.text.Canonicalize.Policy] = None,
-          selectBy: SelectPolicy = ByQuality)
+          selectBy: SelectPolicy = ByQuality,
+          chunk: Option[(Int, Int)] = None,
+          qualityGate: Option[graft.text.QualityRules.Params] = None)
       : CurationReport = {
     import spark.implicits._
     if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
@@ -189,16 +250,33 @@ object CurationPipeline {
     // the most complete mirror before selection spends budget on it.
     // Exact-dup and near-dup-vs-index removal already happened at
     // ingest; this pass only re-adjudicates WITHIN the kept slice.
-    val kept = canonicalize
+    val keptCanon = canonicalize
       .map(p => graft.text.Canonicalize.survivors(keptRaw, policy = p))
       .getOrElse(keptRaw)
+    // optional Gopher-rule gate: rule-failing docs never reach the
+    // budget ranking (they were still indexed at ingest — a re-crawl
+    // classifies as duplicate, not fresh)
+    val kept = qualityGate
+      .map(p => graft.text.QualityRules.passing(keptCanon, p))
+      .getOrElse(keptCanon)
     // budget rides along as a column (selectByBudget attached it), so
     // the report needs NO second scoring scan of the corpus; text is
     // projected away BEFORE the checkpoint materializes anything
-    val packed = packSequences(
-        selectByBudget(kept, budgetNum, budgetDen, selectBy), block)
-      .select($"doc_id", $"source", $"m".as("n_tokens"), $"q".as("quality"),
-              $"seq_id", $"straddle", $"budget")
+    val selected = selectByBudget(kept, budgetNum, budgetDen, selectBy)
+    val packed0 = chunk match {
+      case Some((w, st)) =>
+        // chunks of one doc are identical in every packed column, so
+        // the pack key must include chunk_idx (see packSequencesBy)
+        packSequencesBy(chunkWindows(selected, w, st),
+          Seq("doc_id", "chunk_idx"), block)
+      case None => packSequences(selected, block)
+    }
+    val manifestCols =
+      Seq($"doc_id") ++
+      (if (chunk.isDefined) Seq($"chunk_idx", $"start_pos") else Nil) ++
+      Seq($"source", $"m".as("n_tokens"), $"q".as("quality"),
+          $"seq_id", $"straddle", $"budget")
+    val packed = packed0.select(manifestCols: _*)
       .localCheckpoint() // one selection execution feeds sink + report
 
     val manifestPath = s"$workDir/manifest"

@@ -2671,28 +2671,21 @@ object TextQueries {
     "q107_gopher_rules",
     (s, dir) => {
       import s.implicits._
-      val stop = Seq("the", "a", "of", "to", "and", "in")
+      // the rule DEFINITIONS live in QualityRules (shared with the
+      // CurationPipeline gate — a drifted copy cannot vacuously agree);
+      // this query keeps its own join-free frame shape by carrying
+      // source through the aggregation
+      val p = QualityRules.Params()
       val tokCounts = docs(s, dir)
         .select($"doc_id", $"source", explode(toks).as("t"))
         .groupBy($"doc_id", $"source", $"t")
         .agg(count(lit(1)).as("c"))
+      val aggs = QualityRules.statAggs(p)
       val perDoc = tokCounts
         .groupBy($"doc_id", $"source")
-        .agg(
-          sum($"c").as("n"),
-          sum($"c" * length($"t")).as("sum_len"),
-          sum(when($"t".isin(stop: _*), $"c").otherwise(0L)).as("n_stop"),
-          max($"c").as("max_cnt"),
-          sum(when($"t".like("%#%") || $"t".like("%...%"), $"c")
-            .otherwise(0L)).as("n_sym"),
-          sum(when($"t".rlike("[a-zA-Z]"), $"c").otherwise(0L)).as("n_alpha"))
-      perDoc
-        .withColumn("f_wc", $"n" < 50L || $"n" > 100000L)
-        .withColumn("f_wl", $"sum_len" < $"n" * 3 || $"sum_len" > $"n" * 10)
-        .withColumn("f_stop", $"n_stop" < 2L)
-        .withColumn("f_rep", $"max_cnt" * 5 > $"n")
-        .withColumn("f_sym", $"n_sym" * 10 > $"n")
-        .withColumn("f_alpha", $"n_alpha" * 5 < $"n" * 4)
+        .agg(aggs.head, aggs.tail: _*)
+      QualityRules.flagCols(p)
+        .foldLeft(perDoc) { case (df, (nm, c)) => df.withColumn(nm, c) }
         .groupBy($"source")
         .agg(
           count(lit(1)).as("n_docs"),

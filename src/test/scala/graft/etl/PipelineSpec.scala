@@ -277,6 +277,113 @@ class PipelineSpec extends SparkSpec {
     assert(r.tokenBudget === 0 && r.nSequences === 0)
   }
 
+  test("curation stage chunks selected docs into context windows before packing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx_chunk"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-chunk")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", when($"doc_id" % 2 === 0, "web").otherwise("books"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docsDf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa", // 10 toks
+      2L -> "one two three four",                                       // 4 toks
+      3L -> "red orange yellow green blue indigo violet")               // 7 toks
+      .coalesce(1).write.parquet(s"$srcDir/a")
+
+    val (w, st) = (4, 3)
+    val work = root.resolve("work").toString
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, work, buckets = 4,
+      budgetNum = 1, budgetDen = 1, block = 8L, chunk = Some((w, st)))
+
+    val manifest = spark.read.parquet(r.manifestPath)
+    val got = manifest
+      .select($"doc_id", $"chunk_idx", $"start_pos", $"n_tokens")
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getLong(3)))
+      .toSet
+    // driver-side chunk arithmetic: full budget selects all three docs
+    val expected = Seq(1L -> 10, 2L -> 4, 3L -> 7).flatMap { case (id, m) =>
+      val nChunks = if (m <= w) 1 else 1 + (m - w + st - 1) / st
+      (0 until nChunks).map { i =>
+        val start = if (i == nChunks - 1 && m > w) m - w + 1 else 1 + st * i
+        (id, i, start, math.min(w, m).toLong)
+      }
+    }.toSet
+    assert(got === expected)
+    // last chunk right-aligns: each doc's max chunk covers the doc end
+    assert(r.selected === expected.size.toLong)
+    assert(r.selectedTokens === expected.toSeq.map(_._4).sum)
+
+    // composition: the manifest equals chunk+pack applied to the kept
+    // corpus through the public transforms, seq assignment included
+    val kept = spark.read.parquet(s"$work/corpus")
+    val composed = CurationPipeline.packSequencesBy(
+        CurationPipeline.chunkWindows(
+          CurationPipeline.selectByBudget(kept, 1, 1), w, st),
+        Seq("doc_id", "chunk_idx"), block = 8L)
+      .select($"doc_id", $"chunk_idx", $"start_pos", $"source",
+        $"m".as("n_tokens"), $"q".as("quality"), $"seq_id", $"straddle")
+      .collect().map(_.toSeq).toSet
+    val gotFull = manifest
+      .select($"doc_id", $"chunk_idx", $"start_pos", $"source",
+        $"n_tokens", $"quality", $"seq_id", $"straddle")
+      .collect().map(_.toSeq).toSet
+    assert(gotFull === composed)
+  }
+
+  test("curation stage gates kept docs on the Gopher rule battery before selection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx_gate"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-gate")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", when($"doc_id" % 2 === 0, "web").otherwise("books"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docsDf(
+      1L -> "substantial document with many useful distinct tokens inside it",
+      2L -> "too short",                                         // fails minWords=5
+      3L -> "spam spam spam spam spam spam spam spam spam spam") // fails top-token 20%
+      .coalesce(1).write.parquet(s"$srcDir/a")
+
+    // thresholds tuned to the fixture: only the word-count floor and
+    // the repetition cap have teeth
+    val gate = graft.text.QualityRules.Params(
+      minWords = 5, minMeanLen = 1, maxMeanLen = 100, minStop = 0,
+      topTokenPctMax = 20, symbolPctMax = 100, alphaPctMin = 0)
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, root.resolve("work").toString,
+      buckets = 4, budgetNum = 1, budgetDen = 1, block = 16L,
+      qualityGate = Some(gate))
+
+    // all three docs pass dedup into the corpus; the gate then drops
+    // 2 (short) and 3 (repetitive) before selection
+    val manifestIds = spark.read.parquet(r.manifestPath)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(manifestIds === Set(1L))
+    assert(r.kept === 1)
+    // the gated-out docs were still indexed: a re-crawl of doc 3's text
+    // classifies as a duplicate, not fresh content
+    val flags = BandIndex.ingest(spark,
+      docsDf(30L -> "spam spam spam spam spam spam spam spam spam spam"),
+      name, root.resolve("idx").toString, buckets = 4)
+    assert(BandIndex.keptOf(docsDf(
+      30L -> "spam spam spam spam spam spam spam spam spam spam"), flags)
+      .count() === 0L)
+  }
+
   test("readmission RCA matches a brute-force self-join oracle") {
     import spark.implicits._
     val enc = Pipeline.generateEncounters(spark, 50)
