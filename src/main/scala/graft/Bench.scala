@@ -61,7 +61,8 @@ object Bench {
     "q107_gopher_rules",
     "q108_contrastive_pairs",
     "q109_bpe_merge",
-    "q110_context_chunks")
+    "q110_context_chunks",
+    "q111_epoch_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

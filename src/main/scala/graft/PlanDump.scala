@@ -76,7 +76,9 @@ object PlanDump {
     "q109_bpe_merge" ->
       "BPE merge step: corpus compresses to the vocab-with-counts dict FIRST (the only corpus-sized shuffle carries words, map-side combined); char-pair explode runs on |vocab| rows weighted by count; top-20 via TakeOrdered; rank window post-limit on 20 rows.",
     "q110_context_chunks" ->
-      "Context chunking: per-doc window starts from a closed-form sequence — pure map (no join, no window); explode output is (corpus/stride)-sized; the only exchange is the deterministic output sort (at scale: write partitioned by source instead).")
+      "Context chunking: per-doc window starts from a closed-form sequence — pure map (no join, no window); explode output is (corpus/stride)-sized; the only exchange is the deterministic output sort (at scale: write partitioned by source instead).",
+    "q111_epoch_plan" ->
+      "Epoch plan: ONE map pass (sum of size(split)) into a |sources|-row frame; the 1-row total broadcasts back; targets/epochs are integer floor divisions on that frame — nothing corpus-sized moves after the first aggregate.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -2854,8 +2854,62 @@ object TextQueries {
       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin),
     doc = "chunking: 64-token windows at stride 48, last chunk right-aligned — chunk rows with content md5 (the q86 packing input)")
 
+  /** q111 — the epoch-allocation plan (the pretraining mixture table à
+    * la the LLaMA/T5 data mixes): given a token budget equal to the
+    * corpus total, reallocate it across sources by temperature-α=1/2
+    * weights — target_s ∝ ⌊√tokens_s⌋, q89's quantized stance at TOKEN
+    * level — and report, per source, how many passes the budget buys
+    * (epochs ×1000, exact integer) and whether the source is
+    * upsampled. Small sources get >1 epoch, big sources <1 — the
+    * flattening that multilingual/multi-source pretraining uses.
+    *
+    * Determinism: weights quantize to ⌊√n⌋ longs; targets and epochs
+    * are floor divisions — no float accumulation anywhere. Long-range
+    * ceiling: budget·w overflows past ~3·10¹² corpus tokens; the
+    * remedy is the q104 stance (decimal(38,0)/HUGEINT cores).
+    *
+    * Scale shape: ONE map pass (sum of size(split)) into a |sources|-row
+    * frame; every downstream op is on that frame with the 1-row total
+    * broadcast — nothing corpus-sized moves after the first aggregate.
+    */
+  val q111 = Q(
+    "q111_epoch_plan",
+    (s, dir) => {
+      import s.implicits._
+      val counts = docs(s, dir)
+        .groupBy($"source")
+        .agg(sum(size(toks).cast("long")).as("n_tokens"))
+        .withColumn("w", expr("cast(floor(sqrt(n_tokens)) as bigint)"))
+      val tot = counts.agg(sum($"w").as("sumw"),
+                           sum($"n_tokens").as("budget"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("target_tokens", expr("budget * w div sumw"))
+        .withColumn("epochs_x1000", expr("target_tokens * 1000 div n_tokens"))
+        .withColumn("oversampled", $"target_tokens" > $"n_tokens")
+        .select($"source", $"n_tokens", $"target_tokens", $"epochs_x1000",
+          $"oversampled")
+        .orderBy($"source")
+    },
+    Some("""WITH counts AS (
+      |  SELECT source,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |         CAST(floor(sqrt(n_tokens)) AS BIGINT) AS w
+      |  FROM counts),
+      |tot AS (
+      |  SELECT CAST(SUM(w) AS BIGINT) AS sumw,
+      |         CAST(SUM(n_tokens) AS BIGINT) AS budget FROM w)
+      |SELECT source, n_tokens,
+      |       budget * w // sumw AS target_tokens,
+      |       (budget * w // sumw) * 1000 // n_tokens AS epochs_x1000,
+      |       (budget * w // sumw) > n_tokens AS oversampled
+      |FROM w CROSS JOIN tot ORDER BY source""".stripMargin),
+    doc = "mixture: epoch-allocation plan — temperature-√ token reallocation per source, exact-integer epochs ×1000")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
-        q99, q100, q101, q102, q103, q104, q105, q107, q109, q110)
+        q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111)
 }
