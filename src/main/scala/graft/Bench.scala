@@ -62,7 +62,9 @@ object Bench {
     "q108_contrastive_pairs",
     "q109_bpe_merge",
     "q110_context_chunks",
-    "q111_epoch_plan")
+    "q111_epoch_plan",
+    "q112_blocklist_gate",
+    "q113_winnow_fingerprints")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -78,7 +78,11 @@ object PlanDump {
     "q110_context_chunks" ->
       "Context chunking: per-doc window starts from a closed-form sequence — pure map (no join, no window); explode output is (corpus/stride)-sized; the only exchange is the deterministic output sort (at scale: write partitioned by source instead).",
     "q111_epoch_plan" ->
-      "Epoch plan: ONE map pass (sum of size(split)) into a |sources|-row frame; the 1-row total broadcasts back; targets/epochs are integer floor divisions on that frame — nothing corpus-sized moves after the first aggregate.")
+      "Epoch plan: ONE map pass (sum of size(split)) into a |sources|-row frame; the 1-row total broadcasts back; targets/epochs are integer floor divisions on that frame — nothing corpus-sized moves after the first aggregate.",
+    "q112_blocklist_gate" ->
+      "Blocklist gate: the lexicon is a literal array IN THE PLAN — a pure map (no join, no explode) counts occurrences inside each row, then one |sources|-row aggregate; nothing corpus-sized shuffles.",
+    "q113_winnow_fingerprints" ->
+      "Winnowing audit: fingerprint selection is a pure map (two higher-order array ops behind barriers); the only corpus-sized shuffle carries (fp, doc) longs — ~40% of the q96 gram stream at w=4; sharing is the q96 df>=2 left-semi shape; final frames are |sources|-row.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

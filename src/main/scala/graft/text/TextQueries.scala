@@ -2908,8 +2908,149 @@ object TextQueries {
       |FROM w CROSS JOIN tot ORDER BY source""".stripMargin),
     doc = "mixture: epoch-allocation plan — temperature-√ token reallocation per source, exact-integer epochs ×1000")
 
+  /** q112 — lexicon blocklist gate (the C4 "bad words" filter,
+    * Raffel et al. 2020: any page containing a blocklisted word is
+    * dropped): per-source docs gated, total occurrence hits, and the
+    * gate rate. The lexicon here is a two-token deterministic stand-in
+    * (`dup` hits ~5% of docs at every SF; `stale` never occurs,
+    * exercising the zero-hit member) for the LDNOOBW-style list a
+    * production run pins; matching is TOKEN-EXACT, not substring — the
+    * C4 lesson that substring matching gates "class" on "ass".
+    *
+    * Scale shape: the lexicon is a literal array in the plan — the gate
+    * is a PURE MAP over docs (no join, no explode: `filter(tk, ...)`
+    * counts occurrences inside the row) followed by one |sources|-row
+    * aggregate; nothing corpus-sized ever shuffles. A production-sized
+    * lexicon (LDNOOBW ~400 words) stays a broadcast literal; past ~10⁴
+    * words switch to an explode + broadcast-hash-join against a lexicon
+    * table — same output, one corpus-sized exchange. `gate_rate` is one
+    * IEEE division of two exact longs (bit-deterministic).
+    */
+  /** The q112 gate expression, factored so the spec exercises the SAME
+    * definition on constructed frames (token-exact semantics can't be
+    * certified from this corpus — it has no blocklist-superstring
+    * tokens).
+    */
+  private[graft] val blocklistHits =
+    expr("size(filter(split(text, ' '), t -> t IN ('dup', 'stale')))")
+
+  val q112 = Q(
+    "q112_blocklist_gate",
+    (s, dir) => {
+      import s.implicits._
+      docs(s, dir)
+        .select($"source", blocklistHits.cast("long").as("hits"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if($"hits" > 0).as("n_gated"),
+          sum($"hits").as("hits_total"))
+        .withColumn("gate_rate",
+          $"n_gated".cast("double") / $"n_docs")
+        .select($"source", $"n_docs", $"n_gated", $"hits_total", $"gate_rate")
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (
+      |  SELECT source,
+      |         CAST(len(list_filter(string_split(text, ' '),
+      |                              t -> t IN ('dup', 'stale'))) AS BIGINT) AS hits
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(CASE WHEN hits > 0 THEN 1 END) AS BIGINT) AS n_gated,
+      |       CAST(SUM(hits) AS BIGINT) AS hits_total,
+      |       CAST(COUNT(CASE WHEN hits > 0 THEN 1 END) AS DOUBLE) / COUNT(*) AS gate_rate
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "filtering: C4-style token-exact blocklist gate — per-source gated docs, occurrence hits, gate rate")
+
+  /** q113 — winnowing fingerprint audit ([[Winnow]], Schleimer et al.
+    * 2003): per-source fingerprint density and cross-doc sharing over
+    * the winnowed (w=4) stream. The operator answers "what does dup
+    * detection cost on the winnowed stream, and what does it find?" —
+    * `compression` is the measured fraction of the gram stream that
+    * survives selection (expected 2/(w+1) = 0.4), `shared_fps` /
+    * `docs_with_shared` are the dup signal at the guarantee threshold
+    * (every shared run ≥ 11 tokens is caught; shorter overlaps may be).
+    *
+    * Scale shape: selection is a pure map (see [[Winnow]]); the ONLY
+    * corpus-sized shuffle carries (fp, doc) rows — ~40% of q96's gram
+    * stream by construction; sharing uses the q96 df≥2 left-semi shape
+    * (the aggregate side compresses map-side, the probe side re-joins
+    * on a long key — AQE-skew-splittable); everything after is
+    * |sources|-row. `compression` is one IEEE division of exact longs.
+    */
+  val q113 = Q(
+    "q113_winnow_fingerprints",
+    (s, dir) => {
+      import s.implicits._
+      // two consumers (per-source totals + the fp explode) → barrier
+      val fpd = Winnow.fingerprints(docs(s, dir)).corpusBarrier
+      val fpRows = fpd
+        .select($"doc_id", $"source", explode($"fps").as("fp"))
+        .corpusBarrier
+      val dupFps = fpRows.groupBy($"fp")
+        .agg(count(lit(1)).as("df")) // fps are per-doc distinct: count = doc count
+        .filter($"df" >= 2)
+        .select($"fp")
+      val sharedPerDoc = fpRows.join(dupFps, Seq("fp"), "left_semi")
+        .groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_shared"))
+      val bySrcShared = sharedPerDoc.groupBy($"source")
+        .agg(count(lit(1)).as("docs_with_shared"),
+          sum($"n_shared").as("shared_fps"))
+      fpd.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"m").as("grams_total"),
+          sum(size($"fps").cast("long")).as("fps_total"))
+        .join(bySrcShared, Seq("source"), "left")
+        .select($"source", $"n_docs", $"grams_total", $"fps_total",
+          ($"fps_total".cast("double") / $"grams_total").as("compression"),
+          coalesce($"shared_fps", lit(0L)).as("shared_fps"),
+          coalesce($"docs_with_shared", lit(0L)).as("docs_with_shared"))
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, source, i, len(t) - 7 AS m,
+      |         CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+      |  FROM (SELECT doc_id, source, t,
+      |               UNNEST(generate_series(1, len(t) - 7)) AS i
+      |        FROM tok WHERE len(t) >= 11)),
+      |wmin AS (
+      |  SELECT doc_id, source, i, m,
+      |         MIN(gh) OVER (PARTITION BY doc_id ORDER BY i
+      |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM g),
+      |fps AS (
+      |  SELECT DISTINCT doc_id, source, fp FROM wmin WHERE i <= m - 3),
+      |perdoc AS (
+      |  SELECT f.doc_id, f.source, MAX(g2.m) AS m, COUNT(*) AS n_fps
+      |  FROM fps f JOIN (SELECT DISTINCT doc_id, m FROM g) g2
+      |    ON f.doc_id = g2.doc_id
+      |  GROUP BY 1, 2),
+      |dupfps AS (
+      |  SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY 1)
+      |  WHERE df >= 2),
+      |shared AS (
+      |  SELECT f.doc_id, f.source, COUNT(*) AS n_shared
+      |  FROM fps f JOIN dupfps d ON f.fp = d.fp
+      |  GROUP BY 1, 2),
+      |bysrc AS (
+      |  SELECT source, COUNT(*) AS docs_with_shared,
+      |         SUM(n_shared) AS shared_fps
+      |  FROM shared GROUP BY 1)
+      |SELECT p.source, COUNT(*) AS n_docs,
+      |       CAST(SUM(p.m) AS BIGINT) AS grams_total,
+      |       CAST(SUM(p.n_fps) AS BIGINT) AS fps_total,
+      |       CAST(SUM(p.n_fps) AS DOUBLE) / SUM(p.m) AS compression,
+      |       CAST(COALESCE(MIN(b.shared_fps), 0) AS BIGINT) AS shared_fps,
+      |       CAST(COALESCE(MIN(b.docs_with_shared), 0) AS BIGINT) AS docs_with_shared
+      |FROM perdoc p LEFT JOIN bysrc b ON p.source = b.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "dedup: winnowing fingerprint audit (MOSS) — per-source density, compression vs the gram stream, cross-doc sharing")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
-        q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111)
+        q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
+        q113)
 }

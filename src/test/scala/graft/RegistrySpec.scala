@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 111 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 111)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 111)
+  test("registry has 113 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 113)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 113)
   }
 
   test("every query has a DuckDB oracle") {

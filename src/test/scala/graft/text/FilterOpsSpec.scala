@@ -1,0 +1,122 @@
+package graft.text
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Receipts for the filtering/retrieval operator family (q112+):
+  * independent driver-side formulations over collected text — plain
+  * Scala splits and counts, none of the Spark expressions under test.
+  */
+class FilterOpsSpec extends SparkSpec {
+
+  private val Blocklist = Set("dup", "stale")
+
+  test("q112 matches a driver-side token-exact gate") {
+    for (dir <- Seq(SparkSpec.Sf0001, SparkSpec.Sf001)) {
+      val expected = Tables.load(spark, dir, "documents")
+        .select("source", "text").collect()
+        .map(r => (r.getString(0),
+          r.getString(1).split(" ", -1).count(Blocklist.contains)))
+        .groupBy(_._1).map { case (src, xs) =>
+          val hits = xs.map(_._2)
+          (src, hits.length.toLong, hits.count(_ > 0).toLong,
+            hits.map(_.toLong).sum)
+        }.toSeq.sortBy(_._1)
+      val got = SparkEntry.queries("q112_blocklist_gate")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == expected, s"mismatch at $dir")
+      // the stand-in lexicon must exercise both member paths: a token
+      // that gates real docs and one that never fires
+      val gated = got.map(_._3).sum
+      assert(gated > 0 && gated < got.map(_._2).sum,
+        "blocklist gates nothing (or everything) — stand-in lexicon drifted from the testdata")
+    }
+  }
+
+  test("q112 gate is token-exact, not substring") {
+    // The corpus has no blocklist-superstring tokens, so the C4
+    // "class/ass" semantics need a constructed certificate — run the
+    // SAME gate expression (TextQueries.blocklistHits, the q112
+    // definition) on frames where the distinction bites.
+    import spark.implicits._
+    val rows = Seq(
+      ("dedup wildup dups", 0L), // superstrings only: must NOT fire
+      ("dup dedup dup", 2L),     // exact tokens among superstrings
+      ("stale-ish", 0L),         // punctuation-joined: still one token
+      ("dup", 1L))
+      .toDF("text", "expected")
+      .withColumn("hits", TextQueries.blocklistHits.cast("long"))
+      .collect()
+    for (r <- rows)
+      assert(r.getAs[Long]("hits") == r.getAs[Long]("expected"),
+        s"'${r.getAs[String]("text")}' gated ${r.getAs[Long]("hits")} times")
+  }
+
+  // --- q113 winnowing -------------------------------------------------
+
+  /** The gram + winnow pipeline re-derived in plain Scala: md5-prefix
+    * longs over sliding 8-grams, then sliding-window-of-4 minima,
+    * distinct. Exactly the definition, none of the Spark expressions.
+    */
+  private def scalaFps(text: String, w: Int = 4): (Long, Set[Long]) = {
+    val tk = text.split(" ", -1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = tk.sliding(8).map { g =>
+      val hex = md.digest(g.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }.toVector
+    (grams.length.toLong, grams.sliding(w).map(_.min).toSet)
+  }
+
+  test("q113 matches a driver-side winnow re-derivation") {
+    val perDoc = Tables.load(spark, SparkSpec.Sf001, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.split(" ", -1).length >= 11)
+      .map { case (id, src, text) =>
+        val (m, fps) = scalaFps(text); (id, src, m, fps)
+      }
+    val df = perDoc.flatMap { case (id, _, _, fps) => fps.map((_, id)) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.length }
+    val expected = perDoc.groupBy(_._2).map { case (src, ds) =>
+      val shared = ds.map { case (_, _, _, fps) => fps.count(df(_) >= 2) }
+      (src, ds.length.toLong, ds.map(_._3).sum, ds.map(_._4.size.toLong).sum,
+        shared.map(_.toLong).sum, shared.count(_ > 0).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("q113_winnow_fingerprints")(spark, SparkSpec.Sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(5), r.getLong(6))).toSeq
+    assert(got == expected)
+  }
+
+  test("winnowing carries the Schleimer guarantee and the 2/(w+1) density") {
+    import spark.implicits._
+    // Planted certificate: two docs of unrelated token soup sharing one
+    // 11-token run (= w + k - 1 at w=4, k=8, the guarantee threshold)
+    val rnd = new scala.util.Random(42)
+    def soup(n: Int): Seq[String] = Seq.fill(n)("t" + rnd.nextInt(5000))
+    val run = soup(11).map(_ + "r")
+    for (trial <- 1 to 5) {
+      val a = soup(20) ++ run ++ soup(15)
+      val b = soup(9) ++ run ++ soup(28)
+      val fps = Winnow.fingerprints(
+        Seq((1L, "s", a.mkString(" ")), (2L, "s", b.mkString(" ")))
+          .toDF("doc_id", "source", "text"))
+        .select("doc_id", "fps").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      assert(fps(1L).intersect(fps(2L)).nonEmpty,
+        s"trial $trial: shared 11-token run produced no shared fingerprint")
+    }
+    // Density: fingerprints per gram ≈ 2/(w+1) = 0.4 on random text
+    // (loose band — the corpus is tiny and distinct() collapses repeats)
+    val big = (1 to 50).map(i => (i.toLong, "s", soup(120).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val stats = Winnow.fingerprints(big)
+      .agg(org.apache.spark.sql.functions.expr(
+        "sum(size(fps)) / sum(m)").as("d")).head().getDouble(0)
+    assert(stats > 0.25 && stats < 0.55, s"winnow density $stats far from 2/(w+1)")
+  }
+}
