@@ -64,7 +64,8 @@ object Bench {
     "q110_context_chunks",
     "q111_epoch_plan",
     "q112_blocklist_gate",
-    "q113_winnow_fingerprints")
+    "q113_winnow_fingerprints",
+    "q114_bm25_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -82,7 +82,9 @@ object PlanDump {
     "q112_blocklist_gate" ->
       "Blocklist gate: the lexicon is a literal array IN THE PLAN — a pure map (no join, no explode) counts occurrences inside each row, then one |sources|-row aggregate; nothing corpus-sized shuffles.",
     "q113_winnow_fingerprints" ->
-      "Winnowing audit: fingerprint selection is a pure map (two higher-order array ops behind barriers); the only corpus-sized shuffle carries (fp, doc) longs — ~40% of the q96 gram stream at w=4; sharing is the q96 df>=2 left-semi shape; final frames are |sources|-row.")
+      "Winnowing audit: fingerprint selection is a pure map (two higher-order array ops behind barriers); the only corpus-sized shuffle carries (fp, doc) longs — ~40% of the q96 gram stream at w=4; sharing is the q96 df>=2 left-semi shape; final frames are |sources|-row.",
+    "q114_bm25_search" ->
+      "BM25: pure map (per-doc tf via in-row array filter, no explode) + ONE 1-row stats aggregate broadcast back; exact-long scores via integer cross-multiplied cores and fixed-point-log2 idf; TakeOrdered(10); rank window post-limit on 10 rows.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

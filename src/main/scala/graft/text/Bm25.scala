@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 document scoring (Robertson/Spärck Jones; the Lucene "+1"
+  * idf variant) against a fixed query-term set — the retrieval
+  * primitive a curation stack uses for benchmark-decontamination
+  * lookups ("which training docs score highest against this eval
+  * question?") and targeted corpus search.
+  *
+  * Every score is an EXACT LONG. With k1 = 1.2 and b = 0.75 the
+  * per-term contribution
+  *
+  *   idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *
+  * multiplies out (by 10·avgdl·N = 10·T, avgdl = T/N) to
+  *
+  *   (idfq(t) · 22·T·tf) div (10·T·tf + 3·T + 9·N·dl)
+  *
+  * with T = corpus tokens, N = docs — integer cross-multiplied
+  * numerator/denominator (the q104 stance), and idfq(t) =
+  * lq(2N+2) − lq(2df+1), the fixed-point log2 ([[TextQueries.lqSql]])
+  * of the Lucene idf ln((N+1)/(df+0.5)) with both arguments doubled
+  * to stay integral. Integer division, not IEEE: deterministic on any
+  * engine, at ~10⁶ quantization — far below anything a ranking could
+  * feel. Long ceiling: idfq·22·T·tf needs T·tf < ~2·10¹¹ (past
+  * ~10¹⁰ corpus tokens with tf > 20, move the core to decimal(38,0)
+  * — the documented q104 remedy).
+  *
+  * Scale shape: for a literal query-term set the whole scorer is a
+  * PURE MAP — per-doc tf comes from `size(filter(tk, ...))` inside
+  * the row (no explode), corpus stats are ONE 1-row aggregate
+  * broadcast back, and ranking is TakeOrdered. Nothing corpus-sized
+  * ever shuffles. A large term set (query-by-document) switches to
+  * explode + broadcast-join against a term-stats table — same
+  * algebra, one bounded exchange.
+  */
+object Bm25 {
+
+  /** Appends `score_q` (exact long, 0 when no term matches) and `dl`
+    * to `docs` (needs `doc_id`, `text`). Terms must be non-empty and
+    * SQL-literal-safe (the registered query pins corpus tokens).
+    */
+  def score(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    require(terms.forall(_.matches("[A-Za-z0-9_]+")),
+      s"query terms must be identifier-like literals, got $terms")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter(split(text, ' '), x -> x = '$t'))")
+        .cast("long").as(s"tf_$i")
+    }
+    val base = graft.Barrier(docs.select(
+      Seq($"doc_id", expr("size(split(text, ' '))").cast("long").as("dl")) ++
+        tfCols: _*))
+    val statCols = Seq(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok")) ++
+      terms.indices.map(i => count_if(col(s"tf_$i") > 0).as(s"df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val contrib = terms.indices.map { i =>
+      s"((${TextQueries.lqSql("2 * n_docs + 2")}" +
+        s" - ${TextQueries.lqSql(s"2 * df_$i + 1")}) * 22 * t_tok * tf_$i)" +
+        s" div (10 * t_tok * tf_$i + 3 * t_tok + 9 * n_docs * dl)"
+    }.mkString(" + ")
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("score_q", expr(contrib))
+      .select($"doc_id", $"dl", $"score_q")
+    docs.join(scored, Seq("doc_id"))
+  }
+
+  /** The oracle-side rendering of the same algebra (DuckDB SQL), kept
+    * next to the Spark form so the two drift together or not at all.
+    * `d` must provide doc_id, source, dl, tf_0..tf_{n-1}; emits the
+    * scored SELECT body (callers wrap with ranking).
+    */
+  def oracleScoreSql(nTerms: Int): String = {
+    val contrib = (0 until nTerms).map { i =>
+      s"((${TextQueries.lqDuck("2 * n_docs + 2")}" +
+        s" - ${TextQueries.lqDuck(s"2 * df_$i + 1")}) * 22 * t_tok * tf_$i)" +
+        s" // (10 * t_tok * tf_$i + 3 * t_tok + 9 * n_docs * dl)"
+    }.mkString(" + ")
+    s"SELECT doc_id, source, dl, $contrib AS score_q FROM d CROSS JOIN tot"
+  }
+}

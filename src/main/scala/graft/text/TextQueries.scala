@@ -3048,9 +3048,60 @@ object TextQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin),
     doc = "dedup: winnowing fingerprint audit (MOSS) — per-source density, compression vs the gram stream, cross-doc sharing")
 
+  /** q114 — BM25 retrieval ([[Bm25]]): top-10 documents against a
+    * fixed 4-term query, exact-long scores. The curation uses: rank
+    * training docs against an eval question before decontamination
+    * judgement, or point-search the corpus. Terms span the df spectrum
+    * ('dup' is rare → high idf; 'hash'/'join'/'scan' are common) so
+    * the ranking exercises both idf and the dl length normalization.
+    *
+    * Scale shape: [[Bm25.score]] is a pure map + one 1-row broadcast
+    * aggregate (literal term set ⇒ per-doc tf inside the row, no
+    * explode); ranking is TakeOrdered(10); the rank window runs
+    * post-limit on 10 rows. Nothing corpus-sized shuffles.
+    */
+  val q114 = Q(
+    "q114_bm25_search",
+    (s, dir) => {
+      import s.implicits._
+      val terms = Seq("hash", "join", "dup", "scan")
+      val top = Bm25.score(docs(s, dir), terms)
+        .select($"doc_id", $"source", $"dl", $"score_q")
+        .orderBy($"score_q".desc, $"doc_id")
+        .limit(10)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy($"score_q".desc, $"doc_id")))
+        .select($"rank", $"doc_id", $"source", $"dl", $"score_q")
+        .orderBy($"rank")
+    },
+    Some {
+      val terms = Seq("hash", "join", "dup", "scan")
+      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$i"
+      }.mkString(",\n      |         ")
+      val dfDefs = terms.indices.map { i =>
+        s"CAST(COUNT(CASE WHEN tf_$i > 0 THEN 1 END) AS BIGINT) AS df_$i"
+      }.mkString(",\n      |         ")
+      s"""WITH tk AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |d AS (
+      |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS dl,
+      |         $tfDefs
+      |  FROM tk),
+      |tot AS (
+      |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tok,
+      |         $dfDefs
+      |  FROM d),
+      |scored AS (${Bm25.oracleScoreSql(terms.size)})
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank,
+      |       doc_id, source, dl, score_q
+      |FROM scored ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
+    },
+    doc = "retrieval: BM25 top-10 against a fixed query (exact-integer cores, fixed-point-log2 idf)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
-        q113)
+        q113, q114)
 }

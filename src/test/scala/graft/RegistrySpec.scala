@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 113 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 113)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 113)
+  test("registry has 114 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 114)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 114)
   }
 
   test("every query has a DuckDB oracle") {

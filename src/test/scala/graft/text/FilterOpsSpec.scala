@@ -119,4 +119,74 @@ class FilterOpsSpec extends SparkSpec {
         "sum(size(fps)) / sum(m)").as("d")).head().getDouble(0)
     assert(stats > 0.25 && stats < 0.55, s"winnow density $stats far from 2/(w+1)")
   }
+
+  // --- q114 BM25 ------------------------------------------------------
+
+  /** Fixed-point log2 re-derived with plain bit arithmetic. */
+  private def lq(n: Long): Long = {
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    e * 1048576L + (n - (1L << e)) * 1048576L / (1L << e)
+  }
+
+  /** BM25 re-derived driver-side: exact-integer cores, none of the
+    * Spark/SQL expressions under test.
+    */
+  private def scalaBm25(docsTf: Seq[(Long, String, Seq[String])],
+                        terms: Seq[String]): Seq[(Long, String, Long, Long)] = {
+    val n = docsTf.length.toLong
+    val t = docsTf.map(_._3.length.toLong).sum
+    val dfs = terms.map(q => docsTf.count(_._3.contains(q)).toLong)
+    docsTf.map { case (id, src, tk) =>
+      val dl = tk.length.toLong
+      val score = terms.zip(dfs).map { case (q, df) =>
+        val tf = tk.count(_ == q).toLong
+        val idfq = lq(2 * n + 2) - lq(2 * df + 1)
+        (idfq * 22 * t * tf) / (10 * t * tf + 3 * t + 9 * n * dl)
+      }.sum
+      (id, src, dl, score)
+    }
+  }
+
+  test("q114 matches a driver-side exact-integer BM25") {
+    val terms = Seq("hash", "join", "dup", "scan")
+    for (dir <- Seq(SparkSpec.Sf0001, SparkSpec.Sf001)) {
+      val corpus = Tables.load(spark, dir, "documents")
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          r.getString(2).split(" ", -1).toSeq)).toSeq
+      val expected = scalaBm25(corpus, terms)
+        .sortBy { case (id, _, _, s) => (-s, id) }.take(10)
+        .zipWithIndex
+        .map { case ((id, src, dl, s), i) => (i + 1, id, src, dl, s) }
+      val got = SparkEntry.queries("q114_bm25_search")(spark, dir)
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got == expected, s"mismatch at $dir")
+    }
+  }
+
+  test("BM25 honors tf saturation direction and length normalization") {
+    import spark.implicits._
+    // Same dl, rising tf of one term → strictly rising score; same tf,
+    // longer doc → strictly lower score (the b-weighted dl penalty).
+    val pad = (1 to 40).map("p" + _)
+    val rows = Seq(
+      (1L, "s", (Seq("dup") ++ pad.take(39)).mkString(" ")),
+      (2L, "s", (Seq("dup", "dup") ++ pad.take(38)).mkString(" ")),
+      (3L, "s", (Seq("dup", "dup", "dup") ++ pad.take(37)).mkString(" ")),
+      (4L, "s", (Seq("dup") ++ pad ++ pad.map(_ + "x")).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val scores = Bm25.score(rows, Seq("dup"))
+      .select("doc_id", "score_q").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(1L) < scores(2L) && scores(2L) < scores(3L),
+      s"score not increasing in tf: $scores")
+    assert(scores(4L) < scores(1L),
+      s"longer doc with equal tf not penalized: $scores")
+    // zero-match doc scores exactly 0
+    val z = Bm25.score(Seq((9L, "s", "a b c")).toDF("doc_id", "source", "text"),
+      Seq("dup")).select("score_q").head().getLong(0)
+    assert(z == 0L)
+  }
 }
