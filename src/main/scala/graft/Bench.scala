@@ -65,7 +65,8 @@ object Bench {
     "q111_epoch_plan",
     "q112_blocklist_gate",
     "q113_winnow_fingerprints",
-    "q114_bm25_search")
+    "q114_bm25_search",
+    "q115_substring_trim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -84,7 +84,9 @@ object PlanDump {
     "q113_winnow_fingerprints" ->
       "Winnowing audit: fingerprint selection is a pure map (two higher-order array ops behind barriers); the only corpus-sized shuffle carries (fp, doc) longs — ~40% of the q96 gram stream at w=4; sharing is the q96 df>=2 left-semi shape; final frames are |sources|-row.",
     "q114_bm25_search" ->
-      "BM25: pure map (per-doc tf via in-row array filter, no explode) + ONE 1-row stats aggregate broadcast back; exact-long scores via integer cross-multiplied cores and fixed-point-log2 idf; TakeOrdered(10); rank window post-limit on 10 rows.")
+      "BM25: pure map (per-doc tf via in-row array filter, no explode) + ONE 1-row stats aggregate broadcast back; exact-long scores via integer cross-multiplied cores and fixed-point-log2 idf; TakeOrdered(10); rank window post-limit on 10 rows.",
+    "q115_substring_trim" ->
+      "Substring trim: gram df shuffles 60-bit longs only; islands in per-doc windows (task <= one doc); cut intervals compress to tiny per-doc structs; ONE text-moving equi-join (docs x intervals, AQE-skew-splittable); the cut is a pure array map; audit is |sources|-row.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -3099,9 +3099,81 @@ object TextQueries {
     },
     doc = "retrieval: BM25 top-10 against a fixed query (exact-integer cores, fixed-point-log2 idf)")
 
+  /** q115 — exact-substring trim applied ([[SubstringTrim]], the Lee
+    * et al. 2021 CUT that q101 only measures): per-source accounting of
+    * the trimmed corpus — docs touched, tokens before/after, and a
+    * content checksum over the trimmed TEXT (md5-prefix mod 10⁹ summed;
+    * a single mis-cut token anywhere changes the sum), so the oracle
+    * certifies the actual cut output, not just its row counts.
+    *
+    * Scale shape: see [[SubstringTrim]] — hash-only gram shuffles,
+    * per-doc windows, one text-moving equi-join; the audit adds one
+    * |sources|-row aggregate. Checksum ceiling: 10⁹ × per-source docs
+    * must stay under 2⁶³ — past ~10⁹ docs per source, sum into
+    * decimal(38,0) (the q104 stance).
+    */
+  val q115 = Q(
+    "q115_substring_trim",
+    (s, dir) => {
+      import s.implicits._
+      SubstringTrim.trim(docs(s, dir))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if($"n_tokens_after" < $"n_tokens_before").as("docs_trimmed"),
+          sum($"n_tokens_before").as("tokens_before"),
+          sum($"n_tokens_after").as("tokens_after"),
+          sum(expr(
+            "cast(conv(substring(md5(text_trimmed), 1, 15), 16, 10) as bigint)" +
+              " % 1000000000")).as("content_checksum"))
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, i,
+      |         CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+      |  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 7)) AS i
+      |        FROM tok WHERE len(t) >= 8)),
+      |dupkeys AS (
+      |  SELECT gh FROM (SELECT gh, COUNT(DISTINCT doc_id) AS df
+      |                  FROM g GROUP BY 1) WHERE df >= 2),
+      |runs AS (
+      |  SELECT doc_id, i,
+      |         i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+      |  FROM g JOIN dupkeys USING (gh)),
+      |iv AS (
+      |  SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e
+      |  FROM runs GROUP BY doc_id, grp
+      |  HAVING MAX(i) + 7 - MIN(i) + 1 >= 16),
+      |pos AS (
+      |  SELECT doc_id, source, i, t[i] AS tok
+      |  FROM (SELECT doc_id, source, t, UNNEST(generate_series(1, len(t))) AS i
+      |        FROM tok)),
+      |kept AS (
+      |  SELECT p.doc_id, p.source, p.i, p.tok FROM pos p
+      |  WHERE NOT EXISTS (SELECT 1 FROM iv
+      |                    WHERE iv.doc_id = p.doc_id
+      |                      AND p.i BETWEEN iv.s AND iv.e)),
+      |keptagg AS (
+      |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS txt,
+      |         COUNT(*) AS n_after
+      |  FROM kept GROUP BY 1),
+      |perdoc AS (
+      |  SELECT tk.doc_id, tk.source, len(tk.t) AS n_before,
+      |         COALESCE(k.n_after, 0) AS n_after,
+      |         COALESCE(k.txt, '') AS txt
+      |  FROM tok tk LEFT JOIN keptagg k ON tk.doc_id = k.doc_id)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(CASE WHEN n_after < n_before THEN 1 END) AS BIGINT) AS docs_trimmed,
+      |       CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+      |       CAST(SUM(n_after) AS BIGINT) AS tokens_after,
+      |       CAST(SUM(CAST(('0x' || substr(md5(txt), 1, 15)) AS BIGINT) % 1000000000) AS BIGINT) AS content_checksum
+      |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "dedup: exact-substring trim applied (Lee et al. cut) — per-source before/after + trimmed-content checksum")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
-        q113, q114)
+        q113, q114, q115)
 }

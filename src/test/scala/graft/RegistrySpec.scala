@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 114 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 114)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 114)
+  test("registry has 115 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 115)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 115)
   }
 
   test("every query has a DuckDB oracle") {

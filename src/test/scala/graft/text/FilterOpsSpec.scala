@@ -189,4 +189,82 @@ class FilterOpsSpec extends SparkSpec {
       Seq("dup")).select("score_q").head().getLong(0)
     assert(z == 0L)
   }
+
+  // --- q115 substring trim --------------------------------------------
+
+  /** The trim re-derived in plain Scala: gram hashes, corpus df,
+    * per-doc consecutive-dup-position islands, interval cut. */
+  private def scalaTrim(corpus: Seq[(Long, String)],
+                        minRun: Int = 16): Map[Long, String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gh(g: Seq[String]): Long = {
+      val hex = md.digest(g.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val grams = corpus.map { case (id, text) =>
+      id -> text.split(" ", -1).toSeq.sliding(8).toVector.map(gh)
+    }.toMap
+    val df = grams.toSeq.flatMap { case (id, gs) => gs.distinct.map((_, id)) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    corpus.map { case (id, text) =>
+      val tk = text.split(" ", -1)
+      val gs = if (tk.length >= 8) grams(id) else Vector.empty
+      val dupPos = gs.zipWithIndex.collect {
+        case (g, i) if df.getOrElse(g, 0) >= 2 => i + 1
+      }
+      // islands of consecutive positions
+      val ivs = dupPos.foldLeft(Vector.empty[(Int, Int)]) {
+        case (acc :+ ((s0, e0)), p) if p == e0 + 1 => acc :+ (s0, p)
+        case (acc, p) => acc :+ (p, p)
+      }.map { case (s0, e0) => (s0, e0 + 7) }
+        .filter { case (s0, e0) => e0 - s0 + 1 >= minRun }
+      val kept = tk.zipWithIndex.collect {
+        case (t, i) if !ivs.exists { case (s0, e0) => i + 1 >= s0 && i + 1 <= e0 } => t
+      }
+      id -> kept.mkString(" ")
+    }.toMap
+  }
+
+  test("q115's cut matches a driver-side re-derivation, doc by doc") {
+    val corpus = Tables.load(spark, SparkSpec.Sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = scalaTrim(corpus)
+    val got = SubstringTrim.trim(
+        Tables.load(spark, SparkSpec.Sf001, "documents"))
+      .select("doc_id", "text_trimmed").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == corpus.size)
+    val diffs = corpus.map(_._1).filter(id => got(id) != expected(id))
+    assert(diffs.isEmpty, s"trim differs on docs $diffs")
+    // the corpus must actually exercise the cut, or this is vacuous
+    assert(corpus.exists { case (id, text) => got(id) != text },
+      "no doc was trimmed at sf0.01 — planted dup runs missing from testdata?")
+  }
+
+  test("trim scrubs planted runs above threshold and spares those below") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def soup(n: Int): Seq[String] = Seq.fill(n)("w" + rnd.nextInt(100000))
+    val big = soup(20)  // 20-token run: every copy cut
+    val small = soup(10) // 10-token run: 3 dup grams cover 10 < 16 — spared
+    val a = soup(12) ++ big ++ soup(9) ++ small
+    val b = small ++ soup(14) ++ big ++ soup(7)
+    val c = soup(30) // untouched control
+    val out = SubstringTrim.trim(
+        Seq((1L, a), (2L, b), (3L, c)).map { case (i, t) => (i, "s", t.mkString(" ")) }
+          .toDF("doc_id", "source", "text"))
+      .select("doc_id", "text_trimmed", "n_tokens_before", "n_tokens_after")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    for (id <- Seq(1L, 2L)) {
+      val t = out(id)._1
+      assert(!t.contains(big.mkString(" ")), s"doc $id kept the 20-token dup run")
+      assert(t.contains(small.mkString(" ")),
+        s"doc $id lost the below-threshold 10-token run")
+    }
+    assert(out(3L)._1 == c.mkString(" ") && out(3L)._2 == out(3L)._3,
+      "control doc was modified")
+  }
 }
