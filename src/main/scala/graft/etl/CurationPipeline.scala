@@ -201,7 +201,29 @@ object CurationPipeline {
     * gate survivors. (The dedup index still learns gated-out docs —
     * they were crawled; re-crawls of them classify as duplicates, not
     * fresh content.)
+    *
+    * `trim = Some(minRunTokens)` inserts [[trimStage]] (the Lee et al.
+    * exact-substring cut, [[graft.text.SubstringTrim]]) between
+    * canonicalization and the quality gate: the survivor of each
+    * near-dup cluster keeps its full text, then cross-doc duplicated
+    * runs — boilerplate the whole-doc dedup can't reach — are scrubbed
+    * from every kept doc, so the gate's statistics and the selection
+    * budget both see the cleaned text. Docs trimmed to nothing drop.
     */
+  /** [[graft.text.SubstringTrim]] as a pipeline stage: text becomes
+    * its trimmed form, `n_chars` refreshes, and docs trimmed to
+    * nothing drop. Public so composition receipts run the EXACT stage
+    * the pipeline runs.
+    */
+  def trimStage(docs: DataFrame, minRunTokens: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    graft.text.SubstringTrim.trim(docs, minRunTokens)
+      .filter($"n_tokens_after" > 0)
+      .withColumn("text", $"text_trimmed")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .drop("text_trimmed", "n_tokens_before", "n_tokens_after")
+  }
+
   def run(spark: SparkSession, srcDir: String, indexName: String,
           indexPath: String, workDir: String, buckets: Int = 32,
           budgetNum: Long = 1, budgetDen: Long = 2,
@@ -211,7 +233,8 @@ object CurationPipeline {
           canonicalize: Option[graft.text.Canonicalize.Policy] = None,
           selectBy: SelectPolicy = ByQuality,
           chunk: Option[(Int, Int)] = None,
-          qualityGate: Option[graft.text.QualityRules.Params] = None)
+          qualityGate: Option[graft.text.QualityRules.Params] = None,
+          trim: Option[Int] = None)
       : CurationReport = {
     import spark.implicits._
     if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
@@ -253,12 +276,18 @@ object CurationPipeline {
     val keptCanon = canonicalize
       .map(p => graft.text.Canonicalize.survivors(keptRaw, policy = p))
       .getOrElse(keptRaw)
+    // optional exact-substring cut over the kept slice: cross-doc
+    // duplicated runs (boilerplate whole-doc dedup can't reach) are
+    // scrubbed before any stage reads token statistics
+    val keptTrim = trim
+      .map(minRun => trimStage(keptCanon, minRun))
+      .getOrElse(keptCanon)
     // optional Gopher-rule gate: rule-failing docs never reach the
     // budget ranking (they were still indexed at ingest — a re-crawl
     // classifies as duplicate, not fresh)
     val kept = qualityGate
-      .map(p => graft.text.QualityRules.passing(keptCanon, p))
-      .getOrElse(keptCanon)
+      .map(p => graft.text.QualityRules.passing(keptTrim, p))
+      .getOrElse(keptTrim)
     // budget rides along as a column (selectByBudget attached it), so
     // the report needs NO second scoring scan of the corpus; text is
     // projected away BEFORE the checkpoint materializes anything

@@ -384,6 +384,64 @@ class PipelineSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("curation stage trims cross-doc duplicated runs before gating and selection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx_trim"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-trim")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", when($"doc_id" % 2 === 0, "web").otherwise("books"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    // 16-token boilerplate shared by docs 1 and 2, each otherwise
+    // distinct enough (Jaccard ≈ 16/56 ≈ 0.29) that ingest dedup keeps
+    // BOTH — exactly the case whole-doc dedup can't reach
+    val boiler = (1 to 16).map("footer" + _).mkString(" ")
+    val uniqA = (1 to 20).map("alpha" + _).mkString(" ")
+    val uniqB = (1 to 20).map("beta" + _).mkString(" ")
+    docsDf(
+      1L -> s"$uniqA $boiler",
+      2L -> s"$boiler $uniqB",
+      3L -> (1 to 12).map("gamma" + _).mkString(" ")) // untouched control
+      .coalesce(1).write.parquet(s"$srcDir/a")
+
+    val work = root.resolve("work").toString
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, work, buckets = 4,
+      budgetNum = 1, budgetDen = 1, block = 64L, trim = Some(16))
+
+    // both boilerplate carriers landed in the corpus (not deduped away)
+    val kept = spark.read.parquet(s"$work/corpus")
+    assert(kept.select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    // the manifest sees TRIMMED token counts: 36 - 16 = 20 for docs 1
+    // and 2, the control untouched at 12
+    val m = spark.read.parquet(r.manifestPath)
+      .select($"doc_id", $"n_tokens").as[(Long, Long)].collect().toMap
+    assert(m === Map(1L -> 20L, 2L -> 20L, 3L -> 12L), s"manifest tokens: $m")
+    // composition: the manifest equals trim+select+pack through the
+    // public transforms, and the trimmed text itself lost the run
+    val composed = CurationPipeline.packSequences(
+        CurationPipeline.selectByBudget(
+          CurationPipeline.trimStage(kept, 16), 1, 1), block = 64L)
+      .select($"doc_id", $"source", $"m".as("n_tokens"), $"q".as("quality"),
+        $"seq_id", $"straddle")
+      .collect().map(_.toSeq).toSet
+    val gotFull = spark.read.parquet(r.manifestPath)
+      .select($"doc_id", $"source", $"n_tokens", $"quality",
+        $"seq_id", $"straddle")
+      .collect().map(_.toSeq).toSet
+    assert(gotFull === composed)
+    val trimmedText = CurationPipeline.trimStage(kept, 16)
+      .filter($"doc_id" === 1L).select($"text").head().getString(0)
+    assert(!trimmedText.contains("footer1"), "boilerplate survived the trim")
+    assert(trimmedText.contains("alpha1"), "unique content was cut")
+  }
+
   test("readmission RCA matches a brute-force self-join oracle") {
     import spark.implicits._
     val enc = Pipeline.generateEncounters(spark, 50)
