@@ -66,7 +66,8 @@ object Bench {
     "q112_blocklist_gate",
     "q113_winnow_fingerprints",
     "q114_bm25_search",
-    "q115_substring_trim")
+    "q115_substring_trim",
+    "q116_bigram_perplexity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

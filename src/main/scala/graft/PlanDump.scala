@@ -86,7 +86,9 @@ object PlanDump {
     "q114_bm25_search" ->
       "BM25: pure map (per-doc tf via in-row array filter, no explode) + ONE 1-row stats aggregate broadcast back; exact-long scores via integer cross-multiplied cores and fixed-point-log2 idf; TakeOrdered(10); rank window post-limit on 10 rows.",
     "q115_substring_trim" ->
-      "Substring trim: gram df shuffles 60-bit longs only; islands in per-doc windows (task <= one doc); cut intervals compress to tiny per-doc structs; ONE text-moving equi-join (docs x intervals, AQE-skew-splittable); the cut is a pure array map; audit is |sources|-row.")
+      "Substring trim: gram df shuffles 60-bit longs only; islands in per-doc windows (task <= one doc); cut intervals compress to tiny per-doc structs; ONE text-moving equi-join (docs x intervals, AQE-skew-splittable); the cut is a pure array map; audit is |sources|-row.",
+    "q116_bigram_perplexity" ->
+      "Bigram perplexity: positions pre-hashed to longs, compressed to per-(doc,bigram) counts map-side behind a barrier (model + scoring consumers); model is bigram-type-bounded; scoring equi-join on the bigram long (AQE-skew-splittable); election max(struct) — no window, no sort.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

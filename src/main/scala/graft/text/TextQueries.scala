@@ -3171,9 +3171,127 @@ object TextQueries {
       |FROM perdoc GROUP BY 1 ORDER BY 1""".stripMargin),
     doc = "dedup: exact-substring trim applied (Lee et al. cut) — per-source before/after + trimmed-content checksum")
 
+  /** The q116 bigram-position expression: each position i of a
+    * tokenized column `tk` (size ≥ 2) becomes (w1, bg) — the context
+    * token and the bigram, both as md5-prefix longs (the [[gramHashArr]]
+    * stance at window 2: hash BEFORE any shuffle, collisions ~2⁻⁶⁰
+    * merge two bigrams' counts — deterministic, vanishingly unlikely,
+    * and verification-free because counts only feed a score). Factored
+    * so the spec certifies the SAME definition on constructed frames.
+    */
+  private[graft] val bigramPosArr = expr(
+    """transform(sequence(1, size(tk) - 1),
+      |  i -> named_struct(
+      |    'w1', cast(conv(substring(md5(element_at(tk, i)), 1, 15), 16, 10) as bigint),
+      |    'bg', cast(conv(substring(md5(concat_ws(' ', slice(tk, i, 2))), 1, 15), 16, 10) as bigint)))""".stripMargin)
+
+  /** q116 — bigram-LM perplexity filter (the CCNet/LLaMA gate, Wenzek
+    * et al. 2020: score every document under a language model trained
+    * on the corpus and flag the tails). q99's unigram surprisal cannot
+    * see ORDER — a doc that is a bag of common words in gibberish
+    * sequence scores as fluent. This is the conditional upgrade: a
+    * +1-smoothed bigram LM, p(w2|w1) = (c(w1w2)+1)/(c(w1·)+V), with
+    * per-position surprisal QUANTIZED to an exact long — surp_q =
+    * (c(w1·)+V)·10⁶ div (c(w1w2)+1), the q94/q99 stance (libm ln()
+    * low bits are not cross-engine stable; a monotone transform of
+    * 1/p preserves every ranking the filter exists to produce). Docs
+    * with <2 tokens carry no bigram and are out of scope (stated in
+    * the oracle's WHERE).
+    *
+    * Scale design: ONE pass explodes bigram positions pre-hashed to
+    * longs and compresses immediately to per-(doc, bigram) counts
+    * (map-side combine) behind a barrier with two consumers (model +
+    * scoring); the model is bigram-type-bounded (≪ corpus positions),
+    * its context totals derive from it with a second vocabulary-shaped
+    * aggregate, and the scoring join shuffles doc-bigram pairs on the
+    * bigram long (hot function-word bigrams are AQE-skew-splittable
+    * equi-join keys, never a window). Top-doc election is max(struct) —
+    * map-side combinable, no per-source sort. Overflow ceiling:
+    * surp_q ≤ (max c(w1·)+V)·10⁶, so per-source sums hold to ~10¹²
+    * corpus tokens; past that shrink the quantum or lift to
+    * decimal(38,0) (the q104 stance) — noted, not silently wrong.
+    */
+  val q116 = Q(
+    "q116_bigram_perplexity",
+    (s, dir) => {
+      import s.implicits._
+      val docBg = docs(s, dir)
+        .select($"doc_id", $"source", toks.as("tk"))
+        .filter(size($"tk") >= 2)
+        .corpusBarrier // tk materialized once; transform() lambda below
+        .select($"doc_id", $"source", explode(bigramPosArr).as("p"))
+        .select($"doc_id", $"source", $"p.w1".as("w1"), $"p.bg".as("bg"))
+        .groupBy($"doc_id", $"source", $"w1", $"bg")
+        .agg(count(lit(1)).as("c"))
+        .corpusBarrier // two consumers: the model and the scoring join
+      // +1-smoothing denominator: V = unigram TYPE count (all positions,
+      // last tokens included — the vocabulary, not the context set)
+      val vocab = docs(s, dir)
+        .select(explode(array_distinct(toks)).as("t"))
+        .agg(count_distinct($"t").as("v"))
+      val model = docBg.groupBy($"w1", $"bg").agg(sum($"c").as("cb"))
+      val ctx = model.groupBy($"w1").agg(sum($"cb").as("cu"))
+      val sq = model.join(ctx, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select($"bg", expr("(cu + v) * 1000000L div (cb + 1)").as("sq"))
+      val perDoc = docBg.join(sq, Seq("bg"))
+        .groupBy($"doc_id", $"source")
+        .agg(sum($"c" * $"sq").as("ssum"), sum($"c").as("n_bg"))
+        .withColumn("mean_q", expr("ssum div n_bg"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_bg").as("n_bigrams"),
+          (sum($"ssum").cast("double") / sum($"n_bg")).as("mean_surprisal"),
+          // ties in mean_q break to the LARGER doc_id (struct order) —
+          // stated in the oracle's ORDER BY ... doc_id DESC
+          max(struct($"mean_q", $"doc_id")).as("w"))
+        .select($"source", $"n_docs", $"n_bigrams", $"mean_surprisal",
+          $"w.doc_id".as("top_doc"), $"w.mean_q".as("top_doc_mean_q"))
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS a
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT t) AS v
+      |  FROM (SELECT UNNEST(a) AS t FROM tok)),
+      |pos AS (
+      |  SELECT doc_id, source, a[i] AS w1, a[i] || ' ' || a[i+1] AS bg
+      |  FROM (SELECT doc_id, source, a, UNNEST(range(1, len(a))) AS i
+      |        FROM tok WHERE len(a) >= 2)),
+      |docbg AS (
+      |  SELECT doc_id, source, w1, bg, COUNT(*) AS c FROM pos GROUP BY 1, 2, 3, 4),
+      |model AS (
+      |  SELECT w1, bg, CAST(SUM(c) AS BIGINT) AS cb FROM docbg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM model GROUP BY 1),
+      |sq AS (
+      |  SELECT m.bg, (c.cu + (SELECT v FROM vocab)) * 1000000 // (m.cb + 1) AS sq
+      |  FROM model m JOIN ctx c USING (w1)),
+      |perdoc AS (
+      |  SELECT d.doc_id, d.source,
+      |         CAST(SUM(d.c * s.sq) AS BIGINT) AS ssum,
+      |         CAST(SUM(d.c) AS BIGINT) AS n_bg
+      |  FROM docbg d JOIN sq s ON d.bg = s.bg GROUP BY 1, 2),
+      |pd AS (SELECT *, ssum // n_bg AS mean_q FROM perdoc),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_bg) AS BIGINT) AS n_bigrams,
+      |         CAST(SUM(ssum) AS DOUBLE) / SUM(n_bg) AS mean_surprisal
+      |  FROM pd GROUP BY 1),
+      |top AS (
+      |  SELECT source, doc_id AS top_doc, mean_q AS top_doc_mean_q
+      |  FROM (SELECT source, doc_id, mean_q,
+      |               ROW_NUMBER() OVER (PARTITION BY source
+      |                 ORDER BY mean_q DESC, doc_id DESC) AS rn
+      |        FROM pd) WHERE rn = 1)
+      |SELECT a.source, a.n_docs, a.n_bigrams, a.mean_surprisal,
+      |       t.top_doc, CAST(t.top_doc_mean_q AS BIGINT) AS top_doc_mean_q
+      |FROM agg a JOIN top t USING (source) ORDER BY a.source""".stripMargin),
+    doc = "quality: quantized bigram-LM perplexity per source + most-perplexing doc (the CCNet gate, order-sensitive unlike q99)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
-        q113, q114, q115)
+        q113, q114, q115, q116)
 }

@@ -267,4 +267,75 @@ class FilterOpsSpec extends SparkSpec {
     assert(out(3L)._1 == c.mkString(" ") && out(3L)._2 == out(3L)._3,
       "control doc was modified")
   }
+
+  // --- q116 bigram perplexity -----------------------------------------
+
+  /** The q116 scoring re-derived in plain Scala over raw strings (no
+    * hashing, none of the Spark expressions): +1-smoothed bigram LM,
+    * surp_q = (c(w1·)+V)·10⁶ div (c(w1w2)+1), exact-integer floors
+    * throughout. Returns (source → (n_docs, n_bigrams, mean_surprisal,
+    * top_doc, top_doc_mean_q)).
+    */
+  private def scalaBigramLm(corpus: Seq[(Long, String, String)])
+      : Map[String, (Long, Long, Double, Long, Long)] = {
+    val toks = corpus.map { case (id, src, t) => (id, src, t.split(" ", -1).toSeq) }
+    val v = toks.flatMap(_._3).distinct.size.toLong
+    val pos = toks.flatMap { case (id, src, tk) =>
+      tk.sliding(2).filter(_.size == 2).map(p => (id, src, p.head, p.mkString(" ")))
+    }
+    val cb = pos.groupBy(_._4).map { case (bg, xs) => bg -> xs.size.toLong }
+    val cu = pos.groupBy(_._3).map { case (w1, xs) => w1 -> xs.size.toLong }
+    val perDoc = pos.groupBy(p => (p._1, p._2)).map { case ((id, src), xs) =>
+      val ssum = xs.map { case (_, _, w1, bg) =>
+        (cu(w1) + v) * 1000000L / (cb(bg) + 1) }.sum
+      val nBg = xs.size.toLong
+      (id, src, ssum, nBg, ssum / nBg)
+    }.toSeq
+    perDoc.groupBy(_._2).map { case (src, xs) =>
+      val top = xs.map(d => (d._5, d._1)).max
+      src -> (xs.size.toLong, xs.map(_._4).sum,
+        xs.map(_._3).sum.toDouble / xs.map(_._4).sum, top._2, top._1)
+    }
+  }
+
+  test("q116 matches a driver-side exact-integer bigram LM") {
+    for (dir <- Seq(SparkSpec.Sf0001, SparkSpec.Sf001)) {
+      val corpus = Tables.load(spark, dir, "documents")
+        .select("doc_id", "source", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val expected = scalaBigramLm(corpus)
+      val got = SparkEntry.queries("q116_bigram_perplexity")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+      assert(got == expected, s"mismatch at $dir")
+    }
+  }
+
+  test("q116 sees token ORDER where unigram surprisal (q99) cannot") {
+    // Five docs, all the SAME unigram bag (5×x, 4×y): four follow the
+    // corpus-dominant alternation x y x y…, one is scrambled with x→x /
+    // y→y transitions the corpus makes rare. A unigram model scores all
+    // five identically (q99's tie election falls to the LARGEST id); the
+    // bigram model must single out the scrambled doc — which carries the
+    // SMALLEST id, so a tie-break cannot fake this receipt.
+    import spark.implicits._
+    val fluent = "x y x y x y x y x"
+    val scrambled = "x x y y x y x x y"
+    val root = java.nio.file.Files.createTempDirectory("graft-q116-order")
+    Seq((1L, scrambled), (2L, fluent), (3L, fluent), (4L, fluent), (5L, fluent))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$root/documents.parquet")
+    val bigramTop = SparkEntry.queries("q116_bigram_perplexity")(
+        spark, root.toString)
+      .select("top_doc").head().getLong(0)
+    assert(bigramTop == 1L,
+      s"bigram LM elected doc $bigramTop, not the scrambled doc 1")
+    val unigramTop = SparkEntry.queries("q99_doc_surprisal")(
+        spark, root.toString)
+      .select("top_doc").head().getLong(0)
+    assert(unigramTop == 5L,
+      "unigram surprisal distinguished docs with identical bags — fixture broken")
+  }
 }
