@@ -67,7 +67,8 @@ object Bench {
     "q113_winnow_fingerprints",
     "q114_bm25_search",
     "q115_substring_trim",
-    "q116_bigram_perplexity")
+    "q116_bigram_perplexity",
+    "q117_source_drift_psi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

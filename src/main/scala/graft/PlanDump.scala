@@ -88,7 +88,9 @@ object PlanDump {
     "q115_substring_trim" ->
       "Substring trim: gram df shuffles 60-bit longs only; islands in per-doc windows (task <= one doc); cut intervals compress to tiny per-doc structs; ONE text-moving equi-join (docs x intervals, AQE-skew-splittable); the cut is a pure array map; audit is |sources|-row.",
     "q116_bigram_perplexity" ->
-      "Bigram perplexity: positions pre-hashed to longs, compressed to per-(doc,bigram) counts map-side behind a barrier (model + scoring consumers); model is bigram-type-bounded; scoring equi-join on the bigram long (AQE-skew-splittable); election max(struct) — no window, no sort.")
+      "Bigram perplexity: positions pre-hashed to longs, compressed to per-(doc,bigram) counts map-side behind a barrier (model + scoring consumers); model is bigram-type-bounded; scoring equi-join on the bigram long (AQE-skew-splittable); election max(struct) — no window, no sort.",
+    "q117_source_drift_psi" ->
+      "PSI drift: one map pass computes per-doc power-of-2 length bucket (no explode), compressed by a (source,bucket) aggregate of cardinality |sources|*O(log max_len); everything downstream is broadcast algebra on sub-hundred-row frames; per-source argmax is max(struct).")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -13,7 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.Search        q79–q80  E2 parameterized query builders
   *   - functions.ScalarQueries q31–q35, q67, q81  scalar fns, UDAF, Fernet (§2.8-2.9, S3)
   *   - streaming.EventQueries  q36–q39, q54, q73–q74  event windows/sessions (§2.10)
-  *   - text.TextQueries        q40–q46, q51, q55, q61, q66, q68–q69, q72, q78, q83–q86, q88–q91, q94–q105, q107, q109–q116  text/dedup/sampling/packing/curation/filtering
+  *   - text.TextQueries        q40–q46, q51, q55, q61, q66, q68–q69, q72, q78, q83–q86, q88–q91, q94–q105, q107, q109–q117  text/dedup/sampling/packing/curation/filtering
   *   - similarity.VectorQueries q47–q49, q52, q106, q108  embedding similarity + ANN + semantic dedup + pair mining
   *   - multimodal.MultimodalQueries q50, q53  binary-column plumbing
   *   - security.SecurityQueries q82  access-audit surveillance (F12)

@@ -3289,9 +3289,120 @@ object TextQueries {
       |FROM agg a JOIN top t USING (source) ORDER BY a.source""".stripMargin),
     doc = "quality: quantized bigram-LM perplexity per source + most-perplexing doc (the CCNet gate, order-sensitive unlike q99)")
 
+  /** q117 — per-source distribution drift vs the corpus (PSI, the
+    * population-stability index every production data-quality monitor
+    * ships): bucket docs by token-count magnitude (power-of-2 buckets —
+    * `length(bin(n))`, the integer log2 that needs no math library),
+    * then score each source's bucket distribution against the
+    * corpus-wide reference. A crawl source whose length profile shifts
+    * (truncation bug upstream, template change, paywall rot) drifts
+    * here before any content metric moves.
+    *
+    * Exact-integer core, the q104/q105 stance: with +1-smoothed bucket
+    * counts cs = c+1, rs = r+1 and totals Ns/Nr, each bucket's term is
+    * (cs·Nr − rs·Ns) · (L(cs·Nr) − L(rs·Ns)) with L the quantized log2
+    * ([[lqSql]]). Both factors are exact longs sharing a sign (L is
+    * monotone), so every term is ≥ 0 — PSI's defining property —
+    * and the sum accumulates in decimal(38,0) (per-term magnitude can
+    * graze 2⁶³ at petabyte counts). The FINAL psi value is three IEEE
+    * ops on the exact cores — ×ln2, ÷(Ns·Nr·2²⁰) — written in the same
+    * tree shape in both engines, so the doubles agree bit-for-bit.
+    * `drifted` applies the industry 0.2 threshold to the true-scale
+    * psi.
+    *
+    * Scale design: ONE map pass computes each doc's bucket (no
+    * explode — the only corpus-sized work is `size(split(...))`),
+    * compressed immediately by a (source, bucket) aggregate whose
+    * cardinality is |sources|·O(log max_len) — everything after that
+    * first tiny shuffle is driver-trivial broadcast algebra. The grid
+    * completion (sources × buckets, absent → 0) is a crossJoin of two
+    * sub-hundred-row frames. No window touches row-cardinality data;
+    * the per-source argmax bucket is max(struct).
+    */
+  val q117 = Q(
+    "q117_source_drift_psi",
+    (s, dir) => {
+      import s.implicits._
+      val counts = docs(s, dir)
+        .select($"source",
+          expr("length(bin(cast(size(split(coalesce(text, ''), ' ')) as bigint)))")
+            .cast("long").as("b"))
+        .groupBy($"source", $"b").agg(count(lit(1)).as("c"))
+        .cache() // |sources|×|buckets| rows: grid + totals read it
+      val bucketRef = counts.groupBy($"b").agg(sum($"c").as("r"))
+      val srcTot = counts.groupBy($"source").agg(sum($"c").as("n_docs"))
+      val nBuckets = bucketRef.agg(count(lit(1)).as("nb"),
+        sum($"r").as("n_total"))
+      val grid = srcTot.crossJoin(broadcast(bucketRef))
+        .join(counts, Seq("source", "b"), "left_outer")
+        .crossJoin(broadcast(nBuckets))
+        .withColumn("c0", coalesce($"c", lit(0L)))
+        .withColumn("cs", $"c0" + 1L).withColumn("rs", $"r" + 1L)
+        .withColumn("ns", $"n_docs" + $"nb")
+        .withColumn("nr", $"n_total" + $"nb")
+        .withColumn("d", $"cs" * $"nr" - $"rs" * $"ns")
+        .withColumn("dl", expr(
+          s"${lqSql("cs * nr")} - ${lqSql("rs * ns")}"))
+        .withColumn("term", expr("cast(d as decimal(38,0)) * dl"))
+      grid.groupBy($"source")
+        .agg(max($"n_docs").as("n_docs"),
+          count_if($"c0" > 0).as("n_buckets"),
+          sum($"term").as("psi_q"),
+          max($"ns").as("nsv"), max($"nr").as("nrv"),
+          // worst bucket: largest term, ties to the SMALLER bucket id
+          max(struct($"term", (-$"b").as("negb"))).as("w"))
+        .select($"source", $"n_docs", $"n_buckets",
+          expr("cast(psi_q as double) * 0.6931471805599453" +
+            " / (cast(nsv as double) * cast(nrv as double) * 1048576.0)")
+            .as("psi"),
+          (-$"w.negb").as("top_bucket"))
+        .withColumn("drifted", $"psi" >= 0.2)
+        .orderBy($"source")
+    },
+    Some(s"""WITH d AS (
+      |  SELECT source,
+      |         CAST(length(bin(CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT))) AS BIGINT) AS b
+      |  FROM documents),
+      |counts AS (SELECT source, b, COUNT(*) AS c FROM d GROUP BY 1, 2),
+      |bucketref AS (SELECT b, CAST(SUM(c) AS BIGINT) AS r FROM counts GROUP BY 1),
+      |srctot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs FROM counts GROUP BY 1),
+      |nb AS (SELECT COUNT(*) AS nb, CAST(SUM(r) AS BIGINT) AS n_total FROM bucketref),
+      |grid AS (
+      |  SELECT st.source, st.n_docs, br.b, br.r,
+      |         COALESCE(c.c, 0) AS c0,
+      |         COALESCE(c.c, 0) + 1 AS cs, br.r + 1 AS rs,
+      |         st.n_docs + (SELECT nb FROM nb) AS ns,
+      |         (SELECT n_total FROM nb) + (SELECT nb FROM nb) AS nr
+      |  FROM srctot st CROSS JOIN bucketref br
+      |  LEFT JOIN counts c ON c.source = st.source AND c.b = br.b),
+      |terms AS (
+      |  SELECT source, n_docs, b, c0, ns, nr,
+      |         CAST(cs * nr - rs * ns AS HUGEINT)
+      |           * (${lqDuck("cs * nr")} - ${lqDuck("rs * ns")}) AS term
+      |  FROM grid),
+      |agg AS (
+      |  SELECT source, MAX(n_docs) AS n_docs,
+      |         CAST(COUNT(CASE WHEN c0 > 0 THEN 1 END) AS BIGINT) AS n_buckets,
+      |         SUM(term) AS psi_q, MAX(ns) AS nsv, MAX(nr) AS nrv
+      |  FROM terms GROUP BY 1),
+      |top AS (
+      |  SELECT source, b AS top_bucket
+      |  FROM (SELECT source, b,
+      |               ROW_NUMBER() OVER (PARTITION BY source
+      |                 ORDER BY term DESC, b ASC) AS rn
+      |        FROM terms) WHERE rn = 1)
+      |SELECT a.source, a.n_docs, a.n_buckets,
+      |       CAST(a.psi_q AS DOUBLE) * 0.6931471805599453
+      |         / (CAST(a.nsv AS DOUBLE) * CAST(a.nrv AS DOUBLE) * 1048576.0) AS psi,
+      |       t.top_bucket,
+      |       (CAST(a.psi_q AS DOUBLE) * 0.6931471805599453
+      |         / (CAST(a.nsv AS DOUBLE) * CAST(a.nrv AS DOUBLE) * 1048576.0)) >= 0.2 AS drifted
+      |FROM agg a JOIN top t USING (source) ORDER BY a.source""".stripMargin),
+    doc = "quality: per-source token-length drift vs corpus (quantized PSI, power-of-2 buckets) + worst bucket")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
-        q113, q114, q115, q116)
+        q113, q114, q115, q116, q117)
 }

@@ -8,8 +8,8 @@ package graft
 class RegistrySpec extends SparkSpec {
 
   test("registry has 115 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 116)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 116)
+    assert(SparkEntry.registry.size == 117)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 117)
   }
 
   test("every query has a DuckDB oracle") {

@@ -338,4 +338,101 @@ class FilterOpsSpec extends SparkSpec {
     assert(unigramTop == 5L,
       "unigram surprisal distinguished docs with identical bags — fixture broken")
   }
+
+  // --- q117 PSI drift -------------------------------------------------
+
+  /** The q117 PSI re-derived driver-side (reusing the BM25 tests' `lq`,
+    * the one quantized-log2 definition): power-of-2 length buckets,
+    * +1 smoothing, BigInt term sums, the same three IEEE ops last.
+    */
+  private def scalaPsi(corpus: Seq[(String, Int)])
+      : Map[String, (Long, Long, Double, Long, Boolean)] = {
+    val bucketOf = (n: Long) => 64L - java.lang.Long.numberOfLeadingZeros(n)
+    val counts = corpus.groupBy { case (src, n) => (src, bucketOf(n.toLong)) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val buckets = counts.keys.map(_._2).toSeq.distinct.sorted
+    val ref = buckets.map(b =>
+      b -> counts.collect { case ((_, `b`), c) => c }.sum).toMap
+    val nTotal = ref.values.sum
+    val nb = buckets.size.toLong
+    counts.keys.map(_._1).toSeq.distinct.map { src =>
+      val nDocs = counts.collect { case ((`src`, _), c) => c }.sum
+      val ns = nDocs + nb; val nr = nTotal + nb
+      val terms = buckets.map { b =>
+        val cs = counts.getOrElse((src, b), 0L) + 1
+        val rs = ref(b) + 1
+        val d = cs * nr - rs * ns
+        b -> BigInt(d) * (lq(cs * nr) - lq(rs * ns))
+      }
+      val psiQ = terms.map(_._2).sum
+      val top = terms.map { case (b, t) => (t, -b) }.max
+      val psi = psiQ.toDouble * 0.6931471805599453 /
+        (ns.toDouble * nr.toDouble * 1048576.0)
+      src -> (nDocs, counts.count(_._1._1 == src).toLong, psi, -top._2,
+        psi >= 0.2)
+    }.toMap
+  }
+
+  test("q117 matches a driver-side exact-integer PSI, and PSI is never negative") {
+    for (dir <- Seq(SparkSpec.Sf0001, SparkSpec.Sf001)) {
+      val corpus = Tables.load(spark, dir, "documents")
+        .select("source", "text").collect()
+        .map(r => (r.getString(0), r.getString(1).split(" ", -1).length)).toSeq
+      val expected = scalaPsi(corpus)
+      val got = SparkEntry.queries("q117_source_drift_psi")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getBoolean(5))).toMap
+      assert(got == expected, s"mismatch at $dir")
+      assert(got.values.forall(_._3 >= 0.0), "PSI went negative")
+    }
+  }
+
+  test("q117 scores a source matching the corpus profile exactly zero and flags a pile-up") {
+    import spark.implicits._
+    def doc(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val lens = Seq(1, 2, 4, 8) // buckets 1,2,3,4
+    def write(rows: Seq[(Long, String, String)]): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft-q117-drift")
+      rows.toDF("doc_id", "text", "source")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length($"text").cast("long"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$root/documents.parquet")
+      root.toString
+    }
+    def run(dir: String) =
+      SparkEntry.queries("q117_source_drift_psi")(spark, dir)
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    // Fixture 1: two sources with IDENTICAL uniform profiles — each
+    // matches the corpus distribution, the smoothed cross terms cancel
+    // exactly (cs·Nr == rs·Ns bucket by bucket), psi == 0 precisely.
+    val calm = run(write(
+      lens.zipWithIndex.map { case (n, i) => (i.toLong, doc(n), "a") } ++
+      lens.zipWithIndex.map { case (n, i) => (10L + i, doc(n), "b") }))
+    assert(calm("a")._1 == 0.0 && calm("b")._1 == 0.0,
+      s"corpus-matching sources scored nonzero: $calm")
+    assert(!calm("a")._3 && !calm("b")._3)
+    // Fixture 2: source z piles every doc into the largest bucket. z is
+    // kept SMALL relative to a/b (4 docs vs 2×16) so the corpus
+    // reference stays near the uniform profile — a big-enough pile
+    // would bend the reference toward itself and dilute its own score.
+    // z must out-drift a/b, clear the 0.2 threshold, and name bucket 4;
+    // a and b stay symmetric (identical profiles → identical psi).
+    val uniform16 = for (rep <- 0 until 4; (n, i) <- lens.zipWithIndex)
+      yield (rep, n, i)
+    val hot = run(write(
+      uniform16.map { case (rep, n, i) => (10L * rep + i, doc(n), "a") } ++
+      uniform16.map { case (rep, n, i) => (100L + 10L * rep + i, doc(n), "b") } ++
+      (0 until 4).map(i => (200L + i, doc(8), "z"))))
+    assert(hot("a")._1 == hot("b")._1, "identical sources scored differently")
+    assert(hot("z")._1 > hot("a")._1, "pile-up did not out-drift")
+    assert(hot("z")._1 > 0.2 && hot("z")._3,
+      s"piled-up source not flagged: ${hot("z")}")
+    assert(hot("z")._2 == 4L,
+      s"worst bucket should be 4 (the pile), got ${hot("z")._2}")
+  }
 }
