@@ -442,6 +442,79 @@ class PipelineSpec extends SparkSpec {
     assert(trimmedText.contains("alpha1"), "unique content was cut")
   }
 
+  test("curation stage ingests a raw WET crawl end-to-end (bytes to packed manifest)") {
+    // The full Common-Crawl-shaped path: WARC/WET bytes →
+    // [[graft.sources.Warc.wetDocuments]] → documents-contract crawl
+    // drop → CurationPipeline (streaming ingest + dedup + select +
+    // pack). A re-crawl of batch 1's text arriving in batch 2 must
+    // classify as a duplicate of the indexed original.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx_wet"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-wet")
+
+    def record(id: String, uri: String, text: String): Array[Byte] = {
+      val payload = text.getBytes("UTF-8")
+      val head = Seq(
+        "WARC/1.0", "WARC-Type: conversion",
+        s"WARC-Record-ID: <urn:uuid:$id>",
+        "WARC-Date: 2024-03-01T00:00:00Z",
+        s"WARC-Target-URI: $uri",
+        "Content-Type: text/plain",
+        s"Content-Length: ${payload.length}", "", "").mkString("\r\n")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(head.getBytes("UTF-8")); out.write(payload)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+      out.toByteArray
+    }
+    val textA = "the quick brown fox jumps over the lazy dog tonight"
+    val textB = "distributed systems require careful coordination of shared state"
+    val textD = "novel second batch content with many distinct useful words"
+    def writeWet(p: java.nio.file.Path, recs: Array[Byte]*): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach(out.write)
+      java.nio.file.Files.write(p, out.toByteArray)
+    }
+    val wetDir = root.resolve("wet"); Files.createDirectories(wetDir)
+    writeWet(wetDir.resolve("batch1.wet"),
+      record("11111111-1111-1111-1111-111111111111", "https://a.example/1", textA),
+      record("22222222-2222-2222-2222-222222222222", "https://a.example/2", textB))
+    writeWet(wetDir.resolve("batch2.wet"),
+      record("33333333-3333-3333-3333-333333333333", "https://b.example/1", textA), // re-crawl
+      record("44444444-4444-4444-4444-444444444444", "https://b.example/2", textD))
+
+    // adapt to the documents contract (lang is the one missing column —
+    // language-ID is its own operator downstream) and drop each WET
+    // file as its own crawl batch
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    for (f <- Seq("batch1", "batch2"))
+      graft.sources.Warc.wetDocuments(spark, wetDir.resolve(f + ".wet").toString)
+        .withColumn("lang", lit("und"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$srcDir/$f")
+
+    val work = root.resolve("work").toString
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, work, buckets = 4,
+      budgetNum = 1, budgetDen = 1, block = 64L)
+
+    // exactly one of the A/C re-crawl pair survives (file order is the
+    // stream's choice; either member is a valid survivor), B and D both
+    val kept = spark.read.parquet(s"$work/corpus")
+      .select($"text").as[String].collect().toSeq
+    assert(kept.size == 3 && kept.toSet == Set(textA, textB, textD),
+      s"kept corpus wrong: $kept")
+    // the manifest packs the three survivors with their true token counts
+    val m = spark.read.parquet(r.manifestPath)
+      .select($"n_tokens").as[Long].collect().sorted.toSeq
+    assert(m == Seq(textA, textB, textD).map(_.split(" ").length.toLong).sorted,
+      s"manifest tokens wrong: $m")
+    assert(r.kept == 3 && r.selected == 3)
+  }
+
   test("readmission RCA matches a brute-force self-join oracle") {
     import spark.implicits._
     val enc = Pipeline.generateEncounters(spark, 50)
