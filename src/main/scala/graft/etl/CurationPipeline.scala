@@ -209,6 +209,17 @@ object CurationPipeline {
     * runs — boilerplate the whole-doc dedup can't reach — are scrubbed
     * from every kept doc, so the gate's statistics and the selection
     * budget both see the cleaned text. Docs trimmed to nothing drop.
+    *
+    * `perplexityGate = Some(maxPpxQ)` drops docs whose mean quantized
+    * bigram surprisal ([[graft.text.BigramLm]], the CCNet gate and the
+    * q116 scoring) reaches `maxPpxQ` — incoherent word-soup whose
+    * unigram statistics pass the rule battery never competes for
+    * budget. Runs LAST of the gates (rules are cheaper than the LM;
+    * the LM then trains on rule-passing survivors only — the CCNet
+    * clean-reference stance, intrinsically). The threshold is an
+    * ABSOLUTE quantized score: calibrate it against the corpus'
+    * ppx_q distribution and pin it, as CCNet pins per-language
+    * cutoffs. Un-scorable docs (<2 tokens) drop with it.
     */
   /** [[graft.text.SubstringTrim]] as a pipeline stage: text becomes
     * its trimmed form, `n_chars` refreshes, and docs trimmed to
@@ -234,7 +245,8 @@ object CurationPipeline {
           selectBy: SelectPolicy = ByQuality,
           chunk: Option[(Int, Int)] = None,
           qualityGate: Option[graft.text.QualityRules.Params] = None,
-          trim: Option[Int] = None)
+          trim: Option[Int] = None,
+          perplexityGate: Option[Long] = None)
       : CurationReport = {
     import spark.implicits._
     if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
@@ -285,9 +297,14 @@ object CurationPipeline {
     // optional Gopher-rule gate: rule-failing docs never reach the
     // budget ranking (they were still indexed at ingest — a re-crawl
     // classifies as duplicate, not fresh)
-    val kept = qualityGate
+    val keptRules = qualityGate
       .map(p => graft.text.QualityRules.passing(keptTrim, p))
       .getOrElse(keptTrim)
+    // LM gate last: rules are cheap, and the intrinsic bigram model
+    // then trains on rule-passing survivors only (the CCNet stance)
+    val kept = perplexityGate
+      .map(t => graft.text.BigramLm.passing(keptRules, t))
+      .getOrElse(keptRules)
     // budget rides along as a column (selectByBudget attached it), so
     // the report needs NO second scoring scan of the corpus; text is
     // projected away BEFORE the checkpoint materializes anything

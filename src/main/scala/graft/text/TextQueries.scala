@@ -3215,38 +3215,19 @@ object TextQueries {
     "q116_bigram_perplexity",
     (s, dir) => {
       import s.implicits._
-      val docBg = docs(s, dir)
-        .select($"doc_id", $"source", toks.as("tk"))
-        .filter(size($"tk") >= 2)
-        .corpusBarrier // tk materialized once; transform() lambda below
-        .select($"doc_id", $"source", explode(bigramPosArr).as("p"))
-        .select($"doc_id", $"source", $"p.w1".as("w1"), $"p.bg".as("bg"))
-        .groupBy($"doc_id", $"source", $"w1", $"bg")
-        .agg(count(lit(1)).as("c"))
-        .corpusBarrier // two consumers: the model and the scoring join
-      // +1-smoothing denominator: V = unigram TYPE count (all positions,
-      // last tokens included — the vocabulary, not the context set)
-      val vocab = docs(s, dir)
-        .select(explode(array_distinct(toks)).as("t"))
-        .agg(count_distinct($"t").as("v"))
-      val model = docBg.groupBy($"w1", $"bg").agg(sum($"c").as("cb"))
-      val ctx = model.groupBy($"w1").agg(sum($"cb").as("cu"))
-      val sq = model.join(ctx, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .select($"bg", expr("(cu + v) * 1000000L div (cb + 1)").as("sq"))
-      val perDoc = docBg.join(sq, Seq("bg"))
-        .groupBy($"doc_id", $"source")
-        .agg(sum($"c" * $"sq").as("ssum"), sum($"c").as("n_bg"))
-        .withColumn("mean_q", expr("ssum div n_bg"))
-      perDoc.groupBy($"source")
+      // the scoring itself lives in BigramLm.withPerplexity — the ONE
+      // definition this oracle certifies and the curation gate reuses
+      BigramLm.withPerplexity(docs(s, dir).select($"doc_id", $"source", $"text"))
+        .filter($"bg_n" > 0) // <2-token docs carry no bigram: out of scope
+        .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
-          sum($"n_bg").as("n_bigrams"),
-          (sum($"ssum").cast("double") / sum($"n_bg")).as("mean_surprisal"),
-          // ties in mean_q break to the LARGER doc_id (struct order) —
+          sum($"bg_n").as("n_bigrams"),
+          (sum($"bg_ssum").cast("double") / sum($"bg_n")).as("mean_surprisal"),
+          // ties in ppx_q break to the LARGER doc_id (struct order) —
           // stated in the oracle's ORDER BY ... doc_id DESC
-          max(struct($"mean_q", $"doc_id")).as("w"))
+          max(struct($"ppx_q", $"doc_id")).as("w"))
         .select($"source", $"n_docs", $"n_bigrams", $"mean_surprisal",
-          $"w.doc_id".as("top_doc"), $"w.mean_q".as("top_doc_mean_q"))
+          $"w.doc_id".as("top_doc"), $"w.ppx_q".as("top_doc_mean_q"))
         .orderBy($"source")
     },
     Some("""WITH tok AS (

@@ -442,6 +442,52 @@ class PipelineSpec extends SparkSpec {
     assert(trimmedText.contains("alpha1"), "unique content was cut")
   }
 
+  test("curation stage gates incoherent docs on bigram perplexity before selection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx_ppx"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-ppx")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    // four FLUENT docs (per-doc token pairs in strict alternation —
+    // disjoint vocabularies, so dedup keeps all) and one SCRAMBLED doc:
+    // same two tokens, incoherent order. Its unigram profile matches
+    // the fluent shape exactly; only a conditional model can see it.
+    def fluent(i: Int) = (1 to 10).flatMap(_ => Seq(s"p$i", s"q$i"))
+      .mkString(" ") + s" p$i"
+    val scrambled = "p0 p0 q0 q0 p0 q0 p0 p0 q0 q0 p0 p0 q0 q0 p0 q0 q0 p0 p0 q0 p0"
+    val docsDf = ((1 to 4).map(i => (i.toLong, fluent(i))) :+ (9L, scrambled))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docsDf.coalesce(1).write.parquet(s"$srcDir/a")
+
+    // calibrate the cutoff the way production would: inspect the score
+    // distribution, pin a threshold that splits it
+    val scores = graft.text.BigramLm.withPerplexity(
+        docsDf.select($"doc_id", $"text"))
+      .select($"doc_id", $"ppx_q").as[(Long, Long)].collect().toMap
+    val fluentMax = (1 to 4).map(i => scores(i.toLong)).max
+    assert(scores(9L) > fluentMax,
+      s"scrambled doc did not out-perplex the fluent docs: $scores")
+
+    val work = root.resolve("work").toString
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, work, buckets = 4,
+      budgetNum = 1, budgetDen = 1, block = 64L,
+      perplexityGate = Some(scores(9L)))
+    // all five docs are KEPT (no near-dups — disjoint vocabularies),
+    // but the scrambled one never reaches the manifest
+    assert(r.kept == 4, s"gate should leave 4 of the 5 kept docs: ${r.kept}")
+    val selIds = spark.read.parquet(r.manifestPath)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(selIds == Set(1L, 2L, 3L, 4L),
+      s"manifest should hold the fluent docs only: $selIds")
+  }
+
   test("curation stage ingests a raw WET crawl end-to-end (bytes to packed manifest)") {
     // The full Common-Crawl-shaped path: WARC/WET bytes →
     // [[graft.sources.Warc.wetDocuments]] → documents-contract crawl

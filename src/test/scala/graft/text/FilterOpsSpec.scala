@@ -339,6 +339,34 @@ class FilterOpsSpec extends SparkSpec {
       "unigram surprisal distinguished docs with identical bags — fixture broken")
   }
 
+  test("BigramLm reference-model scoring penalizes unseen bigrams at the backoff ceiling") {
+    import spark.implicits._
+    val model = Seq((100L, "a b a b a b a b")).toDF("doc_id", "text")
+    // model: c(ab)=4, c(ba)=3, cu(a)=4, cu(b)=3, V=2; backoff ceiling
+    // sq0 = (max cu + V)·10⁶ = 6·10⁶
+    val docs = Seq(
+      (1L, "a b"),     // the one known bigram — mean = sq(ab) exactly
+      (2L, "a b c d"), // ab known; bc, cd unseen
+      (3L, "c d c d"), // all unseen — mean = sq0 exactly
+      (4L, "a"))       // no bigram — un-scorable
+      .toDF("doc_id", "text")
+    val got = graft.text.BigramLm.withPerplexity(docs, model)
+      .select($"doc_id", $"ppx_q").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val sq0 = 6L * 1000000L
+    val sqAb = (4L + 2L) * 1000000L / (4L + 1L) // known-bigram score
+    assert(got(3L).contains(sq0), s"all-unseen doc should sit at sq0: $got")
+    assert(got(1L).exists(_ < got(2L).get) && got(2L).exists(_ < sq0),
+      s"unseen-bigram count must order the scores: $got")
+    assert(got(1L).contains(sqAb), s"known-bigram mean off: $got")
+    assert(got(4L).isEmpty, "a bigram-less doc must score NULL")
+    // the gate form drops the un-scorable and the at-threshold doc
+    val kept = graft.text.BigramLm.passing(docs, sq0, model)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"gate kept $kept")
+  }
+
   // --- q117 PSI drift -------------------------------------------------
 
   /** The q117 PSI re-derived driver-side (reusing the BM25 tests' `lq`,
