@@ -3304,40 +3304,11 @@ object TextQueries {
     "q117_source_drift_psi",
     (s, dir) => {
       import s.implicits._
-      val counts = docs(s, dir)
-        .select($"source",
-          expr("length(bin(cast(size(split(coalesce(text, ''), ' ')) as bigint)))")
-            .cast("long").as("b"))
-        .groupBy($"source", $"b").agg(count(lit(1)).as("c"))
-        .cache() // |sources|×|buckets| rows: grid + totals read it
-      val bucketRef = counts.groupBy($"b").agg(sum($"c").as("r"))
-      val srcTot = counts.groupBy($"source").agg(sum($"c").as("n_docs"))
-      val nBuckets = bucketRef.agg(count(lit(1)).as("nb"),
-        sum($"r").as("n_total"))
-      val grid = srcTot.crossJoin(broadcast(bucketRef))
-        .join(counts, Seq("source", "b"), "left_outer")
-        .crossJoin(broadcast(nBuckets))
-        .withColumn("c0", coalesce($"c", lit(0L)))
-        .withColumn("cs", $"c0" + 1L).withColumn("rs", $"r" + 1L)
-        .withColumn("ns", $"n_docs" + $"nb")
-        .withColumn("nr", $"n_total" + $"nb")
-        .withColumn("d", $"cs" * $"nr" - $"rs" * $"ns")
-        .withColumn("dl", expr(
-          s"${lqSql("cs * nr")} - ${lqSql("rs * ns")}"))
-        .withColumn("term", expr("cast(d as decimal(38,0)) * dl"))
-      grid.groupBy($"source")
-        .agg(max($"n_docs").as("n_docs"),
-          count_if($"c0" > 0).as("n_buckets"),
-          sum($"term").as("psi_q"),
-          max($"ns").as("nsv"), max($"nr").as("nrv"),
-          // worst bucket: largest term, ties to the SMALLER bucket id
-          max(struct($"term", (-$"b").as("negb"))).as("w"))
-        .select($"source", $"n_docs", $"n_buckets",
-          expr("cast(psi_q as double) * 0.6931471805599453" +
-            " / (cast(nsv as double) * cast(nrv as double) * 1048576.0)")
-            .as("psi"),
-          (-$"w.negb").as("top_bucket"))
-        .withColumn("drifted", $"psi" >= 0.2)
+      // the staged algebra lives in text.Psi — the ONE definition this
+      // oracle certifies and the streaming DriftMonitorJob reuses with
+      // a pinned reference; self-scoring composes the stages
+      val d = docs(s, dir).select($"source", $"text")
+      Psi.score(Psi.bucketCounts(d), Psi.reference(d))
         .orderBy($"source")
     },
     Some(s"""WITH d AS (
