@@ -7,7 +7,7 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 115 uniquely-named queries") {
+  test("registry has 117 uniquely-named queries") {
     assert(SparkEntry.registry.size == 117)
     assert(SparkEntry.registry.map(_.name).distinct.size == 117)
   }
