@@ -3352,9 +3352,105 @@ object TextQueries {
       |FROM agg a JOIN top t USING (source) ORDER BY a.source""".stripMargin),
     doc = "quality: per-source token-length drift vs corpus (quantized PSI, power-of-2 buckets) + worst bucket")
 
+  /** q118 — gram novelty in crawl order: how much NEW 8-gram content
+    * each document contributes when the corpus is read in crawl order
+    * (doc_id ascending — the documents table's ingest order). A
+    * distinct gram of doc d is novel iff no earlier doc contains it;
+    * novelty(d) = novel / distinct grams. This is the
+    * diminishing-returns signal behind crawl-more-vs-recrawl decisions
+    * (cf. data-constrained scaling, Muennighoff et al. 2023): a source
+    * whose late documents contribute no new grams is exhausted, and
+    * further crawl budget there buys repeats.
+    *
+    * The sequential definition — "scan docs in order, keep a seen-gram
+    * set, count inserts" — looks inherently serial, but parallelizes
+    * exactly: a gram's novelty credit goes to min(doc_id) over its
+    * occurrences, an associative map-side-combinable election. So the
+    * crawl scan is one distinct + one min aggregate — no iteration, no
+    * order-dependent state, no window. `NoveltyOpsSpec` pins the
+    * equivalence against a literal driver-side HashSet scan.
+    *
+    * Determinism: novelty_q = novel·10⁶ div n_grams (exact integer,
+    * libm-free); the per-source mean divides two exact long sums in
+    * ONE IEEE division; the stalest-doc election is min(struct) with
+    * doc_id tie-break. Docs with < 8 tokens have no grams and are out
+    * of scope (they contribute nothing and have no denominator).
+    *
+    * Scale design: shuffles carry (doc_id, 60-bit gram hash) — never
+    * text; the distinct and the first-doc election both combine
+    * map-side; everything downstream of the gram stream is
+    * doc-cardinality. The gram stream is barriered once for its two
+    * consumers (per-doc totals, first-doc election).
+    */
+  val q118 = Q(
+    "q118_gram_novelty",
+    (s, dir) => {
+      import s.implicits._
+      val grams = docs(s, dir)
+        .select($"doc_id", $"source", split($"text", " ").as("tk"))
+        .filter(size($"tk") >= 8)
+        .select($"doc_id", $"source", explode(gramHashArr).as("gh"))
+        .distinct()
+        .corpusBarrier
+      val tot = grams.groupBy($"doc_id", $"source")
+        .agg(count(lit(1)).as("n_grams"))
+      val novel = grams.groupBy($"gh")
+        .agg(min($"doc_id").as("doc_id"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("novel"))
+      val perDoc = tot.join(novel, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("novel"))
+        .withColumn("novelty_q", expr("novel * 1000000L div n_grams"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"novel").as("novel_grams"),
+          sum($"n_grams").as("distinct_grams"),
+          (sum($"novel").cast("double") / sum($"n_grams"))
+            .as("mean_novelty"),
+          min(struct($"novelty_q", $"doc_id")).as("w"))
+        .select($"source", $"n_docs", $"novel_grams", $"distinct_grams",
+          $"mean_novelty",
+          $"w.doc_id".as("stalest_doc"),
+          $"w.novelty_q".as("stalest_novelty_q"))
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         CAST(('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15)) AS BIGINT) AS gh
+      |  FROM (SELECT doc_id, source, t,
+      |               UNNEST(generate_series(1, len(t) - 7)) AS i
+      |        FROM tok WHERE len(t) >= 8)),
+      |tot AS (SELECT doc_id, source, COUNT(*) AS n_grams FROM g GROUP BY 1, 2),
+      |fd AS (SELECT gh, MIN(doc_id) AS doc_id FROM g GROUP BY 1),
+      |nv AS (SELECT doc_id, COUNT(*) AS novel FROM fd GROUP BY 1),
+      |per_doc AS (
+      |  SELECT t.doc_id, t.source, t.n_grams,
+      |         COALESCE(n.novel, 0) AS novel,
+      |         COALESCE(n.novel, 0) * 1000000 // t.n_grams AS novelty_q
+      |  FROM tot t LEFT JOIN nv n ON n.doc_id = t.doc_id),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(novel) AS BIGINT) AS novel_grams,
+      |         CAST(SUM(n_grams) AS BIGINT) AS distinct_grams,
+      |         CAST(SUM(novel) AS DOUBLE) / CAST(SUM(n_grams) AS DOUBLE) AS mean_novelty
+      |  FROM per_doc GROUP BY 1),
+      |st AS (
+      |  SELECT source, doc_id AS stalest_doc,
+      |         CAST(novelty_q AS BIGINT) AS stalest_novelty_q
+      |  FROM (SELECT source, doc_id, novelty_q,
+      |               ROW_NUMBER() OVER (PARTITION BY source
+      |                 ORDER BY novelty_q ASC, doc_id ASC) AS rn
+      |        FROM per_doc) WHERE rn = 1)
+      |SELECT a.source, a.n_docs, a.novel_grams, a.distinct_grams,
+      |       a.mean_novelty, s.stalest_doc, s.stalest_novelty_q
+      |FROM agg a JOIN st s USING (source) ORDER BY a.source""".stripMargin),
+    doc = "curation: per-source novel-8-gram contribution in crawl order (crawl-exhaustion signal)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
-        q113, q114, q115, q116, q117)
+        q113, q114, q115, q116, q117, q118)
 }

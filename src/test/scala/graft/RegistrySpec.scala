@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 117 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 117)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 117)
+  test("registry has 118 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 118)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 118)
   }
 
   test("every query has a DuckDB oracle") {
