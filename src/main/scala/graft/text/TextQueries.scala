@@ -3448,9 +3448,85 @@ object TextQueries {
       |FROM agg a JOIN st s USING (source) ORDER BY a.source""".stripMargin),
     doc = "curation: per-source novel-8-gram contribution in crawl order (crawl-exhaustion signal)")
 
+  /** q119 — per-source quantile normalization: calibrate a quality
+    * score ACROSS sources before a global cut. A raw global threshold
+    * on any score whose distribution differs by source (here token
+    * count — web text runs long, chat logs run short) silently
+    * reweights the mixture: the long-doc source wins most of the
+    * budget. Mapping each doc to its WITHIN-SOURCE percentile first
+    * (the CCNet per-language-bucket stance) makes "top 10%" mean top
+    * 10% of every source. The output shows both cuts side by side —
+    * n_cal_selected is ~10% of every source by construction while
+    * n_raw_selected skews with the source's score profile — plus the
+    * per-source score threshold the calibration implies
+    * (cal_cut_score: the point of the exercise — thresholds DIFFER per
+    * source) and a selected-set checksum.
+    *
+    * Determinism: percentile_q = (rank−1)·10⁶ div (n−1) — exact
+    * integers end-to-end, rank tie-broken by doc_id; no floats
+    * anywhere in this query.
+    *
+    * Scale design: both ranks come from [[graft.operators.DistributedRank]]
+    * (range sort + per-partition offsets) — neither the per-source nor
+    * the global rank ever funnels a source's rows through one window
+    * task; group sizes and the corpus total join back as broadcast
+    * |sources|-row / 1-row frames; the final aggregate is map-side
+    * combinable. The ranked frame is narrow (doc_id, source, score) —
+    * the two localCheckpoint passes freeze ~24 bytes/doc, not text.
+    */
+  val q119 = Q(
+    "q119_quantile_normalize",
+    (s, dir) => {
+      import s.implicits._
+      val d0 = docs(s, dir).select($"doc_id", $"source",
+        size(split(coalesce($"text", lit("")), " ")).cast("long").as("score"))
+      val ranked = graft.operators.DistributedRank.withRowNumberPerKey(
+        d0, Seq("source"), Seq($"score".desc, $"doc_id".asc), "rn")
+      val granked = graft.operators.DistributedRank.withRowNumber(
+        ranked, Seq($"score".desc, $"doc_id".asc), "grn")
+      val bySrc = granked.groupBy($"source").agg(count(lit(1)).as("n_s"))
+      val tot = granked.agg(count(lit(1)).as("n_tot"))
+      val p = granked.join(broadcast(bySrc), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("pct_q", expr(
+          "CASE WHEN n_s > 1 THEN (rn - 1) * 1000000L div (n_s - 1) ELSE 0L END"))
+        .withColumn("gpct_q", expr(
+          "CASE WHEN n_tot > 1 THEN (grn - 1) * 1000000L div (n_tot - 1) ELSE 0L END"))
+      p.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_if($"pct_q" <= 100000).as("n_cal_selected"),
+          count_if($"gpct_q" <= 100000).as("n_raw_selected"),
+          min(when($"pct_q" <= 100000, $"score")).as("cal_cut_score"),
+          sum(when($"pct_q" <= 100000, $"doc_id")).as("cal_doc_checksum"))
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT) AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, score,
+      |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rn,
+      |         COUNT(*) OVER (PARTITION BY source) AS n_s,
+      |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS grn,
+      |         COUNT(*) OVER () AS n_tot
+      |  FROM d),
+      |p AS (
+      |  SELECT doc_id, source, score,
+      |         CASE WHEN n_s > 1 THEN (rn - 1) * 1000000 // (n_s - 1) ELSE 0 END AS pct_q,
+      |         CASE WHEN n_tot > 1 THEN (grn - 1) * 1000000 // (n_tot - 1) ELSE 0 END AS gpct_q
+      |  FROM r)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       CAST(COUNT(CASE WHEN pct_q <= 100000 THEN 1 END) AS BIGINT) AS n_cal_selected,
+      |       CAST(COUNT(CASE WHEN gpct_q <= 100000 THEN 1 END) AS BIGINT) AS n_raw_selected,
+      |       CAST(MIN(CASE WHEN pct_q <= 100000 THEN score END) AS BIGINT) AS cal_cut_score,
+      |       CAST(SUM(CASE WHEN pct_q <= 100000 THEN doc_id END) AS BIGINT) AS cal_doc_checksum
+      |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "curation: per-source quantile normalization vs raw global cut (cross-source score calibration)")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
-        q113, q114, q115, q116, q117, q118)
+        q113, q114, q115, q116, q117, q118, q119)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 118 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 118)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 118)
+  test("registry has 119 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 119)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 119)
   }
 
   test("every query has a DuckDB oracle") {
