@@ -222,8 +222,11 @@ object EventStreamJob {
     if (open.isEmpty) state.remove()
     else {
       state.update(SessBuffer(open.flatten.toList))
-      // Re-check when the watermark clears the youngest open run.
-      val wakeMs = Math.floorDiv(open.flatten.map(_.us).max + SessionGapUs, 1000L) + 1
+      // Re-check as soon as the watermark could close the OLDEST open
+      // run (min, not max: an idle user's several-run backlog must not
+      // wait for the youngest run's gap to clear).
+      val wakeMs = Math.floorDiv(
+        open.map(_.last.us).min + SessionGapUs, 1000L) + 1
       state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1))
     }
     closed.flatMap(splitSessions).iterator
@@ -256,8 +259,10 @@ object EventStreamJob {
   }
 
   /** File-source streaming read of the events table: parquet files
-    * arriving in a directory, schema pinned (never inferred), ns→µs
-    * timestamp conversion as in Tables.load.
+    * arriving in a directory, schema pinned (never inferred), raw-long
+    * → µs timestamp conversion as in Tables.load (the ts unit is
+    * sniffed once from the files present at stream definition; later
+    * arrivals in the same directory share the unit by contract).
     */
   def readEventStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Int = 1): DataFrame =
@@ -265,7 +270,8 @@ object EventStreamJob {
       .schema(Tables.schemas("events"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(
+        s"timestamp_micros(ts div ${Tables.eventsTsDivisor(spark, dir)})"))
 
   /** Run the hourly aggregation as a real streaming query over parquet
     * files in `srcDir`, writing closed windows to `outDir` until all
