@@ -3524,9 +3524,203 @@ object TextQueries {
       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
     doc = "curation: per-source quantile normalization vs raw global cut (cross-source score calibration)")
 
+  /** q120 — temperature-scaled source mixture (α = 0.5): allocate a
+    * doc budget across sources with sampling probability ∝ n_s^α
+    * instead of ∝ n_s — the multilingual-pretraining standard
+    * (exponent-smoothed sampling, mBERT/XLM-R/mT5 lineage) that keeps
+    * a giant source from drowning the small ones while still
+    * respecting size. The output shows the proportional (raw) and
+    * temperature quotas side by side, plus the per-source effective
+    * epoch factor epochs_q = quota·10⁶ div n_s — the quantity the
+    * smoothing exists to move: small sources go above 10⁶ (upsampled
+    * epochs), the biggest source goes below.
+    *
+    * Determinism: α = 0.5 is deliberate — sqrt is IEEE
+    * correctly-rounded (unlike pow/ln, whose low bits vary by libm),
+    * multiplying by 2²⁰ only shifts the exponent (never rounds), and
+    * floor is exact, so w_s = ⌊√n_s · 2²⁰⌋ is bit-identical in every
+    * engine. Everything after that one sqrt is integer Hamilton
+    * apportionment (the q103 machinery): quotas sum to N by
+    * construction for BOTH allocations, remainder ties broken by
+    * source name.
+    *
+    * Scale design: the corpus is touched by exactly one count
+    * aggregate (map-side combinable); every later frame is
+    * |sources|-row, where the unpartitioned remainder-rank windows
+    * are deliberate and bounded (q103 stance). No doc-cardinality
+    * join, no text movement — this query costs one scan regardless
+    * of corpus size.
+    */
+  val q120 = Q(
+    "q120_temperature_mixture",
+    (s, dir) => {
+      import s.implicits._
+      val N = 200L
+      val counts = docs(s, dir).groupBy($"source")
+        .agg(count(lit(1)).as("n_s"))
+        .withColumn("w",
+          floor(sqrt($"n_s".cast("double")) * lit(1048576.0)).cast("long"))
+        .cache() // sources-shaped: both quota chains read it
+      val tot = counts.agg(sum($"n_s").as("n_tot"), sum($"w").as("w_tot"))
+      val fl = counts.crossJoin(broadcast(tot))
+        .withColumn("rfl", expr(s"$N * n_s div n_tot"))
+        .withColumn("rrem", expr(s"$N * n_s % n_tot"))
+        .withColumn("tfl", expr(s"$N * w div w_tot"))
+        .withColumn("trem", expr(s"$N * w % w_tot"))
+        .cache()
+      val deficit = fl.agg((lit(N) - sum($"rfl")).as("rd"),
+        (lit(N) - sum($"tfl")).as("td"))
+      // |sources|-row frame: the unpartitioned windows are deliberate
+      fl.crossJoin(broadcast(deficit))
+        .withColumn("rrk",
+          row_number().over(Window.orderBy($"rrem".desc, $"source".asc)))
+        .withColumn("trk",
+          row_number().over(Window.orderBy($"trem".desc, $"source".asc)))
+        .select($"source", $"n_s".as("n_docs"),
+          ($"rfl" + when($"rrk" <= $"rd", 1L).otherwise(0L)).as("raw_quota"),
+          ($"tfl" + when($"trk" <= $"td", 1L).otherwise(0L)).as("temp_quota"))
+        .withColumn("epochs_q", expr("temp_quota * 1000000L div n_docs"))
+        .orderBy($"source")
+    },
+    Some("""WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_s,
+      |         CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1048576.0) AS BIGINT) AS w
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT SUM(n_s) AS n_tot, SUM(w) AS w_tot FROM counts),
+      |fl AS (
+      |  SELECT source, n_s,
+      |         200 * n_s // (SELECT n_tot FROM tot) AS rfl,
+      |         200 * n_s % (SELECT n_tot FROM tot) AS rrem,
+      |         200 * w // (SELECT w_tot FROM tot) AS tfl,
+      |         200 * w % (SELECT w_tot FROM tot) AS trem
+      |  FROM counts),
+      |d AS (SELECT 200 - SUM(rfl) AS rd, 200 - SUM(tfl) AS td FROM fl),
+      |rk AS (
+      |  SELECT source, n_s, rfl, tfl,
+      |         ROW_NUMBER() OVER (ORDER BY rrem DESC, source ASC) AS rrk,
+      |         ROW_NUMBER() OVER (ORDER BY trem DESC, source ASC) AS trk
+      |  FROM fl)
+      |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+      |       CAST(rfl + CASE WHEN rrk <= (SELECT rd FROM d) THEN 1 ELSE 0 END AS BIGINT) AS raw_quota,
+      |       CAST(tfl + CASE WHEN trk <= (SELECT td FROM d) THEN 1 ELSE 0 END AS BIGINT) AS temp_quota,
+      |       CAST((tfl + CASE WHEN trk <= (SELECT td FROM d) THEN 1 ELSE 0 END) * 1000000 // n_s AS BIGINT) AS epochs_q
+      |FROM rk ORDER BY source""".stripMargin),
+    doc = "curation: temperature-scaled (α=0.5) source mixture vs proportional allocation, exact-N Hamilton quotas")
+
+  /** q121 — content-defined chunking (CDC) dedup: cut every document
+    * into variable-length chunks at content-determined boundaries — a
+    * cut after token p whenever the 8-gram ending at p hashes to
+    * 0 mod 64 (expected chunk ≈ 64 tokens) — then measure corpus-wide
+    * chunk-level duplication. Because boundaries depend only on local
+    * content, an edit near the head of a shared document re-chunks
+    * only its neighborhood and every downstream chunk re-aligns —
+    * the property fixed-window chunking (q110) lacks and the reason
+    * storage/dedup systems (LBFS/Venti lineage) chunk this way. Per
+    * source: chunk count and mean length (the boundary-density
+    * audit), how many chunks this source is the corpus-wide FIRST
+    * holder of, and stored_ratio_q = first_held·10⁶ div n_chunks —
+    * the fraction of its chunk volume the corpus actually has to
+    * store (low ratio = the source is mostly re-serving content seen
+    * elsewhere).
+    *
+    * Determinism: chunk identity is a 60-bit md5 of the chunk text;
+    * the first-holder election is min(doc_id, chunk_idx) — exact,
+    * tie-free (doc_id is unique); mean_chunk_len divides two exact
+    * longs in ONE IEEE division; stored_ratio_q is integer.
+    *
+    * Scale design: boundary detection, chunk assembly and chunk
+    * hashing are PURE MAP — higher-order array functions per row, no
+    * explode-shuffle of positions, no window, no join until the
+    * hash-keyed election. The only shuffles carry (source, 60-bit
+    * chash, clen) — never text or token arrays. The election and both
+    * aggregates combine map-side. At 100 TB this is one scan plus two
+    * hash-keyed aggregations of int-width rows.
+    */
+  val q121 = Q(
+    "q121_cdc_chunk_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir)
+        .select($"doc_id", $"source",
+          split(coalesce($"text", lit("")), " ").as("tk"))
+        .withColumn("n", size($"tk"))
+        .withColumn("ghs",
+          when($"n" >= 8, gramHashArr).otherwise(expr("array()").cast("array<bigint>")))
+        // cut after position p (8 ≤ p ≤ n−1) iff the 8-gram ending at p
+        // hashes ≡ 0 (mod 64); a cut at p = n would create an empty chunk
+        .withColumn("cuts",
+          when($"n" >= 9,
+            expr("filter(sequence(8, n - 1), p -> ghs[p - 8] % 64 = 0)"))
+          .otherwise(expr("array()").cast("array<int>")))
+        .withColumn("starts",
+          expr("concat(array(1), transform(cuts, c -> c + 1))"))
+        .withColumn("ends", expr("concat(cuts, array(n))"))
+      val chunks = base
+        .select($"doc_id", $"source", $"tk",
+          posexplode(expr(
+            """transform(sequence(0, size(cuts)),
+              |  k -> struct(starts[k] as st, ends[k] - starts[k] + 1 as ln))"""
+              .stripMargin)).as(Seq("chunk_idx", "c")))
+        .select($"doc_id", $"source", $"chunk_idx", $"c.ln".as("clen"),
+          expr("""cast(conv(substring(md5(
+                 concat_ws(' ', slice(tk, c.st, c.ln))), 1, 15), 16, 10) as bigint)""")
+            .as("chash"))
+        .corpusBarrier
+      val totals = chunks.groupBy($"source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum($"clen").as("n_tokens"),
+          (sum($"clen").cast("double") / count(lit(1))).as("mean_chunk_len"))
+      val first = chunks.groupBy($"chash")
+        .agg(min(struct($"doc_id", $"chunk_idx", $"source")).as("w"))
+        .groupBy($"w.source".as("source"))
+        .agg(count(lit(1)).as("n_first_held"))
+      totals.join(first, Seq("source"), "left")
+        .na.fill(0L, Seq("n_first_held"))
+        .withColumn("stored_ratio_q",
+          expr("n_first_held * 1000000L div n_chunks"))
+        .select($"source", $"n_chunks", $"n_tokens", $"mean_chunk_len",
+          $"n_first_held", $"stored_ratio_q")
+        .orderBy($"source")
+    },
+    Some("""WITH tok AS (
+      |  SELECT doc_id, source, string_split(COALESCE(text, ''), ' ') AS t,
+      |         len(string_split(COALESCE(text, ''), ' ')) AS n
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, source, t[p] AS tok, n, p,
+      |         CASE WHEN p >= 8 AND p <= n - 1
+      |              AND CAST(('0x' || substr(md5(array_to_string(t[p-7:p], ' ')), 1, 15)) AS BIGINT) % 64 = 0
+      |              THEN 1 ELSE 0 END AS cut
+      |  FROM (SELECT doc_id, source, t, n, UNNEST(generate_series(1, n)) AS p
+      |        FROM tok)),
+      |c AS (
+      |  SELECT doc_id, source, tok, p,
+      |         COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY p
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+      |  FROM pos),
+      |ch AS (
+      |  SELECT doc_id, source, chunk_idx, COUNT(*) AS clen,
+      |         CAST(('0x' || substr(md5(string_agg(tok, ' ' ORDER BY p)), 1, 15)) AS BIGINT) AS chash
+      |  FROM c GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT source, COUNT(*) AS n_chunks, CAST(SUM(clen) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(clen) AS DOUBLE) / COUNT(*) AS mean_chunk_len
+      |  FROM ch GROUP BY 1),
+      |fh AS (
+      |  SELECT source, COUNT(*) AS n_first_held
+      |  FROM (SELECT chash, source,
+      |               ROW_NUMBER() OVER (PARTITION BY chash
+      |                 ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+      |        FROM ch) WHERE rn = 1 GROUP BY 1)
+      |SELECT t.source, t.n_chunks, t.n_tokens, t.mean_chunk_len,
+      |       COALESCE(f.n_first_held, 0) AS n_first_held,
+      |       COALESCE(f.n_first_held, 0) * 1000000 // t.n_chunks AS stored_ratio_q
+      |FROM tot t LEFT JOIN fh f USING (source) ORDER BY t.source""".stripMargin),
+    doc = "dedup: content-defined chunking (gram-hash boundaries) with corpus-wide first-holder chunk dedup accounting")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
-        q113, q114, q115, q116, q117, q118, q119)
+        q113, q114, q115, q116, q117, q118, q119, q120, q121)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 119 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 119)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 119)
+  test("registry has 121 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 121)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 121)
   }
 
   test("every query has a DuckDB oracle") {
