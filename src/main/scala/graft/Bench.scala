@@ -68,7 +68,11 @@ object Bench {
     "q114_bm25_search",
     "q115_substring_trim",
     "q116_bigram_perplexity",
-    "q117_source_drift_psi")
+    "q117_source_drift_psi",
+    "q118_gram_novelty",
+    "q119_quantile_normalize",
+    "q120_temperature_mixture",
+    "q121_cdc_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

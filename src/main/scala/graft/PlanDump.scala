@@ -90,7 +90,15 @@ object PlanDump {
     "q116_bigram_perplexity" ->
       "Bigram perplexity: positions pre-hashed to longs, compressed to per-(doc,bigram) counts map-side behind a barrier (model + scoring consumers); model is bigram-type-bounded; scoring equi-join on the bigram long (AQE-skew-splittable); election max(struct) — no window, no sort.",
     "q117_source_drift_psi" ->
-      "PSI drift: one map pass computes per-doc power-of-2 length bucket (no explode), compressed by a (source,bucket) aggregate of cardinality |sources|*O(log max_len); everything downstream is broadcast algebra on sub-hundred-row frames; per-source argmax is max(struct).")
+      "PSI drift: one map pass computes per-doc power-of-2 length bucket (no explode), compressed by a (source,bucket) aggregate of cardinality |sources|*O(log max_len); everything downstream is broadcast algebra on sub-hundred-row frames; per-source argmax is max(struct).",
+    "q118_gram_novelty" ->
+      "Gram novelty: the serial seen-set crawl scan re-expressed as a min(doc_id) election per gram — shuffles carry (doc_id, 60-bit gram hash) only; distinct + election both combine map-side; downstream is doc-cardinality.",
+    "q119_quantile_normalize" ->
+      "Quantile normalization: per-source and global ranks via DistributedRank (range sort + per-partition offsets, no one-task-per-source window); group sizes and corpus total broadcast back; exact-integer percentiles.",
+    "q120_temperature_mixture" ->
+      "Temperature mixture: ONE map-side-combinable count aggregate touches the corpus; every later frame is |sources|-row where the unpartitioned Hamilton remainder-rank windows are deliberate and bounded.",
+    "q121_cdc_chunk_dedup" ->
+      "CDC chunk dedup: boundary detection, chunk assembly and hashing are pure in-row array maps (no position explode); shuffles carry (source, 60-bit chunk hash, len); first-holder election is min(struct), map-side combinable.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

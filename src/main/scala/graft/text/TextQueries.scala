@@ -2051,10 +2051,12 @@ object TextQueries {
     * specs — prefix width / separator / window size change in ONE place
     * (the oracles state the equivalent SQL).
     */
-  private[graft] val gramHashArr = expr(
+  private[graft] val gramHashSql =
     """transform(sequence(1, size(tk) - 7),
       |  i -> cast(conv(substring(md5(
-      |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin)
+      |         concat_ws(' ', slice(tk, i, 8))), 1, 15), 16, 10) as bigint))""".stripMargin
+
+  private[graft] val gramHashArr = expr(gramHashSql)
 
   /** q99 — unigram-LM surprisal proxy (the cheap perplexity stand-in
     * every pre-LM quality filter uses: a doc whose tokens are corpus-rare
@@ -3631,45 +3633,68 @@ object TextQueries {
     * Scale design: boundary detection, chunk assembly and chunk
     * hashing are PURE MAP — higher-order array functions per row, no
     * explode-shuffle of positions, no window, no join until the
-    * hash-keyed election. The only shuffles carry (source, 60-bit
-    * chash, clen) — never text or token arrays. The election and both
-    * aggregates combine map-side. At 100 TB this is one scan plus two
-    * hash-keyed aggregations of int-width rows.
+    * hash-keyed election. The per-source totals need no chunk rows at
+    * all (every doc contributes size(cuts)+1 chunks over exactly n
+    * tokens), so the only explode emits narrow (ln, chash) structs and
+    * the only shuffles carry (source, 60-bit chash, clen) — never text
+    * or token arrays. The election and the aggregates combine
+    * map-side. At 100 TB this is one scan plus two hash-keyed
+    * aggregations of int-width rows.
     */
   val q121 = Q(
     "q121_cdc_chunk_dedup",
     (s, dir) => {
       import s.implicits._
-      val base = docs(s, dir)
+      val toks = docs(s, dir)
         .select($"doc_id", $"source",
           split(coalesce($"text", lit("")), " ").as("tk"))
         .withColumn("n", size($"tk"))
-        .withColumn("ghs",
-          when($"n" >= 8, gramHashArr).otherwise(expr("array()").cast("array<bigint>")))
-        // cut after position p (8 ≤ p ≤ n−1) iff the 8-gram ending at p
-        // hashes ≡ 0 (mod 64); a cut at p = n would create an empty chunk
-        .withColumn("cuts",
-          when($"n" >= 9,
-            expr("filter(sequence(8, n - 1), p -> ghs[p - 8] % 64 = 0)"))
-          .otherwise(expr("array()").cast("array<int>")))
-        .withColumn("starts",
-          expr("concat(array(1), transform(cuts, c -> c + 1))"))
-        .withColumn("ends", expr("concat(cuts, array(n))"))
-      val chunks = base
-        .select($"doc_id", $"source", $"tk",
-          posexplode(expr(
-            """transform(sequence(0, size(cuts)),
-              |  k -> struct(starts[k] as st, ends[k] - starts[k] + 1 as ln))"""
-              .stripMargin)).as(Seq("chunk_idx", "c")))
-        .select($"doc_id", $"source", $"chunk_idx", $"c.ln".as("clen"),
-          expr("""cast(conv(substring(md5(
-                 concat_ws(' ', slice(tk, c.st, c.ln))), 1, 15), 16, 10) as bigint)""")
-            .as("chash"))
+        // barrier: gramHashArr's lambda slices tk per position — an
+        // un-materialized tk would inline split() per gram (the
+        // q45/q51/q96 lesson)
         .corpusBarrier
-      val totals = chunks.groupBy($"source")
-        .agg(count(lit(1)).as("n_chunks"),
-          sum($"clen").as("n_tokens"),
-          (sum($"clen").cast("double") / count(lit(1))).as("mean_chunk_len"))
+      val base = toks
+        // cut after position p (8 ≤ p ≤ n−1) iff the 8-gram ending at p
+        // hashes ≡ 0 (mod 64); a cut at p = n would create an empty
+        // chunk. The gram array is bound ONCE as transform's collection
+        // argument — a lambda that indexed ghs[p-8] per candidate
+        // position would inline and re-evaluate the whole md5 transform
+        // per element (O(n²) md5s).
+        .withColumn("cuts",
+          when($"n" >= 9, expr(
+            s"""filter(transform($gramHashSql,
+               |  (g, i) -> if(g % 64 = 0 and i + 8 < n, i + 8, 0)),
+               |  p -> p > 0)""".stripMargin))
+          .otherwise(expr("array()").cast("array<int>")))
+        .select($"doc_id", $"source", $"tk", $"n", $"cuts")
+        // second barrier: cuts is read 4× by the chunk generator below
+        // and the totals read it again — without it, CollapseProject
+        // inlines the gram-hash filter per reference.
+        .corpusBarrier
+      // per-source chunk totals need no chunk rows at all: every doc
+      // contributes size(cuts)+1 chunks covering exactly n tokens
+      val totals = base.groupBy($"source")
+        .agg(sum(expr("size(cuts) + 1")).as("n_chunks"),
+          sum($"n".cast("long")).as("n_tokens"))
+        .withColumn("mean_chunk_len",
+          $"n_tokens".cast("double") / $"n_chunks")
+      // chunk identity in-row (nested transform binds st/en once per
+      // chunk), then explode ONLY the narrow (ln, chash) structs — the
+      // token array never survives past this projection
+      val chunks = base
+        .select($"doc_id", $"source",
+          posexplode(expr(
+            """transform(
+              |  transform(sequence(0, size(cuts)),
+              |    k -> struct(if(k = 0, 1, cuts[k - 1] + 1) as st,
+              |                if(k = size(cuts), n, cuts[k]) as en)),
+              |  c -> struct(c.en - c.st + 1 as ln,
+              |              cast(conv(substring(md5(concat_ws(' ',
+              |                slice(tk, c.st, c.en - c.st + 1))), 1, 15), 16, 10)
+              |                as bigint) as chash))""".stripMargin))
+            .as(Seq("chunk_idx", "c")))
+        .select($"doc_id", $"source", $"chunk_idx",
+          $"c.ln".as("clen"), $"c.chash".as("chash"))
       val first = chunks.groupBy($"chash")
         .agg(min(struct($"doc_id", $"chunk_idx", $"source")).as("w"))
         .groupBy($"w.source".as("source"))
