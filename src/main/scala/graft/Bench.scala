@@ -72,7 +72,9 @@ object Bench {
     "q118_gram_novelty",
     "q119_quantile_normalize",
     "q120_temperature_mixture",
-    "q121_cdc_chunk_dedup")
+    "q121_cdc_chunk_dedup",
+    "q122_containment_quotes",
+    "q123_lsh_recall_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

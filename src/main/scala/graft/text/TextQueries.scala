@@ -3743,9 +3743,207 @@ object TextQueries {
       |FROM tot t LEFT JOIN fh f USING (source) ORDER BY t.source""".stripMargin),
     doc = "dedup: content-defined chunking (gram-hash boundaries) with corpus-wide first-holder chunk dedup accounting")
 
+  /** q122 — n-gram CONTAINMENT pairs (Broder's asymmetric measure):
+    * C(A→B) = |shingles(A) ∩ shingles(B)| ÷ |shingles(A)|. Jaccard
+    * (q51) structurally misses quotes — a short doc fully embedded in
+    * a long one has i = na, so J = na/nb ≈ 0 while C(A→B) = 1 — and
+    * quote/subset pairs are exactly what decontamination and
+    * attribution care about. Output: directed pairs at C ≥ 0.8 with
+    * the Jaccard alongside (the gap between the two columns IS the
+    * quote signal).
+    *
+    * Determinism: the filter is the integer cross-multiply 5·i ≥ 4·na
+    * (no float threshold edge); the displayed ratios are single IEEE
+    * divisions rounded for display.
+    *
+    * Scale design: candidates come from a PREFIX-FILTERED probe
+    * (Chaudhuri et al. / PPJoin lineage): if i ≥ o = ⌈t·na⌉ then A's
+    * first na−o+1 shingles IN A FIXED GLOBAL ORDER (ascending 60-bit
+    * hash — both sides sort the same way) must hit B somewhere, so
+    * only ~(1−t) of each doc's shingles probe the inverted index —
+    * lossless, and the asymmetric analogue of q51's length filter
+    * (which cannot apply here: containment has no length-ratio bound
+    * by design). Exact verification attaches the two compact hash
+    * arrays and intersects map-side (the q45 verify shape); shuffles
+    * carry 60-bit longs, never shingle text.
+    */
+  /** [[q122]]'s pipeline over an in-memory frame (doc_id + text), at
+    * containment threshold tNum/tDen — exact-rational so the prefix
+    * length and the filter share one integer definition (a float
+    * threshold would let the two drift at representation edges and
+    * break the prefix filter's losslessness).
+    */
+  private[graft] def containmentPairsOf(docsDf: DataFrame,
+                                        tNum: Int, tDen: Int): DataFrame = {
+      val s = docsDf.sparkSession
+      import s.implicits._
+      val toks = docsDf
+        .select($"doc_id", split($"text", " ").as("tk"))
+        .filter(size($"tk") >= 3)
+        .corpusBarrier // shingling slices tk per position (q45/q51 lesson)
+      val arrs = toks
+        .select($"doc_id", array_sort(array_distinct(expr(
+          """transform(sequence(1, size(tk) - 2),
+            |  i -> cast(conv(substring(md5(concat_ws(' ',
+            |         element_at(tk, i), element_at(tk, i + 1),
+            |         element_at(tk, i + 2))), 1, 15), 16, 10) as bigint))"""
+            .stripMargin))).as("hs"))
+        .withColumn("na", size($"hs").cast("long"))
+        // barrier: four consumers (prefix probe, index explode, both
+        // verify attaches) — and the sort itself must not re-run
+        .corpusBarrier
+      // o = ceil(tNum*na/tDen) as exact integers; prefix = na - o + 1
+      val probe = arrs.select($"doc_id".as("doc_a"), $"na",
+        explode(expr(
+          s"slice(hs, 1, cast(na - (($tNum * na + ${tDen - 1}) div $tDen) + 1 as int))"))
+          .as("h"))
+      val index = arrs.select($"doc_id".as("doc_b"), explode($"hs").as("h"))
+      val cands = probe.join(index, Seq("h"))
+        .filter($"doc_a" =!= $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      cands
+        .join(arrs.select($"doc_id".as("doc_a"), $"hs".as("hs_a"), $"na"),
+          Seq("doc_a"))
+        .join(arrs.select($"doc_id".as("doc_b"), $"hs".as("hs_b"),
+          $"na".as("nb")), Seq("doc_b"))
+        .withColumn("i", size(array_intersect($"hs_a", $"hs_b")).cast("long"))
+        .filter($"i" * tDen >= $"na" * tNum)
+        .select($"doc_a", $"doc_b", $"na", $"nb",
+          round($"i" * 1.0 / $"na", 4).as("containment"),
+          round($"i" * 1.0 / ($"na" + $"nb" - $"i"), 4).as("jaccard"))
+        .orderBy($"doc_a", $"doc_b")
+  }
+
+  val q122 = Q(
+    "q122_containment_quotes",
+    (s, dir) => containmentPairsOf(docs(s, dir), tNum = 4, tDen = 5),
+    Some("""WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i FROM tk)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, sa.n AS na, sb.n AS nb,
+      |       ROUND(i.i * 1.0 / sa.n, 4) AS containment,
+      |       ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+      |FROM inter i
+      |JOIN sz sa ON i.doc_a = sa.doc_id
+      |JOIN sz sb ON i.doc_b = sb.doc_id
+      |WHERE 5 * i.i >= 4 * sa.n
+      |ORDER BY doc_a, doc_b""".stripMargin),
+    doc = "dedup: directed n-gram containment pairs (quote/subset detection Jaccard misses), prefix-filtered probe")
+
+  /** q123 — measured LSH recall curve: the empirical S-curve of the
+    * q45 MinHash banding (8 hashes / 2 bands, [[LshParams]] defaults)
+    * against EXACT token-set Jaccard, by similarity bucket. LshParams
+    * documents the analytic S-curve P(candidate) = 1−(1−j^r)^b; this
+    * query MEASURES it on the actual corpus — the artifact a 100 TB
+    * operator reads before turning the (bands, rows) knob, because the
+    * analytic curve assumes independent hash ranks and real corpora
+    * don't oblige.
+    *
+    * Method: a deterministic doc sample (doc_id ≡ 0 mod 4) pays
+    * all-pairs exact Jaccard — O(s²) BY DESIGN, where s is a knob
+    * constant in corpus size, which is the only honest way to get
+    * ground truth that includes the pairs LSH MISSES (any
+    * index-assisted shortlist would beg the question). Pair candidacy
+    * is evaluated in-row from the two signatures (band strings equal —
+    * the pre-rehash definition, so a 64-bit band_val collision in q45
+    * can only ADD candidates relative to this measure, never hide a
+    * miss); no corpus-wide candidate join runs at all.
+    *
+    * Determinism: Jaccard is one IEEE division (identical both
+    * engines); buckets are floor(10·j) clamped to [5,9]; recall_q is
+    * exact integer; empty buckets emit NULL recall.
+    */
+  val q123 = Q(
+    "q123_lsh_recall_curve",
+    (s, dir) => {
+      import s.implicits._
+      val p = LshParams() // the q45 defaults: 8 hashes, 2 bands
+      val smp = docs(s, dir).filter($"doc_id" % 4 === 0)
+        .select($"doc_id", array_distinct(toks).as("ta"))
+        .withColumn("n", size($"ta").cast("long"))
+        .corpusBarrier // ta feeds 9 md5 passes (8 minhash + th)
+      val sig = smp.select(Seq($"doc_id", $"n",
+          expr("transform(ta, t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))")
+            .as("th")) ++ minhashCols(p): _*)
+      val bandCols = (1 to p.bands).map(b =>
+        concat(p.bandMembers(b).map(i => col(s"m$i")): _*).as(s"b$b"))
+      val side = sig.select(Seq($"doc_id", $"n", $"th") ++ bandCols: _*)
+      val a = side.select($"doc_id".as("doc_a"), $"n".as("na"),
+        $"th".as("th_a"), $"b1".as("b1a"), $"b2".as("b2a"))
+      val b = side.select($"doc_id".as("doc_b"), $"n".as("nb"),
+        $"th".as("th_b"), $"b1".as("b1b"), $"b2".as("b2b"))
+      // bounded-sample all-pairs: BroadcastNestedLoopJoin over s rows —
+      // the deliberate O(s²) ground-truth pass (see Scaladoc)
+      val pairs = a.join(b, $"doc_a" < $"doc_b")
+        .withColumn("i", size(array_intersect($"th_a", $"th_b")).cast("long"))
+        .withColumn("j", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
+        .filter($"j" >= 0.5)
+        .withColumn("bucket", least(floor($"j" * 10).cast("int"), lit(9)))
+        .withColumn("cand", ($"b1a" === $"b1b") || ($"b2a" === $"b2b"))
+      val curve = pairs.groupBy($"bucket")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"cand", 1L).otherwise(0L)).as("n_candidates"))
+      Seq(5, 6, 7, 8, 9).toDF("bucket")
+        .join(curve, Seq("bucket"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_candidates"))
+        .withColumn("j_lo", $"bucket" / 10.0)
+        .withColumn("recall_q",
+          when($"n_pairs" > 0, expr("n_candidates * 1000000L div n_pairs")))
+        .select($"j_lo", $"n_pairs", $"n_candidates", $"recall_q")
+        .orderBy($"j_lo")
+    },
+    Some("""WITH smp AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ta
+      |  FROM documents WHERE doc_id % 4 = 0),
+      |tok AS (SELECT doc_id, UNNEST(ta) AS t FROM smp),
+      |hs AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY 1),
+      |mh AS (SELECT doc_id,
+      |         MIN(md5('1|' || t)) AS m1, MIN(md5('2|' || t)) AS m2,
+      |         MIN(md5('3|' || t)) AS m3, MIN(md5('4|' || t)) AS m4,
+      |         MIN(md5('5|' || t)) AS m5, MIN(md5('6|' || t)) AS m6,
+      |         MIN(md5('7|' || t)) AS m7, MIN(md5('8|' || t)) AS m8
+      |       FROM tok GROUP BY 1),
+      |bd AS (SELECT doc_id, m1||m2||m3||m4 AS b1, m5||m6||m7||m8 AS b2 FROM mh),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      |  FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT da, db, i * 1.0 / (sa.n + sb.n - i) AS j
+      |  FROM inter
+      |  JOIN sz sa ON da = sa.doc_id JOIN sz sb ON db = sb.doc_id
+      |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+      |scored AS (
+      |  SELECT LEAST(CAST(FLOOR(j * 10) AS INT), 9) AS bucket,
+      |         CASE WHEN ba.b1 = bb.b1 OR ba.b2 = bb.b2 THEN 1 ELSE 0 END AS cand
+      |  FROM pairs JOIN bd ba ON da = ba.doc_id JOIN bd bb ON db = bb.doc_id),
+      |curve AS (
+      |  SELECT bucket, COUNT(*) AS n_pairs,
+      |         CAST(SUM(cand) AS BIGINT) AS n_candidates
+      |  FROM scored GROUP BY 1)
+      |SELECT b.bucket / 10.0 AS j_lo,
+      |       COALESCE(c.n_pairs, 0) AS n_pairs,
+      |       COALESCE(c.n_candidates, 0) AS n_candidates,
+      |       CASE WHEN COALESCE(c.n_pairs, 0) > 0
+      |            THEN COALESCE(c.n_candidates, 0) * 1000000 // c.n_pairs END AS recall_q
+      |FROM (SELECT UNNEST([5, 6, 7, 8, 9]) AS bucket) b
+      |LEFT JOIN curve c USING (bucket)
+      |ORDER BY j_lo""".stripMargin),
+    doc = "dedup: measured MinHash-LSH candidate recall by exact-Jaccard bucket over a bounded doc sample")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
-        q113, q114, q115, q116, q117, q118, q119, q120, q121)
+        q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

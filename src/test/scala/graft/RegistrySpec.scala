@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 121 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 121)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 121)
+  test("registry has 123 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 123)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 123)
   }
 
   test("every query has a DuckDB oracle") {
