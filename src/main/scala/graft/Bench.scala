@@ -74,7 +74,9 @@ object Bench {
     "q120_temperature_mixture",
     "q121_cdc_chunk_dedup",
     "q122_containment_quotes",
-    "q123_lsh_recall_curve")
+    "q123_lsh_recall_curve",
+    "q124_cms_heavy_hitters",
+    "q125_encoding_noise")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

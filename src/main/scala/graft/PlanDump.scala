@@ -102,7 +102,11 @@ object PlanDump {
     "q122_containment_quotes" ->
       "Containment: directed prefix-filtered probe (~(1-t) of each doc's sorted shingle hashes) against the full inverted index — the asymmetric analogue of the PPJoin length filter, which cannot apply; verify attaches compact hash arrays and intersects map-side; shuffles carry 60-bit longs, never shingle text.",
     "q123_lsh_recall_curve" ->
-      "LSH recall audit: bounded-sample all-pairs ground truth (O(s^2) BY DESIGN, s constant in corpus size) via BroadcastNestedLoopJoin; pair candidacy evaluated in-row from the two band strings — no corpus-wide candidate join at all.")
+      "LSH recall audit: bounded-sample all-pairs ground truth (O(s^2) BY DESIGN, s constant in corpus size) via BroadcastNestedLoopJoin; pair candidacy evaluated in-row from the two band strings — no corpus-wide candidate join at all.",
+    "q124_cms_heavy_hitters" ->
+      "CMS heavy hitters: token stream compresses to the vocab dict first; sketch construction is |vocab|*d narrow rows aggregated map-side into <= d*w cells; top-20 is TakeOrdered; estimation joins 20 rows against a <= 4096-row broadcast sketch.",
+    "q125_encoding_noise" ->
+      "Encoding noise: ONE codegen'd map pass (regexp_count + length) and one map-side-combinable aggregate to a |sources|-row frame (the q95 scrub shape); no text shuffles; worst-doc election is max(struct).")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -3941,9 +3941,161 @@ object TextQueries {
       |ORDER BY j_lo""".stripMargin),
     doc = "dedup: measured MinHash-LSH candidate recall by exact-Jaccard bucket over a bounded doc sample")
 
+  /** q124 — count-min-sketch heavy hitters with an exact error audit:
+    * build a (d = 4) × (w = 1024) CMS over the corpus token stream,
+    * then report the top-20 tokens with their exact counts, the
+    * sketch's estimate, and overestimate_q — the relative error the
+    * fixed-size sketch pays. The CMS is THE constant-memory path for
+    * frequency estimation at 100 TB (a 32 KB array summarizes any
+    * token volume); this query certifies its one-sided guarantee
+    * (estimate ≥ exact, never under) and measures the actual
+    * collision inflation on this corpus.
+    *
+    * Determinism: bucket hashes are salted 60-bit md5 prefixes mod w
+    * (the corpus-wide salt pattern of [[minhashCols]]); counts and the
+    * error quotient are exact integers; top-20 ties break by token.
+    *
+    * Scale design: the token stream compresses to the VOCAB-WITH-
+    * COUNTS dict first (the q109 trainer move) — sketch construction
+    * is |vocab|·d rows of (row, bucket, cnt), aggregated map-side into
+    * ≤ d·w cells; the top-20 is a TakeOrdered, and estimation joins 20
+    * tokens against a ≤ 4096-row sketch (broadcast). Nothing
+    * downstream of the first aggregate is corpus-sized.
+    */
+  /** [[q124]]'s pipeline over an in-memory frame at arbitrary sketch
+    * geometry — the spec shrinks w below the vocabulary size to force
+    * collisions and certify the one-sided error bound.
+    */
+  private[graft] def cmsHeavyHittersOf(docsDf: DataFrame,
+                                       d: Int, w: Int, k: Int): DataFrame = {
+      val s = docsDf.sparkSession
+      import s.implicits._
+      val vocab = docsDf
+        .select(explode(toks).as("t"))
+        .groupBy($"t").agg(count(lit(1)).as("cnt"))
+        .corpusBarrier // consumers: sketch build + exact top-k
+      val hashes = (1 to d).map(r => expr(
+        s"cast(conv(substring(md5(concat('$r|', t)), 1, 15), 16, 10) as bigint) % $w"))
+      val vb = vocab.select($"t", $"cnt",
+          posexplode(array(hashes: _*)).as(Seq("r0", "b")))
+      val sketch = vb.groupBy($"r0", $"b").agg(sum($"cnt").as("c"))
+      val top = vocab.orderBy($"cnt".desc, $"t").limit(k)
+        .select($"t", $"cnt".as("exact_cnt"))
+      top
+        .join(vb.select($"t", $"r0", $"b"), Seq("t"))
+        .join(sketch, Seq("r0", "b"))
+        .groupBy($"t", $"exact_cnt")
+        .agg(min($"c").as("est"))
+        .select($"t".as("token"), $"exact_cnt".as("exact_count"),
+          $"est".as("cms_estimate"),
+          expr("(est - exact_cnt) * 1000000L div exact_cnt").as("overestimate_q"))
+        .orderBy($"exact_count".desc, $"token")
+  }
+
+  val q124 = Q(
+    "q124_cms_heavy_hitters",
+    (s, dir) => cmsHeavyHittersOf(docs(s, dir), d = 4, w = 1024, k = 20),
+    Some("""WITH tok AS (
+      |  SELECT UNNEST(string_split(text, ' ')) AS t FROM documents),
+      |vocab AS (SELECT t, COUNT(*) AS cnt FROM tok GROUP BY 1),
+      |vb AS (
+      |  SELECT t, cnt, r,
+      |         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || t), 1, 15)) AS BIGINT) % 1024 AS b
+      |  FROM vocab CROSS JOIN (SELECT UNNEST([1, 2, 3, 4]) AS r)),
+      |sk AS (SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS c FROM vb GROUP BY 1, 2),
+      |top AS (SELECT t, cnt FROM vocab ORDER BY cnt DESC, t LIMIT 20),
+      |est AS (
+      |  SELECT top.t, top.cnt, MIN(sk.c) AS est
+      |  FROM top JOIN vb ON top.t = vb.t JOIN sk ON vb.r = sk.r AND vb.b = sk.b
+      |  GROUP BY 1, 2)
+      |SELECT t AS token, cnt AS exact_count, est AS cms_estimate,
+      |       (est - cnt) * 1000000 // cnt AS overestimate_q
+      |FROM est ORDER BY exact_count DESC, token""".stripMargin),
+    doc = "sketch: count-min heavy hitters (d=4, w=1024) with exact top-20 error audit (one-sided overestimate)")
+
+  /** The suspect-character class behind [[q125]]: C0 controls (minus
+    * tab/newline/CR — binary junk in a "text" column), C1 controls and
+    * the Ã/Â lead bytes (the UTF-8-read-as-Latin-1 mojibake markers:
+    * every two-byte UTF-8 sequence mis-decoded lands on Ã or Â
+    * followed by a C1/symbol char), and U+FFFD (a decoder already gave
+    * up upstream). Character-class counting deliberately avoids
+    * alternation so leftmost-match semantics can't differ between
+    * regex engines.
+    */
+  private val EncodingNoiseClass =
+    "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u0080-\\u009F\\u00C2\\u00C3\\uFFFD]"
+
+  /** [[q125]]'s pipeline over an in-memory frame, for spec fixtures
+    * with injected noise (the driver corpus is clean ASCII, so the
+    * registered query's nonzero path is certified by the spec).
+    */
+  private[graft] def encodingNoiseOf(docsDf: DataFrame): DataFrame = {
+      val s = docsDf.sparkSession
+      import s.implicits._
+      docsDf.select($"doc_id", $"source",
+          length(coalesce($"text", lit(""))).cast("long").as("nchars"),
+          regexp_count(coalesce($"text", lit("")), lit(EncodingNoiseClass))
+            .cast("long").as("narts"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"narts" > 0, 1L).otherwise(0L)).as("n_affected"),
+          sum($"narts").as("n_artifacts"),
+          sum($"nchars").as("n_chars"),
+          max(struct($"narts", (-$"doc_id").as("nd"))).as("w"))
+        .select($"source", $"n_docs", $"n_affected", $"n_artifacts",
+          expr("n_artifacts * 1000000L div n_chars").as("artifacts_per_mchar_q"),
+          when($"w.narts" > 0, -$"w.nd").as("worst_doc"))
+        .orderBy($"source")
+  }
+
+  /** q125 — encoding-noise audit (the ftfy-style pre-filter): count
+    * suspect characters per document — C0/C1 control junk, the Ã/Â
+    * mojibake lead characters of UTF-8-read-as-Latin-1, and U+FFFD —
+    * and report per source: affected docs, artifact density per
+    * million chars, and the worst document. Real crawl corpora carry
+    * double-encoded fragments long before any model sees them; this
+    * is the gate that routes a document to re-decoding instead of
+    * training. (The driver corpus is clean ASCII, so every count is
+    * verifiably zero here; the nonzero path is spec-certified with
+    * injected noise.)
+    *
+    * Determinism: single character-class regex (no alternation, so
+    * leftmost-match semantics cannot differ between engines); density
+    * is exact-integer; the worst-doc election is max(struct) with
+    * doc_id tie-break.
+    *
+    * Scale design: ONE codegen'd map pass (regexp_count + length) and
+    * one map-side-combinable aggregate to a |sources|-row frame — the
+    * q95 scrub shape; no text ever shuffles.
+    */
+  val q125 = Q(
+    "q125_encoding_noise",
+    (s, dir) => encodingNoiseOf(docs(s, dir)),
+    Some("""WITH per AS (
+      |  SELECT doc_id, source,
+      |         length(COALESCE(text, '')) AS nchars,
+      |         len(regexp_extract_all(COALESCE(text, ''),
+      |             '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{0080}-\x{009F}\x{00C2}\x{00C3}\x{FFFD}]')) AS narts
+      |  FROM documents),
+      |mx AS (SELECT source, MAX(narts) AS m FROM per GROUP BY 1),
+      |wd AS (
+      |  SELECT p.source, MIN(p.doc_id) AS worst
+      |  FROM per p JOIN mx ON p.source = mx.source AND p.narts = mx.m
+      |  GROUP BY 1)
+      |SELECT p.source, COUNT(*) AS n_docs,
+      |       COUNT(*) FILTER (narts > 0) AS n_affected,
+      |       CAST(SUM(narts) AS BIGINT) AS n_artifacts,
+      |       CAST(SUM(narts) AS BIGINT) * 1000000 // CAST(SUM(nchars) AS BIGINT) AS artifacts_per_mchar_q,
+      |       CASE WHEN mx.m > 0 THEN wd.worst END AS worst_doc
+      |FROM per p JOIN mx ON p.source = mx.source JOIN wd ON p.source = wd.source
+      |GROUP BY p.source, mx.m, wd.worst
+      |ORDER BY p.source""".stripMargin),
+    doc = "curation: encoding-noise audit (control junk, mojibake lead chars, U+FFFD) per source with worst-doc election")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
-        q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+        q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
+        q125)
 }

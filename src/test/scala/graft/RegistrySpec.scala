@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 123 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 123)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 123)
+  test("registry has 125 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 125)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 125)
   }
 
   test("every query has a DuckDB oracle") {
