@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.text.Cms
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming token-frequency sketch — the operational form of the q124
+  * CMS audit: document batches land as files in a drop directory (the
+  * [[CorpusIngestJob]] front door) and every micro-batch contributes
+  * its own d×w count-min cell grid to the sink. Because the sketch is
+  * LINEAR ([[Cms]]), the running corpus sketch is a plain (row,
+  * bucket) sum over the per-batch grids — frequency queries over an
+  * unbounded ingest with O(d·w) state per batch, no token-level
+  * streaming state, and no rescan of history.
+  *
+  * Replay safety: the sink is partitioned by batch id and written with
+  * dynamic partition overwrite — a replayed batch rewrites its OWN
+  * partition (the [[CorpusIngestJob]] pattern), so at-least-once
+  * foreachBatch still sums every batch exactly once in
+  * [[mergedSketch]]. This is the property that makes the merged
+  * estimates trustworthy: a double-counted batch would silently
+  * inflate every estimate while staying one-sided — no gate would
+  * catch it downstream.
+  *
+  * Scale design: per batch, the only data-sized work is the token
+  * explode compressed immediately to the batch vocab dict; the sink
+  * gains ≤ d·w rows per batch. Merging b batches is one map-side
+  * combinable aggregate over b·d·w int-width rows.
+  */
+object SketchMonitorJob {
+
+  /** Start the sketch builder over `srcDir` (documents-schema parquet
+    * drops). Emits (r0, b, c, batch_id) cell rows to `outDir`, one
+    * d×w grid per micro-batch.
+    */
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+          checkpointDir: String,
+          d: Int = Cms.DefaultD, w: Int = Cms.DefaultW,
+          maxFilesPerTrigger: Int = 1): StreamingQuery =
+    CorpusIngestJob.readDocStream(spark, srcDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch.sparkSession, not the outer session (the foreachBatch
+        // clone-session rule)
+        Cms.cells(batch, d, w)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The running corpus sketch: sum the per-batch grids. Linearity
+    * makes this ≡ [[Cms.cells]] over the union of all ingested
+    * batches (SketchMonitorSpec pins the identity).
+    */
+  def mergedSketch(spark: SparkSession, outDir: String): DataFrame =
+    Cms.merge(spark.read.parquet(outDir).select("r0", "b", "c"))
+}

@@ -3974,18 +3974,11 @@ object TextQueries {
         .select(explode(toks).as("t"))
         .groupBy($"t").agg(count(lit(1)).as("cnt"))
         .corpusBarrier // consumers: sketch build + exact top-k
-      val hashes = (1 to d).map(r => expr(
-        s"cast(conv(substring(md5(concat('$r|', t)), 1, 15), 16, 10) as bigint) % $w"))
-      val vb = vocab.select($"t", $"cnt",
-          posexplode(array(hashes: _*)).as(Seq("r0", "b")))
-      val sketch = vb.groupBy($"r0", $"b").agg(sum($"cnt").as("c"))
+      val sketch = Cms.cellsOfVocab(vocab, d, w)
       val top = vocab.orderBy($"cnt".desc, $"t").limit(k)
         .select($"t", $"cnt".as("exact_cnt"))
       top
-        .join(vb.select($"t", $"r0", $"b"), Seq("t"))
-        .join(sketch, Seq("r0", "b"))
-        .groupBy($"t", $"exact_cnt")
-        .agg(min($"c").as("est"))
+        .join(Cms.estimates(sketch, top.select($"t"), d, w), Seq("t"))
         .select($"t".as("token"), $"exact_cnt".as("exact_count"),
           $"est".as("cms_estimate"),
           expr("(est - exact_cnt) * 1000000L div exact_cnt").as("overestimate_q"))

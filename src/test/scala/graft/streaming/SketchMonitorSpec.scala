@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.text.Cms
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Receipts for [[SketchMonitorJob]]: the merged per-batch sketch is
+  * IDENTICAL to the batch sketch over the union corpus (linearity —
+  * the property that makes a streaming CMS trustworthy), restarts from
+  * the checkpoint add exactly the new data, and merged estimates keep
+  * the one-sided bound against exact union counts.
+  */
+class SketchMonitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def asCells(df: org.apache.spark.sql.DataFrame): Set[(Int, Long, Long)] =
+    df.selectExpr("cast(r0 as int) r0", "cast(b as long) b", "cast(c as long) c")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("merged per-batch grids ≡ the batch sketch of the union corpus") {
+    val srcDir = Files.createTempDirectory("graft-cms-src").toString
+    val outDir = Files.createTempDirectory("graft-cms-out").toString
+    val ckpt = Files.createTempDirectory("graft-cms-ckpt").toString
+    val docs = Tables.load(spark, SparkSpec.Sf0001, "documents")
+
+    // two files → two micro-batches (maxFilesPerTrigger = 1)
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(s"$srcDir/even.parquet")
+    docs.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.parquet(s"$srcDir/odd.parquet")
+
+    val q = SketchMonitorJob.run(spark, s"$srcDir/*", outDir, ckpt)
+    q.awaitTermination()
+    assert(spark.read.parquet(outDir).select($"batch_id").distinct().count() == 2)
+
+    val merged = SketchMonitorJob.mergedSketch(spark, outDir)
+    assert(asCells(merged) === asCells(Cms.cells(docs)))
+
+    // restart from the same checkpoint with one more file: the new
+    // batch adds exactly its own grid — nothing re-ingested
+    val extra = docs.filter($"doc_id" % 7 === 0)
+      .withColumn("doc_id", $"doc_id" + 100000L)
+    extra.coalesce(1).write.parquet(s"$srcDir/extra.parquet")
+    val q2 = SketchMonitorJob.run(spark, s"$srcDir/*", outDir, ckpt)
+    q2.awaitTermination()
+    val mergedAfter = SketchMonitorJob.mergedSketch(spark, outDir)
+    assert(asCells(mergedAfter) === asCells(Cms.cells(docs.unionByName(extra))))
+  }
+
+  test("merged estimates are one-sided against exact union counts") {
+    val srcDir = Files.createTempDirectory("graft-cms2-src").toString
+    val outDir = Files.createTempDirectory("graft-cms2-out").toString
+    val ckpt = Files.createTempDirectory("graft-cms2-ckpt").toString
+    val docs = Tables.load(spark, SparkSpec.Sf0001, "documents")
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(s"$srcDir/a.parquet")
+    docs.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.parquet(s"$srcDir/b.parquet")
+    SketchMonitorJob.run(spark, s"$srcDir/*", outDir, ckpt).awaitTermination()
+
+    val exact = docs.select(explode(split($"text", " ")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"t").limit(50)
+    val est = Cms.estimates(SketchMonitorJob.mergedSketch(spark, outDir),
+      exact.select($"t"))
+    val joined = exact.join(est, Seq("t")).collect()
+    // (the sf0.001 vocabulary is smaller than 50 — every token is a
+    // heavy hitter; the point is the bound, not the count)
+    assert(joined.length == exact.count())
+    assert(joined.nonEmpty)
+    joined.foreach(r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("cnt"),
+        s"undercount for ${r.getString(0)}"))
+  }
+}
