@@ -220,6 +220,13 @@ object CurationPipeline {
     * ABSOLUTE quantized score: calibrate it against the corpus'
     * ppx_q distribution and pin it, as CCNet pins per-language
     * cutoffs. Un-scorable docs (<2 tokens) drop with it.
+    *
+    * `noiseGate = Some(maxPerMcharQ)` drops docs whose encoding-noise
+    * density ([[graft.text.EncodingNoise]], the q125 class) exceeds
+    * the threshold, BEFORE the rule battery (one codegen'd regexp map
+    * — the cheapest gate): mojibake belongs in a re-decoding queue,
+    * not a training mix. `Some(0)` keeps only artifact-free docs.
+    * Gated docs stay in the dedup index like every other gate's.
     */
   /** [[graft.text.SubstringTrim]] as a pipeline stage: text becomes
     * its trimmed form, `n_chars` refreshes, and docs trimmed to
@@ -246,7 +253,8 @@ object CurationPipeline {
           chunk: Option[(Int, Int)] = None,
           qualityGate: Option[graft.text.QualityRules.Params] = None,
           trim: Option[Int] = None,
-          perplexityGate: Option[Long] = None)
+          perplexityGate: Option[Long] = None,
+          noiseGate: Option[Long] = None)
       : CurationReport = {
     import spark.implicits._
     if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
@@ -294,12 +302,19 @@ object CurationPipeline {
     val keptTrim = trim
       .map(minRun => trimStage(keptCanon, minRun))
       .getOrElse(keptCanon)
+    // optional encoding-noise gate FIRST among the gates (one
+    // codegen'd regexp map — the cheapest): mojibake/control-junk
+    // docs are routed to re-decoding, not training, before any stage
+    // reads their statistics (the q125 class via EncodingNoise)
+    val keptClean = noiseGate
+      .map(m => graft.text.EncodingNoise.passing(keptTrim, m))
+      .getOrElse(keptTrim)
     // optional Gopher-rule gate: rule-failing docs never reach the
     // budget ranking (they were still indexed at ingest — a re-crawl
     // classifies as duplicate, not fresh)
     val keptRules = qualityGate
-      .map(p => graft.text.QualityRules.passing(keptTrim, p))
-      .getOrElse(keptTrim)
+      .map(p => graft.text.QualityRules.passing(keptClean, p))
+      .getOrElse(keptClean)
     // LM gate last: rules are cheap, and the intrinsic bigram model
     // then trains on rule-passing survivors only (the CCNet stance)
     val kept = perplexityGate

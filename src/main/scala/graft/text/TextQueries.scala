@@ -4006,29 +4006,18 @@ object TextQueries {
       |FROM est ORDER BY exact_count DESC, token""".stripMargin),
     doc = "sketch: count-min heavy hitters (d=4, w=1024) with exact top-20 error audit (one-sided overestimate)")
 
-  /** The suspect-character class behind [[q125]]: C0 controls (minus
-    * tab/newline/CR — binary junk in a "text" column), C1 controls and
-    * the Ã/Â lead bytes (the UTF-8-read-as-Latin-1 mojibake markers:
-    * every two-byte UTF-8 sequence mis-decoded lands on Ã or Â
-    * followed by a C1/symbol char), and U+FFFD (a decoder already gave
-    * up upstream). Character-class counting deliberately avoids
-    * alternation so leftmost-match semantics can't differ between
-    * regex engines.
-    */
-  private val EncodingNoiseClass =
-    "[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u0080-\\u009F\\u00C2\\u00C3\\uFFFD]"
-
   /** [[q125]]'s pipeline over an in-memory frame, for spec fixtures
     * with injected noise (the driver corpus is clean ASCII, so the
     * registered query's nonzero path is certified by the spec).
+    * The suspect-character class is [[EncodingNoise.SuspectClass]] —
+    * the one definition the pipeline's noise gate shares.
     */
   private[graft] def encodingNoiseOf(docsDf: DataFrame): DataFrame = {
       val s = docsDf.sparkSession
       import s.implicits._
       docsDf.select($"doc_id", $"source",
           length(coalesce($"text", lit(""))).cast("long").as("nchars"),
-          regexp_count(coalesce($"text", lit("")), lit(EncodingNoiseClass))
-            .cast("long").as("narts"))
+          EncodingNoise.artifactCount($"text").as("narts"))
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"narts" > 0, 1L).otherwise(0L)).as("n_affected"),

@@ -488,6 +488,44 @@ class PipelineSpec extends SparkSpec {
       s"manifest should hold the fluent docs only: $selIds")
   }
 
+  test("curation stage gates mojibake docs on encoding noise before selection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx_noise"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-noise")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    // three clean docs (disjoint vocabularies — dedup keeps all) and
+    // one double-encoded doc: same shape, but every accented char
+    // arrives as a mojibake pair
+    def clean(i: Int) = (1 to 12).map(j => s"w${i}_$j").mkString(" ")
+    val mojibake = "cafÃ© rÃ©sumÃ© naÃ¯ve " + (1 to 9).map(j => s"m_$j").mkString(" ")
+    val docsDf = ((1 to 3).map(i => (i.toLong, clean(i))) :+ (9L, mojibake))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docsDf.coalesce(1).write.parquet(s"$srcDir/a")
+
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, root.resolve("work").toString,
+      buckets = 4, budgetNum = 1, budgetDen = 1, block = 64L,
+      noiseGate = Some(0L)) // artifact-free docs only
+    assert(r.kept == 3, s"gate should leave 3 of the 4 kept docs: ${r.kept}")
+    val selIds = spark.read.parquet(r.manifestPath)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(selIds == Set(1L, 2L, 3L),
+      s"manifest should hold the clean docs only: $selIds")
+    // the gated doc was still crawled: its re-crawl classifies as a
+    // duplicate, never fresh content
+    val re = BandIndex.dedupBatch(spark,
+      Seq((99L, mojibake)).toDF("doc_id", "text"), name)
+    assert(re.filter($"flag" === "kept").count() == 0,
+      "re-crawled mojibake must classify as duplicate")
+  }
+
   test("curation stage ingests a raw WET crawl end-to-end (bytes to packed manifest)") {
     // The full Common-Crawl-shaped path: WARC/WET bytes →
     // [[graft.sources.Warc.wetDocuments]] → documents-contract crawl
