@@ -115,42 +115,32 @@ object Tables {
       org.apache.spark.sql.functions.broadcast(df)
     else df
 
-  /** Per-path cache for [[eventsTsDivisor]] — one sniff job per events
-    * path per session lifetime, not one per query.
-    */
-  private val tsDivisorCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-
-  /** The raw-long → µs divisor for the events.ts column at `path`.
+  /** Raw-long events.ts → µs timestamp, ROW-adaptive to the unit.
     *
     * The testdata generator has shipped ts as both TIMESTAMP(NANOS)
     * and TIMESTAMP(MICROS) across generations; both are physical
     * INT64, so the loader always reads the raw long and picks the
-    * divisor by magnitude: any value ≥ 1e17 can only be nanos
-    * (1e17 µs ≈ year 5138, 1e17 ns ≈ 1973), making the test exact for
-    * any event timeline between 1973 and 5138. Magnitude beats
-    * footer-type sniffing here because a raw-long frame round-tripped
-    * through Spark (as the restart fixtures do) writes plain INT64
-    * with no timestamp annotation at all.
+    * divisor per VALUE by magnitude: any value ≥ 1e17 can only be
+    * nanos (1e17 µs ≈ year 5138, 1e17 ns ≈ 1973), making the test
+    * exact for any event timeline between 1973 and 5138. Per-row
+    * (one codegen'd CASE on a long) rather than sniffed-per-path:
+    * a path-level sniff breaks on an empty drop directory — the
+    * normal from-scratch streaming case — by pinning the wrong unit
+    * before any file arrives, and footer-type sniffing would
+    * misclassify raw-long frames round-tripped through Spark (plain
+    * INT64, no timestamp annotation). Nanos truncate sub-µs —
+    * lossless for query semantics, all downstream bucketing is
+    * ≥ second granularity.
     */
-  def eventsTsDivisor(spark: SparkSession, path: String): Long =
-    tsDivisorCache.computeIfAbsent(path, _ => {
-      val mx = spark.read.option("recursiveFileLookup", "true")
-        .schema(schemas("events")).parquet(path)
-        .agg(org.apache.spark.sql.functions.max("ts")).first()
-      if (!mx.isNullAt(0) && mx.getLong(0) >= 100000000000000000L) 1000L
-      else 1L
-    })
+  val tsToMicrosExpr: String =
+    "timestamp_micros(CASE WHEN ts >= 100000000000000000 THEN ts div 1000 ELSE ts END)"
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     val df =
       if (name == "events")
-        // raw int64 → µs (Spark timestamps are µs); nanos generations
-        // truncate sub-µs, lossless for query semantics since all
-        // downstream bucketing is ≥ second granularity.
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-          s"timestamp_micros(ts div ${eventsTsDivisor(spark, s"$sfDir/events.parquet")})"))
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(tsToMicrosExpr))
       else raw
     // Parallelism guard for the compute-heavy tables: the testdata
     // ships as one row group per file, so a scan arrives as ONE task

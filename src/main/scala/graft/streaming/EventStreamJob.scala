@@ -260,9 +260,9 @@ object EventStreamJob {
 
   /** File-source streaming read of the events table: parquet files
     * arriving in a directory, schema pinned (never inferred), raw-long
-    * → µs timestamp conversion as in Tables.load (the ts unit is
-    * sniffed once from the files present at stream definition; later
-    * arrivals in the same directory share the unit by contract).
+    * → µs timestamp conversion as in Tables.load — row-adaptive to the
+    * ts unit, so a stream started on an empty drop directory converts
+    * whichever generation's files arrive later correctly.
     */
   def readEventStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Int = 1): DataFrame =
@@ -270,8 +270,7 @@ object EventStreamJob {
       .schema(Tables.schemas("events"))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-      .withColumn("ts", expr(
-        s"timestamp_micros(ts div ${Tables.eventsTsDivisor(spark, dir)})"))
+      .withColumn("ts", expr(Tables.tsToMicrosExpr))
 
   /** Run the hourly aggregation as a real streaming query over parquet
     * files in `srcDir`, writing closed windows to `outDir` until all

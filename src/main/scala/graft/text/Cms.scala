@@ -78,9 +78,14 @@ object Cms {
                 d: Int = DefaultD, w: Int = DefaultW): DataFrame = {
     val s = tokens.sparkSession
     import s.implicits._
+    // LEFT join: a cell no corpus token hashed to is an EMPTY cell,
+    // and the min over a token's d cells must see its 0 — an inner
+    // join would silently drop never-ingested tokens (or worse,
+    // min over only the collided cells, inflating 0 to a positive
+    // count)
     tokens.select($"t", posexplode(array(bucketHashes(d, w): _*))
         .as(Seq("r0", "b")))
-      .join(sketch, Seq("r0", "b"))
-      .groupBy($"t").agg(min($"c").as("est"))
+      .join(sketch, Seq("r0", "b"), "left_outer")
+      .groupBy($"t").agg(min(coalesce($"c", lit(0L))).as("est"))
   }
 }

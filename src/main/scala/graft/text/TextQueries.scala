@@ -3877,10 +3877,18 @@ object TextQueries {
       val bandCols = (1 to p.bands).map(b =>
         concat(p.bandMembers(b).map(i => col(s"m$i")): _*).as(s"b$b"))
       val side = sig.select(Seq($"doc_id", $"n", $"th") ++ bandCols: _*)
-      val a = side.select($"doc_id".as("doc_a"), $"n".as("na"),
-        $"th".as("th_a"), $"b1".as("b1a"), $"b2".as("b2a"))
-      val b = side.select($"doc_id".as("doc_b"), $"n".as("nb"),
-        $"th".as("th_b"), $"b1".as("b1b"), $"b2".as("b2b"))
+      val a = side.select(Seq($"doc_id".as("doc_a"), $"n".as("na"),
+        $"th".as("th_a")) ++
+        (1 to p.bands).map(k => col(s"b$k").as(s"b${k}a")): _*)
+      val b = side.select(Seq($"doc_id".as("doc_b"), $"n".as("nb"),
+        $"th".as("th_b")) ++
+        (1 to p.bands).map(k => col(s"b$k").as(s"b${k}b")): _*)
+      // candidacy derived from p.bands like bandCols above — this query
+      // exists to audit the knob, so a hardcoded band count would
+      // silently understate recall the moment the knob moves
+      val candExpr = (1 to p.bands)
+        .map(k => col(s"b${k}a") === col(s"b${k}b"))
+        .reduce(_ || _)
       // bounded-sample all-pairs: BroadcastNestedLoopJoin over s rows —
       // the deliberate O(s²) ground-truth pass (see Scaladoc)
       val pairs = a.join(b, $"doc_a" < $"doc_b")
@@ -3888,7 +3896,7 @@ object TextQueries {
         .withColumn("j", $"i" * 1.0 / ($"na" + $"nb" - $"i"))
         .filter($"j" >= 0.5)
         .withColumn("bucket", least(floor($"j" * 10).cast("int"), lit(9)))
-        .withColumn("cand", ($"b1a" === $"b1b") || ($"b2a" === $"b2b"))
+        .withColumn("cand", candExpr)
       val curve = pairs.groupBy($"bucket")
         .agg(count(lit(1)).as("n_pairs"),
           sum(when($"cand", 1L).otherwise(0L)).as("n_candidates"))
@@ -4031,19 +4039,21 @@ object TextQueries {
   }
 
   /** q125 — encoding-noise audit (the ftfy-style pre-filter): count
-    * suspect characters per document — C0/C1 control junk, the Ã/Â
-    * mojibake lead characters of UTF-8-read-as-Latin-1, and U+FFFD —
-    * and report per source: affected docs, artifact density per
-    * million chars, and the worst document. Real crawl corpora carry
-    * double-encoded fragments long before any model sees them; this
-    * is the gate that routes a document to re-decoding instead of
-    * training. (The driver corpus is clean ASCII, so every count is
-    * verifiably zero here; the nonzero path is spec-certified with
-    * injected noise.)
+    * suspect characters per document — C0/C1 control junk, U+FFFD,
+    * and UTF-8-read-as-Latin-1 mojibake LEAD+TRAIL pairs (all
+    * two-byte leads U+00C2–U+00DF, so Greek/Cyrillic/Hebrew mojibake
+    * counts, while legitimate Latin-1 letters like German Ü do not —
+    * see [[EncodingNoise]]) — and report per source: affected docs,
+    * artifact density per million chars, and the worst document.
+    * Real crawl corpora carry double-encoded fragments long before
+    * any model sees them; this is the gate that routes a document to
+    * re-decoding instead of training. (The driver corpus is clean
+    * ASCII, so every count is verifiably zero here; the nonzero path
+    * is spec-certified with injected noise.)
     *
-    * Determinism: single character-class regex (no alternation, so
-    * leftmost-match semantics cannot differ between engines); density
-    * is exact-integer; the worst-doc election is max(struct) with
+    * Determinism: two alternation-free regexes (leftmost-match
+    * semantics cannot differ between engines); density is
+    * exact-integer; the worst-doc election is max(struct) with
     * doc_id tie-break.
     *
     * Scale design: ONE codegen'd map pass (regexp_count + length) and
@@ -4057,7 +4067,9 @@ object TextQueries {
       |  SELECT doc_id, source,
       |         length(COALESCE(text, '')) AS nchars,
       |         len(regexp_extract_all(COALESCE(text, ''),
-      |             '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{0080}-\x{009F}\x{00C2}\x{00C3}\x{FFFD}]')) AS narts
+      |             '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{0080}-\x{009F}\x{FFFD}]'))
+      |         + len(regexp_extract_all(COALESCE(text, ''),
+      |             '[\x{00C2}-\x{00DF}][\x{0080}-\x{00BF}]')) AS narts
       |  FROM documents),
       |mx AS (SELECT source, MAX(narts) AS m FROM per GROUP BY 1),
       |wd AS (
@@ -4072,7 +4084,7 @@ object TextQueries {
       |FROM per p JOIN mx ON p.source = mx.source JOIN wd ON p.source = wd.source
       |GROUP BY p.source, mx.m, wd.worst
       |ORDER BY p.source""".stripMargin),
-    doc = "curation: encoding-noise audit (control junk, mojibake lead chars, U+FFFD) per source with worst-doc election")
+    doc = "curation: encoding-noise audit (control junk, mojibake lead+trail pairs, U+FFFD) per source with worst-doc election")
 
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,

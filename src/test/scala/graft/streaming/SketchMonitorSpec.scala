@@ -72,5 +72,12 @@ class SketchMonitorSpec extends SparkSpec {
     joined.foreach(r =>
       assert(r.getAs[Long]("est") >= r.getAs[Long]("cnt"),
         s"undercount for ${r.getString(0)}"))
+
+    // a never-ingested token must estimate 0 (empty cells count as 0
+    // in the min — an inner join would drop or inflate it)
+    val ghost = Cms.estimates(SketchMonitorJob.mergedSketch(spark, outDir),
+      Seq("zzz_never_ingested").toDF("t")).collect()
+    assert(ghost.length == 1)
+    assert(ghost(0).getAs[Long]("est") == 0L)
   }
 }

@@ -79,4 +79,40 @@ class SketchNoiseSpec extends SparkSpec {
     // ties broken toward the smaller doc_id
     assert(logs.getAs[Long]("worst_doc") == 3L)
   }
+
+  test("mojibake pairs catch non-Latin double-encoding; legit Latin-1 stays clean") {
+    // Greek "κόσμος" read as Latin-1: 6 lead+trail pairs (plus C1
+    // trails double-counted by the control class — suspicious twice
+    // over, by design)
+    val greekMojibake = new String("κόσμος".getBytes("UTF-8"), "ISO-8859-1")
+    // legitimate German: Ü IS a lead char but is followed by 'b', not
+    // a trail — the pair pattern is what keeps real Latin-1 text clean
+    val docsDf = Seq(
+      (1L, greekMojibake, "crawl"),
+      (2L, "Übung fürs Leben — ganz natürlich", "crawl")
+    ).toDF("doc_id", "text", "source")
+    val got = TextQueries.encodingNoiseOf(docsDf).collect()(0)
+    assert(got.getAs[Long]("n_affected") == 1L)
+    assert(got.getAs[Long]("worst_doc") == 1L)
+    assert(got.getAs[Long]("n_artifacts") >= 6L)
+  }
+
+  test("passing(0) means artifact-free at ANY length (exact rational bound)") {
+    import org.apache.spark.sql.functions._
+    val long = "x".repeat(1100000) + "Ã©" // 1 artifact in >1 Mchar
+    val docsDf = Seq(
+      (1L, long, "web"),
+      (2L, "perfectly clean and long enough", "web")
+    ).toDF("doc_id", "text", "source")
+    val kept = EncodingNoise.passing(docsDf, 0L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // a floored per-million quotient would keep doc 1 (density rounds
+    // to 0); the rational bound must not
+    assert(kept == Set(2L))
+    // and the boundary is inclusive: density exactly m passes
+    val at2 = Seq((3L, "Ã©" + "y".repeat(999998), "web"))
+      .toDF("doc_id", "text", "source") // 1 artifact per 1e6 chars
+    assert(EncodingNoise.passing(at2, 1L).count() == 1L)
+    assert(EncodingNoise.passing(at2, 0L).count() == 0L)
+  }
 }
