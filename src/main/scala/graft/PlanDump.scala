@@ -98,7 +98,7 @@ object PlanDump {
     "q120_temperature_mixture" ->
       "Temperature mixture: ONE map-side-combinable count aggregate touches the corpus; every later frame is |sources|-row where the unpartitioned Hamilton remainder-rank windows are deliberate and bounded.",
     "q121_cdc_chunk_dedup" ->
-      "CDC chunk dedup: boundary detection, chunk assembly and hashing are pure in-row array maps (no position explode); shuffles carry (source, 60-bit chunk hash, len); first-holder election is min(struct), map-side combinable.",
+      "CDC chunk dedup: boundary detection, chunk assembly and hashing are pure in-row array maps (no position explode); totals derive from (n, cuts) without chunk rows; the one shuffle carries bare 60-bit chunk hashes; first-holder election is min(struct), map-side combinable.",
     "q122_containment_quotes" ->
       "Containment: directed prefix-filtered probe (~(1-t) of each doc's sorted shingle hashes) against the full inverted index — the asymmetric analogue of the PPJoin length filter, which cannot apply; verify attaches compact hash arrays and intersects map-side; shuffles carry 60-bit longs, never shingle text.",
     "q123_lsh_recall_curve" ->

@@ -66,8 +66,8 @@ object Tables {
       StructField("l_shipdate", TimestampType))),
     // events.ts is read as the raw INT64 under the parquet timestamp
     // annotation (NANOS generations are rejected by Spark's native
-    // reader outright) and converted in load() with the unit picked
-    // by eventsTsDivisor().
+    // reader outright) and converted in load() with the row-adaptive
+    // tsToMicrosExpr.
     "events" -> StructType(Seq(
       StructField("event_id", LongType),
       StructField("ts", LongType),

@@ -31,19 +31,31 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object SketchMonitorJob {
 
   /** Start the sketch builder over `srcDir` (documents-schema parquet
-    * drops). Emits (r0, b, c, batch_id) cell rows to `outDir`, one
-    * d×w grid per micro-batch.
+    * drops). Emits (r0, b, c, d, w, batch_id) cell rows to `outDir`,
+    * one d×w grid per micro-batch — the geometry rides along in every
+    * row (constant-valued, dictionary-compressed to nothing) so
+    * [[mergedSketch]] can refuse a mismatched read instead of
+    * silently undercounting.
     */
   def run(spark: SparkSession, srcDir: String, outDir: String,
           checkpointDir: String,
           d: Int = Cms.DefaultD, w: Int = Cms.DefaultW,
-          maxFilesPerTrigger: Int = 1): StreamingQuery =
+          maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    // pre-create the sink dir: a drop directory with no files yet (the
+    // from-scratch case) terminates AvailableNow with zero batches and
+    // nothing ever writes outDir — mergedSketch must then see an empty
+    // directory, not PATH_NOT_FOUND (the CurationPipeline corpusDir
+    // pattern; Hadoop FS API, outDir may be s3a://.../hdfs)
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(outPath)
     CorpusIngestJob.readDocStream(spark, srcDir, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // batch.sparkSession, not the outer session (the foreachBatch
         // clone-session rule)
         Cms.cells(batch, d, w)
+          .withColumn("d", lit(d)).withColumn("w", lit(w))
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -54,11 +66,30 @@ object SketchMonitorJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** The running corpus sketch: sum the per-batch grids. Linearity
     * makes this ≡ [[Cms.cells]] over the union of all ingested
     * batches (SketchMonitorSpec pins the identity).
+    *
+    * The caller's (d, w) must match the geometry the grids were built
+    * with — estimating against a differently-shaped sketch targets
+    * cells that were never populated and silently UNDER-estimates,
+    * breaking the one-sided guarantee; a mismatch fails fast instead
+    * (the BandIndex pinned-LshParams stance). The check is a bounded
+    * driver round-trip over the ≤ few distinct stored geometries.
     */
-  def mergedSketch(spark: SparkSession, outDir: String): DataFrame =
-    Cms.merge(spark.read.parquet(outDir).select("r0", "b", "c"))
+  def mergedSketch(spark: SparkSession, outDir: String,
+                   d: Int = Cms.DefaultD, w: Int = Cms.DefaultW): DataFrame = {
+    val cells = spark.read
+      .schema("r0 INT, b BIGINT, c BIGINT, d INT, w INT")
+      .parquet(outDir)
+    val geoms = cells.select("d", "w").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    require(geoms.forall(_ == (d, w)),
+      s"sketch at $outDir was built with geometry ${geoms.toSeq} " +
+        s"but ($d, $w) was requested — estimates against a mismatched " +
+        "grid silently undercount; rebuild or pass the stored geometry")
+    Cms.merge(cells.select("r0", "b", "c"))
+  }
 }

@@ -3635,11 +3635,11 @@ object TextQueries {
     * explode-shuffle of positions, no window, no join until the
     * hash-keyed election. The per-source totals need no chunk rows at
     * all (every doc contributes size(cuts)+1 chunks over exactly n
-    * tokens), so the only explode emits narrow (ln, chash) structs and
-    * the only shuffles carry (source, 60-bit chash, clen) — never text
-    * or token arrays. The election and the aggregates combine
-    * map-side. At 100 TB this is one scan plus two hash-keyed
-    * aggregations of int-width rows.
+    * tokens), so the only explode emits bare 60-bit chunk hashes and
+    * the only shuffle carries (doc_id, source, chunk_idx, chash) —
+    * never text, token arrays, or lengths. The election and the
+    * aggregates combine map-side. At 100 TB this is one scan plus two
+    * hash-keyed aggregations of int-width rows.
     */
   val q121 = Q(
     "q121_cdc_chunk_dedup",
@@ -3679,8 +3679,9 @@ object TextQueries {
         .withColumn("mean_chunk_len",
           $"n_tokens".cast("double") / $"n_chunks")
       // chunk identity in-row (nested transform binds st/en once per
-      // chunk), then explode ONLY the narrow (ln, chash) structs — the
-      // token array never survives past this projection
+      // chunk), then explode ONLY the 60-bit hashes — chunk lengths
+      // are not needed past this point (totals come from base), so
+      // nothing but (doc_id, source, idx, chash) ever shuffles
       val chunks = base
         .select($"doc_id", $"source",
           posexplode(expr(
@@ -3688,13 +3689,10 @@ object TextQueries {
               |  transform(sequence(0, size(cuts)),
               |    k -> struct(if(k = 0, 1, cuts[k - 1] + 1) as st,
               |                if(k = size(cuts), n, cuts[k]) as en)),
-              |  c -> struct(c.en - c.st + 1 as ln,
-              |              cast(conv(substring(md5(concat_ws(' ',
-              |                slice(tk, c.st, c.en - c.st + 1))), 1, 15), 16, 10)
-              |                as bigint) as chash))""".stripMargin))
-            .as(Seq("chunk_idx", "c")))
-        .select($"doc_id", $"source", $"chunk_idx",
-          $"c.ln".as("clen"), $"c.chash".as("chash"))
+              |  c -> cast(conv(substring(md5(concat_ws(' ',
+              |         slice(tk, c.st, c.en - c.st + 1))), 1, 15), 16, 10)
+              |         as bigint))""".stripMargin))
+            .as(Seq("chunk_idx", "chash")))
       val first = chunks.groupBy($"chash")
         .agg(min(struct($"doc_id", $"chunk_idx", $"source")).as("w"))
         .groupBy($"w.source".as("source"))
@@ -3985,6 +3983,8 @@ object TextQueries {
       val sketch = Cms.cellsOfVocab(vocab, d, w)
       val top = vocab.orderBy($"cnt".desc, $"t").limit(k)
         .select($"t", $"cnt".as("exact_cnt"))
+        .corpusBarrier // two consumers (estimates' tokens + the join):
+                       // without it each plans its own TakeOrdered job
       top
         .join(Cms.estimates(sketch, top.select($"t"), d, w), Seq("t"))
         .select($"t".as("token"), $"exact_cnt".as("exact_count"),

@@ -79,5 +79,19 @@ class SketchMonitorSpec extends SparkSpec {
       Seq("zzz_never_ingested").toDF("t")).collect()
     assert(ghost.length == 1)
     assert(ghost(0).getAs[Long]("est") == 0L)
+
+    // a mismatched geometry must fail fast, not silently undercount
+    val e = intercept[IllegalArgumentException] {
+      SketchMonitorJob.mergedSketch(spark, outDir, d = 2, w = 16)
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
+  test("a from-scratch monitor (empty drop dir) yields an empty merged sketch") {
+    val srcDir = Files.createTempDirectory("graft-cms3-src").toString
+    val outDir = Files.createTempDirectory("graft-cms3-out").toString + "/sub"
+    val ckpt = Files.createTempDirectory("graft-cms3-ckpt").toString
+    SketchMonitorJob.run(spark, s"$srcDir/*", outDir, ckpt).awaitTermination()
+    assert(SketchMonitorJob.mergedSketch(spark, outDir).count() == 0L)
   }
 }
