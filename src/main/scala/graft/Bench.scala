@@ -76,7 +76,8 @@ object Bench {
     "q122_containment_quotes",
     "q123_lsh_recall_curve",
     "q124_cms_heavy_hitters",
-    "q125_encoding_noise")
+    "q125_encoding_noise",
+    "q126_ivf_recall_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -106,7 +106,9 @@ object PlanDump {
     "q124_cms_heavy_hitters" ->
       "CMS heavy hitters: token stream compresses to the vocab dict first; sketch construction is |vocab|*d narrow rows aggregated map-side into <= d*w cells; top-20 is TakeOrdered; estimation joins 20 rows against a <= 4096-row broadcast sketch.",
     "q125_encoding_noise" ->
-      "Encoding noise: ONE codegen'd map pass (regexp_count + length) and one map-side-combinable aggregate to a |sources|-row frame (the q95 scrub shape); no text shuffles; worst-doc election is max(struct).")
+      "Encoding noise: ONE codegen'd map pass (regexp_count + length) and one map-side-combinable aggregate to a |sources|-row frame (the q95 scrub shape); no text shuffles; worst-doc election is max(struct).",
+    "q126_ivf_recall_curve" ->
+      "IVF recall audit: q47 broadcast-scored ground truth (linear, fixed probe set) barriered and reused per nprobe level; each level's candidate join touches ~nprobe/k of the corpus; everything past the per-query top-5 windows is a handful of rows.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -515,5 +515,101 @@ object VectorQueries {
       |ORDER BY query_id, pair_type""".stripMargin),
     doc = "similarity: contrastive positive + hard-negative mining per anchor — broadcast anchors, one corpus pass, struct-max argmax")
 
-  val all: Seq[Q] = Seq(q47, q48, q49, q52, q106, q108)
+  /** q126 — measured IVF recall curve: recall@5 of the q52 coarse-
+    * quantization ANN against the q47 brute-force ground truth, for
+    * nprobe ∈ {1, 2, 4, 8} — the ANN-family twin of q123's LSH
+    * S-curve audit, and the artifact to read before turning the q52
+    * nprobe knob. nprobe = 8 probes every cell, so its recall is
+    * 10⁶ by construction (the built-in sanity row); the curve is
+    * monotone because raising nprobe only ever ADDS candidates
+    * (the ivfCandidates nesting contract, KMeansSpec).
+    *
+    * Scale design: the ground truth is the q47 broadcast-scored pass
+    * over the FIXED 8-probe set — linear in the corpus, not all-pairs
+    * — and each nprobe level reuses the same barriered exact top-5
+    * (8×5 rows). Each level's candidate join touches ~nprobe/k of the
+    * corpus (the point of IVF); everything downstream of the per-query
+    * top-5 windows is a handful of rows.
+    */
+  val q126 = Q(
+    "q126_ivf_recall_curve",
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"query_id")
+        .orderBy($"score".desc, $"vec_id")
+      def top5(cands: DataFrame): DataFrame = cands
+        .withColumn("score", round(cos(s, "qvec", "embedding"), 4))
+        .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select($"query_id", $"vec_id".as("neighbor_id"))
+      val e = emb(s, dir)
+      val probes = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val exact = graft.Barrier( // consumed once per nprobe level
+        top5(e.crossJoin(broadcast(probes))
+          .filter($"vec_id" =!= $"query_id")))
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      val levels = Seq(1, 2, 4, 8).map { p =>
+        top5(ivfCandidates(s, dir, p))
+          .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(p).as("nprobe"), $"n_hits")
+      }
+      levels.reduce(_ unionByName _)
+        .crossJoin(broadcast(nExact))
+        .select($"nprobe", $"n_exact", $"n_hits",
+          expr("n_hits * 1000000L div n_exact").as("recall_q"))
+        .orderBy($"nprobe")
+    },
+    Some(s"""WITH cents AS (
+      |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |assigned AS (
+      |  SELECT e.vec_id, e.embedding, c.cid,
+      |         ROUND(${oCos("e.embedding", "c.cvec")}, 6) AS cscore
+      |  FROM embeddings e CROSS JOIN cents c),
+      |rc AS (
+      |  SELECT vec_id, embedding, cid,
+      |         ROW_NUMBER() OVER (PARTITION BY vec_id
+      |           ORDER BY cscore DESC, cid) AS r
+      |  FROM assigned),
+      |cells AS (SELECT cid, vec_id, embedding FROM rc WHERE r = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, embedding AS qvec
+      |  FROM embeddings WHERE vec_id < 8),
+      |exact AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT p.query_id, e.vec_id AS neighbor_id,
+      |           ROW_NUMBER() OVER (PARTITION BY p.query_id
+      |             ORDER BY ROUND(${oCos("p.qvec", "e.embedding")}, 4) DESC,
+      |                      e.vec_id) AS rank
+      |    FROM embeddings e CROSS JOIN probes p
+      |    WHERE e.vec_id <> p.query_id)
+      |  WHERE rank <= 5),
+      |grid AS (SELECT UNNEST([1, 2, 4, 8]) AS nprobe),
+      |pr AS (
+      |  SELECT g.nprobe, rc.cid, rc.vec_id AS query_id,
+      |         rc.embedding AS qvec
+      |  FROM rc JOIN grid g ON rc.r <= g.nprobe
+      |  WHERE rc.vec_id < 8),
+      |ivf5 AS (
+      |  SELECT nprobe, query_id, neighbor_id FROM (
+      |    SELECT pr.nprobe, pr.query_id, e.vec_id AS neighbor_id,
+      |           ROW_NUMBER() OVER (PARTITION BY pr.nprobe, pr.query_id
+      |             ORDER BY ROUND(${oCos("pr.qvec", "e.embedding")}, 4) DESC,
+      |                      e.vec_id) AS rank
+      |    FROM cells e JOIN pr ON e.cid = pr.cid
+      |    WHERE e.vec_id <> pr.query_id)
+      |  WHERE rank <= 5),
+      |hits AS (
+      |  SELECT nprobe, COUNT(*) AS n_hits
+      |  FROM ivf5 JOIN exact USING (query_id, neighbor_id) GROUP BY 1),
+      |ne AS (SELECT COUNT(*) AS n_exact FROM exact)
+      |SELECT g.nprobe, (SELECT n_exact FROM ne) AS n_exact,
+      |       COALESCE(h.n_hits, 0) AS n_hits,
+      |       COALESCE(h.n_hits, 0) * 1000000 // (SELECT n_exact FROM ne) AS recall_q
+      |FROM grid g LEFT JOIN hits h USING (nprobe)
+      |ORDER BY g.nprobe""".stripMargin),
+    doc = "similarity: measured IVF recall@5 vs brute force by nprobe — the ANN-family S-curve audit")
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q52, q106, q108, q126)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 125 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 125)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 125)
+  test("registry has 126 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 126)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 126)
   }
 
   test("every query has a DuckDB oracle") {
