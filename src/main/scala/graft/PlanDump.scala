@@ -108,7 +108,7 @@ object PlanDump {
     "q125_encoding_noise" ->
       "Encoding noise: ONE codegen'd map pass (regexp_count + length) and one map-side-combinable aggregate to a |sources|-row frame (the q95 scrub shape); no text shuffles; worst-doc election is max(struct).",
     "q126_ivf_recall_curve" ->
-      "IVF recall audit: q47 broadcast-scored ground truth (linear, fixed probe set) barriered and reused per nprobe level; each level's candidate join touches ~nprobe/k of the corpus; everything past the per-query top-5 windows is a handful of rows.")
+      "IVF recall audit: ONE corpus-sized scoring pass serves ground truth and all four nprobe levels — every (cell, probe-rank) pair scored once behind a barrier, each level a probe_r filter (the nested-candidates contract), the exact top-5 the unfiltered ranking of the same scores.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

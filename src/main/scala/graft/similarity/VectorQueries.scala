@@ -281,25 +281,39 @@ object VectorQueries {
     * deterministic cell ranking — so accuracy is tunable upward at
     * linear candidate cost (`KMeansSpec` pins the superset chain).
     */
-  private[graft] def ivfCandidates(s: SparkSession, dir: String,
-                                   nprobe: Int): DataFrame = {
+  /** The full-corpus centroid assignment, ranked per vector by
+    * closeness — the one corpus-sized IVF stage: r = 1 is the owning
+    * cell, r ≤ nprobe the probe set. Factored so a multi-level
+    * consumer (q126) computes it ONCE behind a barrier instead of
+    * once per nprobe level.
+    */
+  private[graft] def ivfRankedCells(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = emb(s, dir)
     val cents = e.filter($"vec_id" >= 8 && $"vec_id" < 16)
       .select($"vec_id".as("cid"), $"embedding".as("cvec"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cscore", round(cos(s, "embedding", "cvec"), 6))
     val byVec = Window.partitionBy($"vec_id")
       .orderBy($"cscore".desc, $"cid")
-    val cells = assigned
-      .withColumn("r", row_number().over(byVec)).filter($"r" === 1)
-      .select($"cid", $"vec_id", $"embedding")
-    val probes = assigned.filter($"vec_id" < 8)
-      .withColumn("r", row_number().over(byVec)).filter($"r" <= nprobe)
+    e.crossJoin(broadcast(cents))
+      .withColumn("cscore", round(cos(s, "embedding", "cvec"), 6))
+      .withColumn("r", row_number().over(byVec))
+      .select($"cid", $"vec_id", $"embedding", $"r")
+  }
+
+  /** [[ivfCandidates]] off an already-materialized ranked-cells frame. */
+  private[graft] def ivfCandidatesOf(rc: DataFrame, nprobe: Int): DataFrame = {
+    val s = rc.sparkSession
+    import s.implicits._
+    val cells = rc.filter($"r" === 1).select($"cid", $"vec_id", $"embedding")
+    val probes = rc.filter($"vec_id" < 8 && $"r" <= nprobe)
       .select($"cid", $"vec_id".as("query_id"), $"embedding".as("qvec"))
     cells.join(broadcast(probes), Seq("cid"))
       .filter($"vec_id" =!= $"query_id")
   }
+
+  private[graft] def ivfCandidates(s: SparkSession, dir: String,
+                                   nprobe: Int): DataFrame =
+    ivfCandidatesOf(ivfRankedCells(s, dir), nprobe)
 
   /** q52 body with the knobs exposed; the registered query runs the
     * defaults the DuckDB oracle mirrors.
@@ -524,12 +538,16 @@ object VectorQueries {
     * monotone because raising nprobe only ever ADDS candidates
     * (the ivfCandidates nesting contract, KMeansSpec).
     *
-    * Scale design: the ground truth is the q47 broadcast-scored pass
-    * over the FIXED 8-probe set — linear in the corpus, not all-pairs
-    * — and each nprobe level reuses the same barriered exact top-5
-    * (8×5 rows). Each level's candidate join touches ~nprobe/k of the
-    * corpus (the point of IVF); everything downstream of the per-query
-    * top-5 windows is a handful of rows.
+    * Scale design: ONE corpus-sized scoring pass serves the ground
+    * truth AND every level. With k centroids, each candidate's owning
+    * cell has some probe rank 1..k for every query, so scoring the
+    * (cell ⋈ probe-rank) join covers the brute-force pair set exactly
+    * once, tagged with probe_r; because the levels are NESTED (the
+    * ivfCandidates contract — raising nprobe only adds candidates),
+    * each level is a probe_r filter over the barriered scores, and
+    * the exact ground truth is the unfiltered top-5 of the same
+    * scores. Everything downstream of the per-query top-5 windows is
+    * a handful of rows.
     */
   val q126 = Q(
     "q126_ivf_recall_curve",
@@ -538,18 +556,31 @@ object VectorQueries {
       val w = Window.partitionBy($"query_id")
         .orderBy($"score".desc, $"vec_id")
       def top5(cands: DataFrame): DataFrame = cands
-        .withColumn("score", round(cos(s, "qvec", "embedding"), 4))
         .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
         .select($"query_id", $"vec_id".as("neighbor_id"))
-      val e = emb(s, dir)
-      val probes = e.filter($"vec_id" < 8)
-        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
-      val exact = graft.Barrier( // consumed once per nprobe level
-        top5(e.crossJoin(broadcast(probes))
-          .filter($"vec_id" =!= $"query_id")))
+      // ONE corpus-sized pass total: with k centroids every cell holds
+      // SOME probe rank 1..k for every query, so scoring every
+      // (candidate-cell ⋈ probe-rank) pair covers the full brute-force
+      // pair set exactly once — tagged with probe_r, the cell's rank
+      // for that query. The levels are NESTED (raising nprobe only
+      // adds candidates), so each level is a filter on probe_r over
+      // this barriered frame, and the exact ground truth is the
+      // unfiltered top-5 of the very same scores.
+      val rc = graft.Barrier(ivfRankedCells(s, dir))
+      val cells = rc.filter($"r" === 1)
+        .select($"cid", $"vec_id", $"embedding")
+      val probeRanks = rc.filter($"vec_id" < 8)
+        .select($"cid", $"vec_id".as("query_id"),
+          $"embedding".as("qvec"), $"r".as("probe_r"))
+      val scored = graft.Barrier(
+        cells.join(broadcast(probeRanks), Seq("cid"))
+          .filter($"vec_id" =!= $"query_id")
+          .withColumn("score", round(cos(s, "qvec", "embedding"), 4))
+          .select($"query_id", $"vec_id", $"score", $"probe_r"))
+      val exact = graft.Barrier(top5(scored))
       val nExact = exact.agg(count(lit(1)).as("n_exact"))
       val levels = Seq(1, 2, 4, 8).map { p =>
-        top5(ivfCandidates(s, dir, p))
+        top5(scored.filter($"probe_r" <= p))
           .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
           .select(lit(p).as("nprobe"), $"n_hits")
