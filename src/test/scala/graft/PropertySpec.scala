@@ -315,4 +315,66 @@ object PropertySpec extends Properties("graft") {
       }
     }
   }
+
+  // q122's prefix-filtered containment is LOSSLESS on arbitrary
+  // corpora: a tiny shared alphabet forces dense shingle collisions,
+  // and the prefix probe must still find exactly the brute-force
+  // directed pairs at 5i >= 4*na.
+  property("containment prefix filter lossless on random corpora") = {
+    val tokGen = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(3, 14).flatMap(n => Gen.listOfN(n, tokGen))
+    Prop.forAll(Gen.chooseNum(3, 7).flatMap(k => Gen.listOfN(k, docGen))) {
+      docsT =>
+        val rows = docsT.zipWithIndex.map { case (tk, i) =>
+          (i.toLong, tk.mkString(" "))
+        }
+        val df = rows.toDF("doc_id", "text")
+        val got = graft.text.TextQueries.containmentPairsOf(df, 4, 5)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sets = rows.map { case (id, text) =>
+          val tk = text.split(" ", -1)
+          id -> (0 to tk.length - 3)
+            .map(i => tk.slice(i, i + 3).mkString(" ")).toSet
+        }.filter(_._2.nonEmpty)
+        val want = (for {
+          (a, sa) <- sets; (b, sb) <- sets if a != b
+          if 5L * (sa & sb).size >= 4L * sa.size
+        } yield (a, b)).toSet
+        got == want
+    }
+  }
+
+  // The count-min sketch's two contracts on arbitrary corpora and
+  // geometries: estimates are one-sided (>= the exact count for every
+  // vocab token, even when w << vocab forces collisions), and cells
+  // are LINEAR (grid of a union == merged grids of the parts — the
+  // property the streaming monitor's correctness rests on).
+  property("CMS one-sided and linear on random corpora") = {
+    val tokGen = Gen.chooseNum(0, 30).map(i => s"t$i")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val corpusGen = Gen.chooseNum(2, 6).flatMap(k => Gen.listOfN(k, docGen))
+    Prop.forAll(corpusGen, Gen.oneOf(4, 16)) { (docsT, w) =>
+      val rows = docsT.zipWithIndex.map { case (tk, i) =>
+        (i.toLong, tk.mkString(" "))
+      }
+      val df = rows.toDF("doc_id", "text")
+      val cells = graft.text.Cms.cells(df, d = 2, w = w)
+      val exact = docsT.flatten.groupBy(identity)
+        .map { case (t, xs) => t -> xs.size.toLong }
+      val est = graft.text.Cms.estimates(cells,
+          exact.keys.toSeq.toDF("t"), d = 2, w = w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oneSided = exact.forall { case (t, c) => est(t) >= c }
+      // linearity: split the corpus in two, merge the per-part grids
+      val (x, y) = rows.partition(_._1 % 2 == 0)
+      def grid(part: Seq[(Long, String)]) =
+        if (part.isEmpty) cells.limit(0)
+        else graft.text.Cms.cells(part.toDF("doc_id", "text"), d = 2, w = w)
+      val merged = graft.text.Cms.merge(grid(x).unionByName(grid(y)))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val whole = cells
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      oneSided && merged == whole
+    }
+  }
 }
