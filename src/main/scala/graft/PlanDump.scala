@@ -52,11 +52,11 @@ object PlanDump {
     "q97_cross_source_overlap" ->
       "Cross-source overlap: ONE gram-key exchange into a bounded collect_set (partial buffers ≤ |sources| — hot grams combine map-side, no skew), pairs exploded from the sorted set (≤ sources²/2 per gram), no join.",
     "q98_leakproof_split" ->
-      "Leakage-proof split: bounded-round min-label propagation (node-keyed shuffles), map-side md5 split assignment of the cluster label, edge-cardinality crossing audit — by_cluster crossing_edges ≡ 0 by construction.",
+      "Leakage-proof split: log-round min-label propagation with pointer-doubling shortcuts (node-keyed shuffles), map-side md5 split assignment of the cluster label, edge-cardinality crossing audit — by_cluster crossing_edges ≡ 0 by construction.",
     "q99_doc_surprisal" ->
       "Surprisal proxy: one token explode compressed to per-(term,doc) partials; vocabulary-shaped term totals; scoring join shuffles doc-term pairs by term (AQE-skew-splittable on stop-words); integer-quantized weights, top-doc via map-side-combinable struct-max — no per-source sort, no libm log.",
     "q100_cluster_canonical" ->
-      "Canonical survivor selection: componentLabels' bounded-round propagation, then ONE struct-max aggregate per cluster elects the survivor (O(1) map-side partials — a viral cluster never serializes a window sort); membership rejoins on the label key, AQE-skew-splittable.",
+      "Canonical survivor selection: componentLabels' log-round propagate+shortcut, then ONE struct-max aggregate per cluster elects the survivor (O(1) map-side partials — a viral cluster never serializes a window sort); membership rejoins on the label key, AQE-skew-splittable.",
     "q101_dup_run" ->
       "Longest dup run: q96's hash-only gram stream + df>=2 semi filter, islands via pos - row_number in a PER-DOC window (task size bounded by one doc's grams), two integer aggregates — no text shuffles, no global sort.",
     "q102_boilerplate_grams" ->

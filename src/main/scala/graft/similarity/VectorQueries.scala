@@ -386,7 +386,7 @@ object VectorQueries {
     *
     * Scale design: pairs come from the cell-pruned q49 pipeline (never
     * all-pairs); components via [[graft.text.TextQueries.componentLabels]]
-    * (bounded-round min-label propagation, edge list barriered — the
+    * (log-round min-label propagation with shortcuts, edge list barriered — the
     * q100 stance); centroid similarity is one broadcast-scored pass
     * (8 centroids ≪ data); the election is min(struct) — map-side
     * combinable, no per-cluster window (a viral semantic cluster stays

@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   * Scale design (same spine as q100): pairs via
   * [[TextQueries.ngramJaccardPairs]] (inverted index + PPJoin length
   * filter — never all-pairs), clusters via
-  * [[TextQueries.componentLabels]] (bounded-round min-label
-  * propagation), and the election is ONE map-side-combinable
+  * [[TextQueries.componentLabels]] (min-label propagation with
+  * pointer-doubling shortcuts, O(log diameter) rounds), and the election is ONE map-side-combinable
   * struct-max aggregate per cluster — a viral boilerplate cluster of
   * millions of members never serializes a per-cluster window sort.
   * The survivor filter is a label-keyed equi-join (AQE-skew-splittable),

@@ -878,38 +878,67 @@ object TextQueries {
     * near-dup pair graph (the step every dedup pipeline needs AFTER
     * pair generation — "keep one doc per cluster", where transitivity
     * matters: A≈B and B≈C put A,C in one cluster even if A̸≈C).
-    * Distributed min-label propagation: each iteration is one
-    * join+union+groupBy over (labels, symmetric edges), converging in
-    * O(component diameter) rounds — near-dup clusters are clique-like,
-    * so diameters stay small at any corpus size; `localCheckpoint`
-    * truncates the growing lineage each round. Labels converge to the
-    * component's min doc_id — order-independent, hence deterministic.
+    * Distributed min-label propagation with pointer-doubling
+    * shortcuts: each iteration is one join+union+groupBy over (labels,
+    * symmetric edges) plus a label self-join, converging in
+    * O(log component diameter) rounds — safe even for chain-shaped
+    * components (versioned boilerplate) that plain propagation would
+    * crawl along; `localCheckpoint` truncates the growing lineage each
+    * round. Labels converge to the component's min doc_id —
+    * order-independent, hence deterministic.
     * The ORACLE computes components via a recursive transitive-closure
     * CTE — an entirely different algorithm, so agreement is strong
     * evidence of correctness.
     */
   /** Connected-component labels over an undirected edge list: (node,
-    * lab) with lab = the component's minimum node id. Min-label
-    * propagation — each round is one shuffle on the node key; bounded
-    * by the graph diameter (near-dup graphs are shallow: chains longer
-    * than a handful of hops mean the threshold is too loose). Shared
-    * by q72 (cluster sizes), q98 (leakage-proof splits), q100 and
+    * lab) with lab = the component's minimum node id. Each round is a
+    * min-label PROPAGATE across edges followed by a pointer-doubling
+    * SHORTCUT (lab ← lab(lab)) — the Shiloach–Vishkin hook+jump shape,
+    * so the distance a label has travelled roughly doubles per round
+    * and convergence is O(log diameter), not O(diameter). A chain of
+    * pairwise near-dups thousands of hops long (versioned boilerplate,
+    * templated spam) converges in ~20 rounds instead of aborting; the
+    * clique-like clusters the threshold normally produces still finish
+    * in 2–3 rounds, paying only one extra self-join each. Shared by
+    * q72 (cluster sizes), q98 (leakage-proof splits), q100 and
     * [[Canonicalize]] (survivor selection).
+    *
+    * Correctness: labels are monotone non-increasing and every label
+    * is some node's id (min over ids; initially lab=node), so the
+    * SHORTCUT inner self-join is total. At a fixpoint of PROPAGATE,
+    * labels are equal across every edge — constant per component — and
+    * the component minimum m keeps lab(m)=m, so the constant is m;
+    * SHORTCUT at that fixpoint maps m→m and changes nothing.
+    *
+    * @param maxRounds abort bound (configurable; log-scale — the
+    *   default 64 covers diameters beyond 2^32, i.e. any graph whose
+    *   edge list fits on disk). Hitting it means non-convergence, a
+    *   bug, not an input shape.
     */
-  private[graft] def componentLabels(edges: DataFrame): DataFrame = {
+  private[graft] def componentLabels(edges: DataFrame,
+                                     maxRounds: Int = 64): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val sym = edges
-      .unionByName(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-    var labels = edges
+    val nodes = edges
       .select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
+      .localCheckpoint()
+    // Symmetric closure + a self-loop per node, checkpointed ONCE: the
+    // self-loop makes "keep your own label" part of the join itself, so
+    // the per-round plan is join+groupBy with no label-frame union
+    // (unions of label frames re-enter Catalyst's Union constraint
+    // rewrite every round and recompute the edge union besides).
+    val sym = edges.select($"doc_a", $"doc_b")
+      .unionByName(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .unionByName(nodes.select($"node".as("doc_a"), $"node".as("doc_b")))
+      .localCheckpoint()
+    var labels = nodes
       .withColumn("lab", $"node")
       .localCheckpoint()
-    // Convergence via the EXACT label-sum: min-label propagation is
-    // monotone (a label only ever decreases), so "any node changed"
-    // ⟺ "the total strictly decreased" — one tiny columnar aggregate
-    // over the just-checkpointed frame per round, replacing the
-    // node-keyed join + count job the naive changed-row check costs.
+    // Convergence via the EXACT label-sum: labels are monotone (only
+    // ever decrease), so "any node changed" ⟺ "the total strictly
+    // decreased" — one tiny columnar aggregate over the
+    // just-checkpointed frame per round, replacing the node-keyed
+    // join + count job the naive changed-row check costs.
     // decimal(38,0), not long: the sum stays exact at any corpus size
     // (a wrapped long sum could collide two different states).
     def labSum(df: DataFrame): java.math.BigDecimal =
@@ -920,16 +949,27 @@ object TextQueries {
     var rounds = 0
     while (changed) {
       rounds += 1
-      require(rounds <= 25, s"label propagation did not converge in 25 rounds")
+      require(rounds <= maxRounds,
+        s"label propagation did not converge in $maxRounds rounds")
+      // Checkpoint the propagate result BEFORE the shortcut self-join:
+      // the jump plan reads prop twice, so an unmaterialized prop would
+      // run the propagate shuffle twice per round.
       val prop = labels.join(sym, labels("node") === sym("doc_a"))
         .select($"doc_b".as("node"), $"lab")
-        .unionByName(labels)
         .groupBy($"node").agg(min($"lab").as("lab"))
         .localCheckpoint()
-      val s = labSum(prop)
+      // SHORTCUT: follow the label one hop through itself. Inner join
+      // is safe (every lab is a node present in prop) and monotone
+      // (lab(x) ≤ x pointwise), so the convergence argument is intact.
+      val jump = prop.as("a")
+        .join(prop.select($"node".as("j_node"), $"lab".as("j_lab")),
+          $"a.lab" === $"j_node")
+        .select($"a.node".as("node"), $"j_lab".as("lab"))
+        .localCheckpoint()
+      val s = labSum(jump)
       changed = s.compareTo(prevSum) < 0
       prevSum = s
-      labels = prop
+      labels = jump
     }
     labels
   }
@@ -2150,7 +2190,7 @@ object TextQueries {
     * et al. find the pairs, q72 names the clusters, THIS decides which
     * bytes survive.
     *
-    * Scale design: components via [[componentLabels]] (bounded-round
+    * Scale design: components via [[componentLabels]] (log-round
     * min-label propagation); the election is max(struct(n_chars,
     * −doc_id)) — one map-side-combinable aggregate per cluster, NOT a
     * per-cluster window (a viral boilerplate cluster with millions of
