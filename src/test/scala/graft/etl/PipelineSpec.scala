@@ -599,6 +599,85 @@ class PipelineSpec extends SparkSpec {
     assert(r.kept == 3 && r.selected == 3)
   }
 
+  test("curation stage ingests a raw WARC (response records) end-to-end") {
+    // The round-6 twin of the WET test: no pre-extracted text —
+    // [[graft.sources.Warc.responseDocuments]] does the HTTP framing +
+    // HTML extraction in-engine, and the extracted prose (not the
+    // page's nav/footer boilerplate) is what reaches the curation
+    // index, so a re-crawl of the same ARTICLE under different chrome
+    // still classifies as a duplicate.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx_warc"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-warc")
+
+    def htmlPage(para: String, nav: String): String =
+      s"<html><body><nav><a href=/>$nav</a></nav><p>$para</p>" +
+        "<footer>Copyright 2024, all rights reserved here.</footer></body></html>"
+    def responseRecord(id: String, uri: String, html: String): Array[Byte] = {
+      val body = html.getBytes("UTF-8")
+      val http = new java.io.ByteArrayOutputStream()
+      http.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html; " +
+        "charset=utf-8\r\n\r\n").getBytes("UTF-8"))
+      http.write(body)
+      val payload = http.toByteArray
+      val head = Seq(
+        "WARC/1.0", "WARC-Type: response",
+        s"WARC-Record-ID: <urn:uuid:$id>",
+        "WARC-Date: 2024-03-01T00:00:00Z",
+        s"WARC-Target-URI: $uri",
+        "Content-Type: application/http; msgtype=response",
+        s"Content-Length: ${payload.length}", "", "").mkString("\r\n")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(head.getBytes("UTF-8")); out.write(payload)
+      out.write("\r\n\r\n".getBytes("UTF-8"))
+      out.toByteArray
+    }
+    val textA = "the quick brown fox jumps over the lazy dog again tonight"
+    val textB = "distributed systems require careful coordination of shared state"
+    val textD = "novel second batch content with many distinct useful words"
+    val warcDir = root.resolve("warc"); Files.createDirectories(warcDir)
+    def writeWarc(p: java.nio.file.Path, recs: Array[Byte]*): Unit = {
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach(out.write)
+      java.nio.file.Files.write(p, out.toByteArray)
+    }
+    writeWarc(warcDir.resolve("batch1.warc"),
+      responseRecord("11111111-aaaa-1111-1111-111111111111",
+        "https://a.example/1", htmlPage(textA, "SiteOne menu")),
+      responseRecord("22222222-aaaa-2222-2222-222222222222",
+        "https://a.example/2", htmlPage(textB, "SiteOne menu")))
+    writeWarc(warcDir.resolve("batch2.warc"),
+      // re-crawl of article A on a DIFFERENT site: other nav text,
+      // same article body — must still classify as duplicate
+      responseRecord("33333333-aaaa-3333-3333-333333333333",
+        "https://b.example/1", htmlPage(textA, "OtherSite navigation")),
+      responseRecord("44444444-aaaa-4444-4444-444444444444",
+        "https://b.example/2", htmlPage(textD, "OtherSite navigation")))
+
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    for (f <- Seq("batch1", "batch2"))
+      graft.sources.Warc.responseDocuments(spark,
+          warcDir.resolve(f + ".warc").toString)
+        .withColumn("lang", lit("und"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(s"$srcDir/$f")
+
+    val work = root.resolve("work").toString
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, work, buckets = 4,
+      budgetNum = 1, budgetDen = 1, block = 64L)
+
+    val kept = spark.read.parquet(s"$work/corpus")
+      .select($"text").as[String].collect().toSeq
+    assert(kept.size == 3 && kept.toSet == Set(textA, textB, textD),
+      s"kept corpus wrong (boilerplate leaked or dedup missed): $kept")
+    assert(r.kept == 3 && r.selected == 3)
+  }
+
   test("readmission RCA matches a brute-force self-join oracle") {
     import spark.implicits._
     val enc = Pipeline.generateEncounters(spark, 50)

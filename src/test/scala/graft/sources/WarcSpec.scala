@@ -146,6 +146,107 @@ class WarcSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("not valid UTF-8")))
   }
 
+  /** Full HTTP response bytes: status line + headers + CRLFCRLF + body. */
+  private def httpResponse(body: Array[Byte],
+                           headers: Seq[String]): Array[Byte] = {
+    val head = (Seq("HTTP/1.1 200 OK") ++ headers ++ Seq("", ""))
+      .mkString("\r\n")
+    val out = new ByteArrayOutputStream()
+    out.write(head.getBytes(UTF_8))
+    out.write(body)
+    out.toByteArray
+  }
+
+  private val mainPara = "This is the real article paragraph with plenty " +
+    "of prose to clear the minimum block threshold."
+  private val htmlPage =
+    ("<html><head><script>var x = '<p>fake</p>';</script></head><body>" +
+     "<nav><a href=/>Home</a> <a href=/a>About us here</a></nav>" +
+     s"<p>$mainPara</p>" +
+     "<footer>Copyright 2024 Example Corp, all rights reserved.</footer>" +
+     "</body></html>")
+
+  test("responseDocuments extracts main text from raw-WARC HTML responses") {
+    val resp = httpResponse(htmlPage.getBytes(UTF_8),
+      Seq("Content-Type: text/html; charset=utf-8"))
+    val png = httpResponse(Array[Byte](0x89.toByte, 'P', 'N', 'G'),
+      Seq("Content-Type: image/png"))
+    val out = new ByteArrayOutputStream()
+    out.write(record("response", "aaaaaaaa-0000-0000-0000-000000000001",
+      "https://news.example.com/story", "2024-03-02T10:00:00Z", resp,
+      extraHeaders = Seq("Content-Type: application/http; msgtype=response")))
+    out.write(record("response", "aaaaaaaa-0000-0000-0000-000000000002",
+      "https://news.example.com/logo.png", "2024-03-02T10:00:01Z", png,
+      extraHeaders = Seq("Content-Type: application/http; msgtype=response")))
+    val p = writeFile("crawl.warc", out.toByteArray)
+    val rows = Warc.responseDocuments(spark, p.toString).collect()
+    assert(rows.length == 1, "non-HTML response must filter, not error")
+    val r = rows.head
+    assert(r.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "source", "n_chars", "url", "fetched_at"))
+    assert(r.getAs[String]("text") == mainPara,
+      s"boilerplate survived extraction: '${r.getAs[String]("text")}'")
+    assert(r.getAs[String]("source") == "news.example.com")
+    assert(r.getAs[Long]("n_chars") == mainPara.length.toLong)
+  }
+
+  test("chunked transfer coding and gzip content coding are undone before extraction") {
+    // gzip the HTML, then chunk the gzipped bytes in two chunks
+    val gz = {
+      val bos = new ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(htmlPage.getBytes(UTF_8)); g.finish()
+      bos.toByteArray
+    }
+    val cut = gz.length / 2
+    val chunked = new ByteArrayOutputStream()
+    chunked.write(s"${cut.toHexString}\r\n".getBytes(UTF_8))
+    chunked.write(gz, 0, cut)
+    chunked.write("\r\n".getBytes(UTF_8))
+    chunked.write(s"${(gz.length - cut).toHexString}\r\n".getBytes(UTF_8))
+    chunked.write(gz, cut, gz.length - cut)
+    chunked.write("\r\n0\r\n\r\n".getBytes(UTF_8))
+    val resp = httpResponse(chunked.toByteArray,
+      Seq("Content-Type: text/html; charset=utf-8",
+          "Transfer-Encoding: chunked", "Content-Encoding: gzip"))
+    val p = writeFile("crawl.warc", record("response",
+      "aaaaaaaa-0000-0000-0000-000000000003",
+      "https://z.example.org/x", "2024-03-02T11:00:00Z", resp,
+      extraHeaders = Seq("Content-Type: application/http; msgtype=response")))
+    val rows = Warc.responseDocuments(spark, p.toString).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("text") == mainPara)
+  }
+
+  test("meta-charset prescan decodes legacy pages; declared-charset violations fail") {
+    // ISO-8859-1 page whose charset is only declared in a meta tag
+    val latinPara = "Ce paragraphe décrit l'article en détail avec assez " +
+      "de texte pour dépasser le seuil minimal très facilement."
+    val latinHtml = ("<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=iso-8859-1\"></head><body>" +
+      s"<p>$latinPara</p></body></html>")
+    val latinResp = httpResponse(latinHtml.getBytes("ISO-8859-1"),
+      Seq("Content-Type: text/html"))
+    val p1 = writeFile("crawl.warc", record("response",
+      "aaaaaaaa-0000-0000-0000-000000000004",
+      "https://fr.example.org/a", "2024-03-02T12:00:00Z", latinResp,
+      extraHeaders = Seq("Content-Type: application/http; msgtype=response")))
+    val rows = Warc.responseDocuments(spark, p1.toString).collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("text") == latinPara)
+
+    // the same latin-1 bytes under a UTF-8 claim must FAIL the task
+    val lying = httpResponse(latinHtml.getBytes("ISO-8859-1"),
+      Seq("Content-Type: text/html; charset=utf-8"))
+    val p2 = writeFile("crawl.warc", record("response",
+      "aaaaaaaa-0000-0000-0000-000000000005",
+      "https://fr.example.org/b", "2024-03-02T12:00:01Z", lying,
+      extraHeaders = Seq("Content-Type: application/http; msgtype=response")))
+    val e = intercept[SparkException] {
+      Warc.responseDocuments(spark, p2.toString).collect()
+    }
+    assert(e.getMessage.contains("not valid") ||
+      Option(e.getCause).exists(_.getMessage.contains("not valid")))
+  }
+
   test("wetDocuments yields the documents-table contract with deterministic ids") {
     val p = writeFile("crawl.wet", wetFixture)
     val rows = Warc.wetDocuments(spark, p.toString).collect()
