@@ -26,6 +26,7 @@ object SparkEntry {
     functions.ScalarQueries.all ++
     streaming.EventQueries.all ++
     text.TextQueries.all ++
+    text.Bpe.all ++
     similarity.VectorQueries.all ++
     multimodal.MultimodalQueries.all ++
     operators.Search.all ++
