@@ -38,6 +38,27 @@ object Q {
   def avgMoney(c: Column): Column =
     sum(money(c)).cast("double") / count(c)
 
+  /** Execution-time exactness-ceiling guard: `value` passes through
+    * unchanged while `stat <= bound`; past the bound the TASK fails
+    * with a named `GRAFT_CEILING` error carrying the remedy. This
+    * turns the documented integer/decimal ceilings (q99/q104/q114
+    * scaladoc) into loud failures instead of Spark's non-ANSI silent
+    * NULL-on-overflow — one comparison on an already-computed 1-row
+    * corpus stat, zero extra jobs (the guard rides the stat frame that
+    * broadcasts anyway, and stays load-bearing so column pruning
+    * cannot drop it).
+    */
+  def ceilingGuardOn(value: Column, stat: Column, bound: Long,
+                     query: String, what: String, remedy: String): Column =
+    when(stat <= lit(bound), value).otherwise(raise_error(concat(
+      lit(s"GRAFT_CEILING: $query: $what = "), stat.cast("string"),
+      lit(s" exceeds the documented exactness ceiling $bound; remedy: $remedy"))))
+
+  /** [[ceilingGuardOn]] where the guarded value is the stat itself. */
+  def ceilingGuard(c: Column, bound: Long, query: String, what: String,
+                   remedy: String): Column =
+    ceilingGuardOn(c, c, bound, query, what, remedy)
+
   /** Oracle-side equivalents (DuckDB SQL fragments). */
   def oSum(col: String): String =
     s"CAST(SUM(CAST($col AS DECIMAL(18,2))) AS DOUBLE)"

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   * of the Lucene idf ln((N+1)/(df+0.5)) with both arguments doubled
   * to stay integral. Integer division, not IEEE: deterministic on any
   * engine, at ~10⁶ quantization — far below anything a ranking could
-  * feel. Long ceiling: idfq·22·T·tf needs T·tf < ~2·10¹¹ (past
-  * ~10¹⁰ corpus tokens with tf > 20, move the core to decimal(38,0)
-  * — the documented q104 remedy).
+  * feel. Long ceiling: idfq·22·T·tf needs T·tf < ~2·10¹¹; since
+  * round 6 this is RUNTIME-GUARDED (T·max_tf rides the same stats
+  * aggregate; past the bound the task fails with a named
+  * GRAFT_CEILING error whose remedy is the documented q104 move:
+  * lift the score core to decimal(38,0)).
   *
   * Scale shape: for a literal query-term set the whole scorer is a
   * PURE MAP — per-doc tf comes from `size(filter(tk, ...))` inside
@@ -42,7 +44,11 @@ object Bm25 {
     * to `docs` (needs `doc_id`, `text`). Terms must be non-empty and
     * SQL-literal-safe (the registered query pins corpus tokens).
     */
-  def score(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  /** T·tf must stay under ~2·10¹¹ for the long score core. */
+  private[graft] val TokenTfCeiling = 200_000_000_000L
+
+  def score(docs: DataFrame, terms: Seq[String],
+            ceiling: Long = TokenTfCeiling): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     require(terms.nonEmpty, "BM25 needs at least one query term")
@@ -55,9 +61,22 @@ object Bm25 {
     val base = graft.Barrier(docs.select(
       Seq($"doc_id", expr("size(split(text, ' '))").cast("long").as("dl")) ++
         tfCols: _*))
-    val statCols = Seq(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok")) ++
+    val maxTf = // greatest() needs ≥ 2 args
+      if (terms.size == 1) col("tf_0")
+      else greatest(terms.indices.map(i => col(s"tf_$i")): _*)
+    val statCols = Seq(count(lit(1)).as("n_docs"), sum($"dl").as("t_tok"),
+      max(maxTf).as("max_tf")) ++
       terms.indices.map(i => count_if(col(s"tf_$i") > 0).as(s"df_$i"))
     val stats = base.agg(statCols.head, statCols.tail: _*)
+      // guard rides t_tok (load-bearing — pruning can't drop it):
+      // every term contribution multiplies idfq·22·T·tf, so T·max_tf
+      // over the bound means some score core would wrap a long.
+      .withColumn("t_tok", graft.Q.ceilingGuardOn($"t_tok",
+        // decimal, not long: the guard product must not itself wrap
+        $"t_tok".cast("decimal(38,0)") * $"max_tf", ceiling, "bm25",
+        "T*max_tf (the idfq*22*T*tf score core must fit a long)",
+        "lift the score core to decimal(38,0) — the documented q104 move"))
+      .drop("max_tf")
     val contrib = terms.indices.map { i =>
       s"((${TextQueries.lqSql("2 * n_docs + 2")}" +
         s" - ${TextQueries.lqSql(s"2 * df_$i + 1")}) * 22 * t_tok * tf_$i)" +

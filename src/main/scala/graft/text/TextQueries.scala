@@ -2117,14 +2117,18 @@ object TextQueries {
     * a window). Top-doc election is max(struct) — a map-side-combinable
     * aggregate, no per-source sort. Long-overflow ceiling: surp_q tops
     * out at N_tok·10⁶ (singleton term), so the long form holds to
-    * ~9·10¹² corpus tokens; past that, shrink the quantum or lift the
-    * weight to decimal(38,0) — noted, not silently wrong.
+    * ~9·10¹² corpus tokens; since round 6 the ceiling is
+    * RUNTIME-GUARDED on the broadcast total (named GRAFT_CEILING
+    * failure; remedy: shrink the quantum or lift the weight to
+    * decimal(38,0)) — loud, not silently wrong.
     */
-  val q99 = Q(
-    "q99_doc_surprisal",
-    (s, dir) => {
+  private[graft] val SurprisalTokenCeiling = 9_000_000_000_000L // N·10⁶ < 2⁶³
+
+  private[graft] def docSurprisal(d: DataFrame,
+                                  ceiling: Long = SurprisalTokenCeiling): DataFrame = {
+      val s = d.sparkSession
       import s.implicits._
-      val docTf = docs(s, dir)
+      val docTf = d
         .select($"doc_id", $"source",
           explode(split(coalesce($"text", lit("")), " ")).as("t"))
         .groupBy($"t", $"doc_id", $"source")
@@ -2132,6 +2136,10 @@ object TextQueries {
         .localCheckpoint()
       val termCnt = docTf.groupBy($"t").agg(sum($"c").as("cnt")).cache()
       val tot = termCnt.agg(sum($"cnt").as("n_tok_total"))
+        .select(graft.Q.ceilingGuard($"n_tok_total", ceiling,
+          "q99_doc_surprisal", "corpus token count (surp_q = N_tok*10^6 div cnt must fit a long)",
+          "shrink the 10^6 quantum or lift the weight to decimal(38,0)")
+          .as("n_tok_total"))
       val surp = termCnt.crossJoin(broadcast(tot))
         .select($"t", expr("n_tok_total * 1000000L div cnt").as("surp_q"))
       val perDoc = docTf.join(surp, Seq("t"))
@@ -2148,7 +2156,11 @@ object TextQueries {
         .select($"source", $"n_docs", $"n_tokens", $"mean_surprisal",
           $"w.doc_id".as("top_doc"), $"w.mean_q".as("top_doc_mean_q"))
         .orderBy($"source")
-    },
+  }
+
+  val q99 = Q(
+    "q99_doc_surprisal",
+    (s, dir) => docSurprisal(docs(s, dir)),
     Some("""WITH tok AS (
       |  SELECT doc_id, source,
       |         UNNEST(string_split(COALESCE(text, ''), ' ')) AS t
@@ -2500,25 +2512,32 @@ object TextQueries {
     * text — kept out here because the count aggregate already bounds
     * the shuffled rows to the distinct-bigram count.
     *
-    * Exactness ceiling (the q99 stance — noted, not silently wrong):
-    * the numerator c_ab·T² is bounded by T³, which outgrows
-    * decimal(38,0) past ~5·10¹² corpus tokens — beyond that Spark's
-    * non-ANSI decimal overflow NULLs the score (dropping the bigram)
-    * while DuckDB's HUGEINT raises. Past that scale, divide T out of
-    * one factor first (score ranks identically) or run the scoring in
-    * ANSI mode to fail loud.
+    * Exactness ceiling (the q99 stance): the numerator c_ab·T² is
+    * bounded by T³, which outgrows decimal(38,0) past ~4.6·10¹² corpus
+    * tokens — beyond that Spark's non-ANSI decimal overflow would NULL
+    * the score (dropping the bigram) while DuckDB's HUGEINT raises.
+    * Since round 6 the ceiling is RUNTIME-GUARDED ([[graft.Q.ceilingGuard]]
+    * on the broadcast total — zero extra jobs): past it the task fails
+    * with a named GRAFT_CEILING error naming the remedy (divide T out
+    * of one factor first — score ranks identically — or run ANSI mode).
     */
-  val q104 = Q(
-    "q104_pmi_collocations",
-    (s, dir) => {
+  private[graft] val PmiTokenCeiling = 4_600_000_000_000L // T³ < 10³⁸
+
+  private[graft] def pmiCollocations(d: DataFrame,
+                                     ceiling: Long = PmiTokenCeiling): DataFrame = {
+      val s = d.sparkSession
       import s.implicits._
-      val toksArr = docs(s, dir)
+      val toksArr = d
         .select($"doc_id", split(coalesce($"text", lit("")), " ").as("tk"))
         .corpusBarrier // two consumers: unigram and bigram explosions
       val uni = toksArr.select(explode($"tk").as("w"))
         .groupBy($"w").agg(count(lit(1)).as("c"))
         .cache() // vocabulary-shaped: total + two scoring joins read it
       val tot = uni.agg(sum($"c").as("t_tok"))
+        .select(graft.Q.ceilingGuard($"t_tok", ceiling,
+          "q104_pmi_collocations", "corpus token count T (T^3 must fit decimal(38,0))",
+          "divide T out of one numerator factor (ranking is unchanged) or run in ANSI mode")
+          .as("t_tok"))
       val big = toksArr.filter(size($"tk") >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(tk) - 1),
@@ -2542,7 +2561,11 @@ object TextQueries {
           .over(Window.orderBy($"score".desc, $"w1", $"w2")))
         .select($"rank", $"w1", $"w2", $"c_ab", $"score")
         .orderBy($"rank")
-    },
+  }
+
+  val q104 = Q(
+    "q104_pmi_collocations",
+    (s, dir) => pmiCollocations(docs(s, dir)),
     Some("""WITH tok AS (
       |  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents),
       |uni AS (
