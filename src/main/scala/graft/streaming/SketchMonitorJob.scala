@@ -81,15 +81,63 @@ object SketchMonitorJob {
     */
   def mergedSketch(spark: SparkSession, outDir: String,
                    d: Int = Cms.DefaultD, w: Int = Cms.DefaultW): DataFrame = {
-    val cells = spark.read
-      .schema("r0 INT, b BIGINT, c BIGINT, d INT, w INT")
-      .parquet(outDir)
-    val geoms = cells.select("d", "w").distinct().collect()
-      .map(r => (r.getInt(0), r.getInt(1)))
+    val geoms = storedGeometry(spark, outDir)
     require(geoms.forall(_ == (d, w)),
       s"sketch at $outDir was built with geometry ${geoms.toSeq} " +
         s"but ($d, $w) was requested — estimates against a mismatched " +
-        "grid silently undercount; rebuild or pass the stored geometry")
-    Cms.merge(cells.select("r0", "b", "c"))
+        "grid silently undercount; pass the storedGeometry(outDir) values " +
+        "or rebuildFromCorpus with the new geometry")
+    Cms.merge(readCells(spark, outDir).select("r0", "b", "c"))
+  }
+
+  /** The distinct (d, w) geometries of the grids stored at `outDir` —
+    * the programmatic way to recover the geometry a sketch store was
+    * built with (callers previously had to parse [[mergedSketch]]'s
+    * exception message). Normally 1 entry; empty for a fresh store.
+    */
+  def storedGeometry(spark: SparkSession, outDir: String): Seq[(Int, Int)] =
+    readCells(spark, outDir).select("d", "w").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq
+
+  private def readCells(spark: SparkSession, outDir: String): DataFrame =
+    spark.read
+      .schema("r0 INT, b BIGINT, c BIGINT, d INT, w INT")
+      .parquet(outDir)
+
+  /** The TAKEDOWN story for derived sketch state. CMS cells are
+    * add-only, so [[graft.etl.Erasure.erase]] — which scrubs the
+    * corpus sink, band index, and manifest — cannot reach the erased
+    * docs' token counts inside the stored grids; until this runs,
+    * estimates still include them (an over-count: the one-sided bound
+    * survives, the forgetting does not). This rebuilds the ENTIRE
+    * store from the post-erasure corpus in one pass: every historical
+    * grid is replaced by a single `batch_id = -1` grid (negative so a
+    * resumed stream's monotone non-negative batch ids never collide),
+    * after which estimates of tokens unique to erased docs drop to 0.
+    *
+    * Offline maintenance, like [[graft.etl.BandIndex.compactIfNeeded]]:
+    * run BETWEEN stream restarts — the full-directory overwrite and a
+    * concurrent micro-batch append race destructively. Not subtraction:
+    * the drop stream sketches every landed batch (re-crawls included),
+    * so subtracting one corpus copy of an erased doc would leave
+    * residue from its duplicate landings; the corpus rebuild is the
+    * form that is exact by construction.
+    *
+    * Geometry may be changed on rebuild (the store is re-derived
+    * whole) — the default keeps the stored one when present.
+    */
+  def rebuildFromCorpus(spark: SparkSession, corpusDir: String,
+                        outDir: String,
+                        d: Int = Cms.DefaultD, w: Int = Cms.DefaultW): Unit = {
+    // the CorpusIngestJob sink layout (the Erasure.eraseFromCorpus read)
+    val corpus = spark.read
+      .schema(graft.Tables.schemas("documents").add("ingest_batch", "long"))
+      .parquet(corpusDir)
+    Cms.cells(corpus, d, w)
+      .withColumn("d", lit(d)).withColumn("w", lit(w))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite") // FULL overwrite: replaces all history
+      .partitionBy("batch_id")
+      .parquet(outDir)
   }
 }

@@ -87,6 +87,56 @@ class SketchMonitorSpec extends SparkSpec {
     assert(e.getMessage.contains("geometry"))
   }
 
+  test("takedown: rebuildFromCorpus forgets an erased doc's unique tokens") {
+    val srcDir = Files.createTempDirectory("graft-cms4-src").toString
+    val outDir = Files.createTempDirectory("graft-cms4-out").toString
+    val ckpt = Files.createTempDirectory("graft-cms4-ckpt").toString
+    val corpusDir = Files.createTempDirectory("graft-cms4-corpus").toString
+
+    val batch1 = Seq(
+      (1L, "shared words live here", "s1", 22L, "und"),
+      (99L, "qqq_unique_tok zzz_solo_tok shared words", "s1", 40L, "und"))
+      .toDF("doc_id", "text", "source", "n_chars", "lang")
+      .select(Tables.schemas("documents").fieldNames.map(col): _*)
+    val batch2 = Seq(
+      (2L, "shared words again and again", "s2", 28L, "und"))
+      .toDF("doc_id", "text", "source", "n_chars", "lang")
+      .select(Tables.schemas("documents").fieldNames.map(col): _*)
+    batch1.coalesce(1).write.parquet(s"$srcDir/b1.parquet")
+    batch2.coalesce(1).write.parquet(s"$srcDir/b2.parquet")
+    SketchMonitorJob.run(spark, s"$srcDir/*", outDir, ckpt).awaitTermination()
+
+    // the corpus sink in the CorpusIngestJob layout
+    batch1.withColumn("ingest_batch", lit(0L))
+      .unionByName(batch2.withColumn("ingest_batch", lit(1L)))
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(corpusDir)
+
+    def est(t: String): Long =
+      Cms.estimates(SketchMonitorJob.mergedSketch(spark, outDir),
+        Seq(t).toDF("t")).head().getAs[Long]("est")
+    assert(est("qqq_unique_tok") >= 1L && est("zzz_solo_tok") >= 1L)
+
+    // takedown doc 99, then rebuild the derived sketch state
+    val erased = graft.etl.Erasure.eraseFromCorpus(spark, corpusDir,
+      Seq(99L).toDF("doc_id"))
+    assert(erased === 1L)
+    SketchMonitorJob.rebuildFromCorpus(spark, corpusDir, outDir)
+
+    assert(est("qqq_unique_tok") === 0L, "erased doc's token still estimated")
+    assert(est("zzz_solo_tok") === 0L)
+    assert(est("shared") >= 2L, "surviving docs' counts must remain")
+    // the rebuilt store IS the batch sketch of the post-erasure corpus
+    val survivors = spark.read
+      .schema(Tables.schemas("documents").add("ingest_batch", "long"))
+      .parquet(corpusDir)
+      .drop("ingest_batch")
+    assert(asCells(SketchMonitorJob.mergedSketch(spark, outDir)) ===
+      asCells(Cms.cells(survivors)))
+    // geometry is discoverable programmatically (ADVICE round 5)
+    assert(SketchMonitorJob.storedGeometry(spark, outDir) ===
+      Seq((Cms.DefaultD, Cms.DefaultW)))
+  }
+
   test("a from-scratch monitor (empty drop dir) yields an empty merged sketch") {
     val srcDir = Files.createTempDirectory("graft-cms3-src").toString
     val outDir = Files.createTempDirectory("graft-cms3-out").toString + "/sub"
