@@ -144,16 +144,28 @@ object BandIndex {
   final class ConcurrentMaintenanceException(msg: String)
     extends IllegalStateException(msg)
 
-  /** The maintenance lease: op name, wall-clock acquisition time, TTL.
-    * Stored as one line (`op|acquiredAtMs|ttlMs`) in
-    * `<path>/_maintenance_lease`. Wall-clock staleness is the standard
-    * lease compromise: a crashed holder's lease expires instead of
-    * blocking forever, at the cost that a PAUSED holder (GC, VM
-    * migration) longer than the TTL could be taken over — size `ttlMs`
-    * to an upper bound of the maintenance op's duration.
+  /** The maintenance lease: op name, wall-clock acquisition time, TTL,
+    * and a per-acquisition FENCING TOKEN. Stored as one line
+    * (`op|acquiredAtMs|ttlMs|claimId`) in `<path>/_maintenance_lease`.
+    * Wall-clock staleness is the standard lease compromise: a crashed
+    * holder's lease expires instead of blocking forever, at the cost
+    * that a PAUSED holder (GC, VM migration) longer than the TTL could
+    * be taken over — size `ttlMs` to an upper bound of the maintenance
+    * op's duration. The fencing token closes the takeover's write-side
+    * hole: every generation-swap commit re-reads the lease and refuses
+    * to proceed unless the on-file claimId is still the committer's own
+    * ([[verifyFence]]), so a paused holder that lost its lease cannot
+    * complete a stale swap over the new holder's work.
     */
-  final case class Lease(op: String, acquiredAtMs: Long, ttlMs: Long) {
+  final case class Lease(op: String, acquiredAtMs: Long, ttlMs: Long,
+                         claimId: String = "") {
     def staleAt(nowMs: Long): Boolean = nowMs >= acquiredAtMs + ttlMs
+    /** Wire form; claimId-less for legacy 3-field leases so the
+      * takeover's read-back content compare matches what's on file.
+      */
+    def encode: String =
+      if (claimId.isEmpty) s"$op|$acquiredAtMs|$ttlMs"
+      else s"$op|$acquiredAtMs|$ttlMs|$claimId"
   }
 
   /** Default lease TTL — one hour covers a full-index rewrite at any
@@ -191,7 +203,10 @@ object BandIndex {
       finally in.close()
     text.split('|') match {
       case Array(op, at, ttl) if at.forall(_.isDigit) && ttl.forall(_.isDigit) =>
-        Some(Lease(op, at.toLong, ttl.toLong))
+        Some(Lease(op, at.toLong, ttl.toLong)) // pre-fencing lease file
+      case Array(op, at, ttl, id)
+          if at.forall(_.isDigit) && ttl.forall(_.isDigit) && id.nonEmpty =>
+        Some(Lease(op, at.toLong, ttl.toLong, id))
       case _ => Some(Lease(CorruptOp, 0L, 0L))
     }
   }
@@ -230,8 +245,9 @@ object BandIndex {
     * files — the two halves of the reader-writer contract.
     */
   private[etl] def acquireLease(spark: SparkSession, path: String, op: String,
-                                ttlMs: Long): Unit = {
+                                ttlMs: Long): String = {
     val now = System.currentTimeMillis()
+    val claimId = java.util.UUID.randomUUID().toString
     val p = leasePath(path)
     val fs = fsOf(spark, p)
     readLease(spark, path).foreach { l =>
@@ -262,7 +278,7 @@ object BandIndex {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
       }
-      if (claimedText != s"${l.op}|${l.acquiredAtMs}|${l.ttlMs}") {
+      if (claimedText != l.encode) {
         fs.rename(claim, p) // restore the rival's live lease (best effort)
         throw new ConcurrentMaintenanceException(
           s"stale-lease takeover at $path raced a completed rival " +
@@ -276,7 +292,8 @@ object BandIndex {
         throw new ConcurrentMaintenanceException(
           s"maintenance lease at $path was acquired concurrently — retry")
       }
-    try out.write(s"$op|$now|$ttlMs".getBytes("UTF-8")) finally out.close()
+    try out.write(Lease(op, now, ttlMs, claimId).encode.getBytes("UTF-8"))
+    finally out.close()
     // holding the lease, reclaim claim-file residue from takers that
     // crashed between their rename and delete (nothing reads these)
     fs.listStatus(hadoopPath(path)).foreach { st =>
@@ -284,8 +301,50 @@ object BandIndex {
         fs.delete(st.getPath, false)
     }
     try awaitNoAppendBeacons(spark, path)
-    catch { case e: Throwable => breakLease(spark, path); throw e }
+    catch { case e: Throwable => releaseLease(spark, path, claimId); throw e }
+    claimId
   }
+
+  /** Release the lease ONLY if it is still ours: a paused holder whose
+    * lease expired and was taken over must not delete the new holder's
+    * live lease on its way out (the delete-a-rival's-lease hole a plain
+    * [[breakLease]] release would re-open). A legacy claimId-less lease
+    * is deleted unconditionally — it cannot be fence-matched.
+    */
+  private[etl] def releaseLease(spark: SparkSession, path: String,
+                                claimId: String): Unit =
+    readLease(spark, path).foreach { l =>
+      if (l.claimId == claimId || l.claimId.isEmpty)
+        breakLease(spark, path)
+    }
+
+  /** The write-side half of the fencing contract: called immediately
+    * before each catalog-mutating generation-swap step, it re-reads the
+    * lease file and refuses the commit unless the on-file claimId is
+    * still `claimId`. A holder paused past its TTL whose lease a rival
+    * took over sees the rival's claimId here and aborts instead of
+    * sweeping the rival's freshly-written generation. One FS read per
+    * table swap — noise against a full-table rewrite. The window
+    * between this check and the swap itself is one catalog roundtrip,
+    * down from the whole maintenance op; a fully airtight commit would
+    * need a CAS the filesystem does not offer.
+    */
+  private[etl] def verifyFence(spark: SparkSession, path: String,
+                               claimId: String): Unit =
+    readLease(spark, path) match {
+      case Some(l) if l.claimId == claimId => ()
+      case Some(l) if l.claimId.isEmpty => () // legacy lease: no fence to check
+      case Some(l) =>
+        throw new ConcurrentMaintenanceException(
+          s"fencing check failed at $path: this holder's lease was taken " +
+          s"over by '${l.op}' (claim ${l.claimId.take(8)}…) — the commit " +
+          "is refused; the takeover implies this holder ran past its TTL " +
+          "(GC/VM pause?), so size ttlMs to the op's true upper bound")
+      case None =>
+        throw new ConcurrentMaintenanceException(
+          s"fencing check failed at $path: the lease vanished mid-op " +
+          "(operator breakLease?) — the commit is refused")
+    }
 
   private val BeaconPrefix = "_append_beacon_"
 
@@ -406,16 +465,20 @@ object BandIndex {
       throw new ConcurrentMaintenanceException(msg)
     }
 
-  /** Run `body` under the maintenance lease; released on success only.
+  /** Run `body` under the maintenance lease; released on success only,
+    * and only if still ours ([[releaseLease]] fence-matches, so an
+    * over-TTL holder cannot delete its successor's lease on exit).
     * A failed run LEAVES the lease on file — the index may be mid-swap,
     * so appenders must stay blocked until the op is rerun (stale
-    * takeover) or an operator breaks the lease deliberately.
+    * takeover) or an operator breaks the lease deliberately. `body`
+    * receives the acquisition's fencing token to pass down to its
+    * generation-swap commits ([[verifyFence]]).
     */
   private[etl] def withLease[T](spark: SparkSession, path: String, op: String,
-                                ttlMs: Long)(body: => T): T = {
-    acquireLease(spark, path, op, ttlMs)
-    val r = body
-    breakLease(spark, path)
+                                ttlMs: Long)(body: String => T): T = {
+    val fence = acquireLease(spark, path, op, ttlMs)
+    val r = body(fence)
+    releaseLease(spark, path, fence)
     r
   }
 
@@ -828,20 +891,22 @@ object BandIndex {
   def compact(spark: SparkSession, name: String, path: String,
               buckets: Int = 32,
               leaseTtlMs: Long = DefaultLeaseTtlMs): Unit =
-    withLease(spark, path, "compact", leaseTtlMs) {
-      compactUnderLease(spark, name, path, buckets)
+    withLease(spark, path, "compact", leaseTtlMs) { fence =>
+      compactUnderLease(spark, name, path, buckets, fence)
     }
 
   /** [[compact]] body, lease already held — for composed maintenance
     * ops ([[graft.etl.Erasure]]) that take one lease across steps.
+    * `fence` is that lease's claim token, verified at each swap commit.
     */
   private[etl] def compactUnderLease(spark: SparkSession, name: String,
-                                     path: String, buckets: Int): Unit = {
+                                     path: String, buckets: Int,
+                                     fence: String): Unit = {
     rewriteTable(spark, bandsTable(name), path,
-      writeBucketed(_, _, _, buckets, "band_val"), identity)
-    rewriteTable(spark, toksTable(name), path, writeToks, identity)
+      writeBucketed(_, _, _, buckets, "band_val"), identity, fence)
+    rewriteTable(spark, toksTable(name), path, writeToks, identity, fence)
     rewriteTable(spark, docsTable(name), path,
-      writeBucketed(_, _, _, buckets, "fp"), identity)
+      writeBucketed(_, _, _, buckets, "fp"), identity, fence)
   }
 
   /** Erase documents from the index — the takedown / right-to-be-
@@ -873,14 +938,14 @@ object BandIndex {
   def remove(spark: SparkSession, name: String, path: String,
              docIds: DataFrame, buckets: Int = 32,
              leaseTtlMs: Long = DefaultLeaseTtlMs): Boolean =
-    withLease(spark, path, "remove", leaseTtlMs) {
-      removeUnderLease(spark, name, path, docIds, buckets)
+    withLease(spark, path, "remove", leaseTtlMs) { fence =>
+      removeUnderLease(spark, name, path, docIds, buckets, fence)
     }
 
   /** [[remove]] body, lease already held (see [[compactUnderLease]]). */
   private[etl] def removeUnderLease(spark: SparkSession, name: String,
                                     path: String, docIds: DataFrame,
-                                    buckets: Int): Boolean = {
+                                    buckets: Int, fence: String): Boolean = {
     val ids = docIds.select("doc_id").distinct().localCheckpoint()
     // no-op probe: `_bands` is rewritten LAST, so ids absent from it
     // mean every prior remove completed all three tables — reruns and
@@ -904,11 +969,11 @@ object BandIndex {
     }
     def drop(df: DataFrame): DataFrame =
       df.join(ids, Seq("doc_id"), "left_anti")
-    rewriteTable(spark, toksTable(name), path, writeToks, drop)
+    rewriteTable(spark, toksTable(name), path, writeToks, drop, fence)
     rewriteTable(spark, docsTable(name), path,
-      writeBucketed(_, _, _, buckets, "fp"), drop)
+      writeBucketed(_, _, _, buckets, "fp"), drop, fence)
     rewriteTable(spark, bandsTable(name), path,
-      writeBucketed(_, _, _, buckets, "band_val"), drop)
+      writeBucketed(_, _, _, buckets, "band_val"), drop, fence)
     true
   }
 
@@ -944,11 +1009,13 @@ object BandIndex {
   private def rewriteTable(spark: SparkSession, table: String,
                            path: String,
                            write: (DataFrame, String, String) => Unit,
-                           transform: DataFrame => DataFrame): Unit = {
+                           transform: DataFrame => DataFrame,
+                           fence: String): Unit = {
     val tmpTable = table + "__compacting"
     if (!spark.catalog.tableExists(table)) {
       require(spark.catalog.tableExists(tmpTable),
         s"rewrite resume: neither `$table` nor `$tmpTable` exists")
+      verifyFence(spark, path, fence)
       spark.sql(s"ALTER TABLE `$tmpTable` RENAME TO `$table`")
       spark.catalog.refreshTable(table)
       // no return: this call's transform still has to apply (below)
@@ -963,6 +1030,9 @@ object BandIndex {
     val genDir = s"$path/${table}__g${System.currentTimeMillis()}_" +
       java.util.UUID.randomUUID().toString.take(8)
     write(transform(spark.table(table)), tmpTable, genDir)
+    // commit point: the long rewrite above is where a TTL overrun
+    // happens — re-check the fence before the destructive swap
+    verifyFence(spark, path, fence)
     spark.sql(s"DROP TABLE `$table`")
     spark.sql(s"ALTER TABLE `$tmpTable` RENAME TO `$table`")
     spark.catalog.refreshTable(table)

@@ -206,12 +206,12 @@ object Erasure {
             indexPath: String, docIds: DataFrame, buckets: Int = 32,
             manifestDir: Option[String] = None,
             leaseTtlMs: Long = BandIndex.DefaultLeaseTtlMs): EraseReport =
-    BandIndex.withLease(spark, indexPath, "erase", leaseTtlMs) {
+    BandIndex.withLease(spark, indexPath, "erase", leaseTtlMs) { fence =>
       val nCorpus = eraseFromCorpus(spark, corpusDir, docIds)
       val nManifest = manifestDir
         .map(eraseFromManifest(spark, _, docIds)).getOrElse(0L)
-      val rewrote =
-        BandIndex.removeUnderLease(spark, indexName, indexPath, docIds, buckets)
+      val rewrote = BandIndex.removeUnderLease(
+        spark, indexName, indexPath, docIds, buckets, fence)
       EraseReport(nCorpus, nManifest, rewrote)
     }
 }

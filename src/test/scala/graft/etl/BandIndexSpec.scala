@@ -438,6 +438,49 @@ class BandIndexSpec extends SparkSpec {
     assert(BandIndex.readLease(spark, path).isEmpty)
   }
 
+  test("fencing token: a takeover refuses the paused holder's stale swap commit") {
+    // VERDICT r5 #7: wall-clock leases admit a GC/VM-paused holder that
+    // resumes after expiry and completes a generation swap over the new
+    // holder's work. The fencing token closes it: the resumed holder's
+    // commit re-reads the lease, sees the rival's claim id, and aborts
+    // BEFORE the destructive DROP — live tables untouched.
+    val name = "bidx_fnc"
+    dropTables(name)
+    val path = tmp()
+    BandIndex.create(spark,
+      Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text"),
+      name, path, buckets = 4)
+    // holder A: ttl 0 = stale the instant it is written — the paused-
+    // past-TTL state, with A's body still to run
+    val fenceA = BandIndex.acquireLease(spark, path, "compact", ttlMs = 0)
+    // rival B takes the stale lease over and now legitimately owns it
+    val fenceB = BandIndex.acquireLease(spark, path, "remove",
+      60L * 60 * 1000)
+    assert(fenceA !== fenceB)
+    assert(BandIndex.readLease(spark, path).exists(_.claimId == fenceB))
+    // A resumes its compact body carrying its lost fence: the swap
+    // commit must be refused, and the live tables left untouched
+    val before = spark.table(BandIndex.docsTable(name)).count()
+    val ex = intercept[BandIndex.ConcurrentMaintenanceException] {
+      BandIndex.compactUnderLease(spark, name, path, buckets = 4,
+        fence = fenceA)
+    }
+    assert(ex.getMessage.contains("fencing"))
+    assert(spark.table(BandIndex.docsTable(name)).count() === before)
+    // A's exit release must not delete B's live lease (the second half
+    // of the hole: a plain breakLease on the way out would)
+    BandIndex.releaseLease(spark, path, fenceA)
+    assert(BandIndex.readLease(spark, path).exists(_.claimId == fenceB))
+    // B's own commits pass the fence end-to-end; release leaves no lease
+    assert(BandIndex.removeUnderLease(spark, name, path,
+      Seq(1L).toDF("doc_id"), 4, fenceB))
+    BandIndex.releaseLease(spark, path, fenceB)
+    assert(BandIndex.readLease(spark, path).isEmpty)
+    assert(spark.table(BandIndex.docsTable(name))
+      .filter(col("doc_id") === 1L).count() === 0)
+  }
+
   test("a remove rerun reclaims the orphan generation a crash left behind") {
     // ADVICE r4: crash between remove's final swap and its sweep leaves
     // the superseded generation — still holding the erased doc's band
