@@ -37,9 +37,27 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
+  /** One gate's per-source ledger line: `in` docs entered the gate
+    * from `source`, `kept` survived it. A source wholly consumed by an
+    * earlier gate still gets a line (in = kept = 0 is elided; in > 0,
+    * kept = 0 is the interesting case).
+    */
+  final case class GateCount(gate: String, source: String,
+                             in: Long, kept: Long) {
+    def dropped: Long = in - kept
+  }
+
   final case class CurationReport(
       kept: Long, selected: Long, selectedTokens: Long,
-      tokenBudget: Long, nSequences: Long, manifestPath: String)
+      tokenBudget: Long, nSequences: Long, manifestPath: String,
+      /** Per-gate per-source kept/dropped ledger, in gate execution
+        * order (canonicalize → trim → noise → rules → perplexity;
+        * only enabled gates appear). By construction each gate's `in`
+        * equals the previous gate's `kept` per source, so the gate
+        * drops sum EXACTLY to ingest-kept minus final-kept — a user
+        * can see which gate cost them which corpus slice.
+        */
+      gateAccounting: Seq[GateCount] = Nil)
 
   /** How the selection stage ranks docs before the token budget cuts. */
   sealed trait SelectPolicy
@@ -227,6 +245,11 @@ object CurationPipeline {
     * — the cheapest gate): mojibake belongs in a re-decoding queue,
     * not a training mix. `Some(0)` keeps only artifact-free docs.
     * Gated docs stay in the dedup index like every other gate's.
+    *
+    * The returned report's `gateAccounting` ledgers every enabled
+    * stage per source (see [[CurationReport.gateAccounting]]): one
+    * tiny aggregate per enabled boundary, differenced so gate drops
+    * sum exactly to the total drop.
     */
   /** [[graft.text.SubstringTrim]] as a pipeline stage: text becomes
     * its trimmed form, `n_chars` refreshes, and docs trimmed to
@@ -320,6 +343,35 @@ object CurationPipeline {
     val kept = perplexityGate
       .map(t => graft.text.BigramLm.passing(keptRules, t))
       .getOrElse(keptRules)
+
+    // Per-gate per-source accounting: one |sources|-row map-side-
+    // combined aggregate per ENABLED stage boundary (a gate-less run
+    // adds zero jobs — the final boundary count replaces the one
+    // kept.count() the report always needed). Differencing adjacent
+    // boundaries makes gate drops sum to the total drop BY
+    // CONSTRUCTION. Counts collect to the driver at |sources|
+    // cardinality — never doc cardinality.
+    def bySource(df: DataFrame): Map[String, Long] =
+      df.groupBy(coalesce($"source", lit("")).as("src"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val boundaries: Seq[(String, DataFrame)] = Seq(
+      canonicalize.map(_ => "canonicalize" -> keptCanon),
+      trim.map(_ => "trim" -> keptTrim),
+      noiseGate.map(_ => "noise" -> keptClean),
+      qualityGate.map(_ => "rules" -> keptRules),
+      perplexityGate.map(_ => "perplexity" -> kept)).flatten
+    var gateIn = bySource(keptRaw)
+    val gateAccounting = boundaries.flatMap { case (gate, df) =>
+      val out = bySource(df)
+      val lines = gateIn.toSeq.sortBy(_._1).collect {
+        case (src, n) if n > 0 =>
+          GateCount(gate, src, n, out.getOrElse(src, 0L))
+      }
+      gateIn = out
+      lines
+    }
+    val keptCount = gateIn.values.sum
     // budget rides along as a column (selectByBudget attached it), so
     // the report needs NO second scoring scan of the corpus; text is
     // projected away BEFORE the checkpoint materializes anything
@@ -355,8 +407,9 @@ object CurationPipeline {
           .head().getLong(0)
       else stats.getLong(3)
     CurationReport(
-      kept = kept.count(), selected = stats.getLong(0),
+      kept = keptCount, selected = stats.getLong(0),
       selectedTokens = stats.getLong(1), tokenBudget = budget,
-      nSequences = stats.getLong(2), manifestPath = manifestPath)
+      nSequences = stats.getLong(2), manifestPath = manifestPath,
+      gateAccounting = gateAccounting)
   }
 }

@@ -384,6 +384,60 @@ class PipelineSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("gate accounting: per-gate per-source drops chain and sum to the total drop") {
+    // VERDICT r5 #8: with four possible gates a user could see THAT
+    // docs dropped but not WHERE. The report now carries a per-gate
+    // per-source ledger whose adjacent lines chain (gate N's `in` =
+    // gate N-1's `kept`) — so gate drops sum EXACTLY to the total.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx_acct"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-acct")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", when($"doc_id" % 2 === 0, "web").otherwise("books"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docsDf(
+      1L -> "substantial document with many useful distinct tokens inside it",
+      2L -> "too short",                                          // rules: minWords
+      3L -> "spam spam spam spam spam spam spam spam spam spam",  // rules: top-token
+      4L -> "cafÃ© menu with plenty Ã©tÃ© mojibake tokens here")  // noise gate
+      .coalesce(1).write.parquet(s"$srcDir/a")
+
+    val gate = graft.text.QualityRules.Params(
+      minWords = 5, minMeanLen = 1, maxMeanLen = 100, minStop = 0,
+      topTokenPctMax = 20, symbolPctMax = 100, alphaPctMin = 0)
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, root.resolve("work").toString,
+      buckets = 4, budgetNum = 1, budgetDen = 1, block = 16L,
+      qualityGate = Some(gate), noiseGate = Some(0L))
+
+    assert(r.kept === 1)
+    val acct = r.gateAccounting
+    // gates appear in execution order, enabled ones only
+    assert(acct.map(_.gate).distinct === Seq("noise", "rules"))
+    // the noise gate drops the mojibake doc (web); rules then drop the
+    // short doc (web) and the spam doc (books)
+    def line(g: String, s: String) =
+      acct.find(c => c.gate == g && c.source == s).get
+    assert(line("noise", "web") === CurationPipeline.GateCount("noise", "web", 2, 1))
+    assert(line("noise", "books") === CurationPipeline.GateCount("noise", "books", 2, 2))
+    assert(line("rules", "web") === CurationPipeline.GateCount("rules", "web", 1, 0))
+    assert(line("rules", "books") === CurationPipeline.GateCount("rules", "books", 2, 1))
+    // chain: each gate's in equals the previous gate's kept per source
+    for (s <- Seq("web", "books"))
+      assert(line("rules", s).in === line("noise", s).kept)
+    // and the gate drops sum exactly to ingest-kept minus final-kept
+    val ingestKept = spark.read
+      .parquet(root.resolve("work").toString + "/corpus").count()
+    assert(acct.map(_.dropped).sum === ingestKept - r.kept)
+  }
+
   test("curation stage trims cross-doc duplicated runs before gating and selection") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
