@@ -4103,10 +4103,11 @@ object TextQueries {
 
   /** q125 — encoding-noise audit (the ftfy-style pre-filter): count
     * suspect characters per document — C0/C1 control junk, U+FFFD,
-    * and UTF-8-read-as-Latin-1 mojibake LEAD+TRAIL pairs (all
-    * two-byte leads U+00C2–U+00DF, so Greek/Cyrillic/Hebrew mojibake
-    * counts, while legitimate Latin-1 letters like German Ü do not —
-    * see [[EncodingNoise]]) — and report per source: affected docs,
+    * and UTF-8-read-as-Latin-1 mojibake LEAD+TRAIL pairs (all valid
+    * 2/3/4-byte leads U+00C2–U+00F4, so Greek/Cyrillic/CJK/curly-quote
+    * mojibake counts, while legitimate Latin-1 letters like German Ü
+    * or French é do not — see [[EncodingNoise]]) — and report per
+    * source: affected docs,
     * artifact density per million chars, and the worst document.
     * Real crawl corpora carry double-encoded fragments long before
     * any model sees them; this is the gate that routes a document to
@@ -4132,7 +4133,7 @@ object TextQueries {
       |         len(regexp_extract_all(COALESCE(text, ''),
       |             '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{0080}-\x{009F}\x{FFFD}]'))
       |         + len(regexp_extract_all(COALESCE(text, ''),
-      |             '[\x{00C2}-\x{00DF}][\x{0080}-\x{00BF}]')) AS narts
+      |             '[\x{00C2}-\x{00F4}][\x{0080}-\x{00BF}]')) AS narts
       |  FROM documents),
       |mx AS (SELECT source, MAX(narts) AS m FROM per GROUP BY 1),
       |wd AS (

@@ -97,6 +97,25 @@ class SketchNoiseSpec extends SparkSpec {
     assert(got.getAs[Long]("n_artifacts") >= 6L)
   }
 
+  test("3/4-byte mojibake counts; legit French/Spanish accents stay clean") {
+    // ADVICE r5: leads were 2-byte-only (U+00C2–U+00DF), so CJK or
+    // curly-quote mojibake with trails ≥ U+00A0 sailed through a
+    // noiseGate=Some(0). CJK "你好" read as Latin-1 is E4 BD A0 E5 A5
+    // BD → two lead+trail pairs (ä½, å¥), zero C1 controls — caught
+    // ONLY by the extended lead class.
+    val cjkMojibake = new String("你好".getBytes("UTF-8"), "ISO-8859-1")
+    val docsDf = Seq(
+      (1L, cjkMojibake, "crawl"),
+      // é/ï/ñ are now lead chars, but each is followed by a letter —
+      // the pair semantics keep real French/Spanish clean
+      (2L, "découpé déjà naïve mañana", "crawl")
+    ).toDF("doc_id", "text", "source")
+    val got = TextQueries.encodingNoiseOf(docsDf).collect()(0)
+    assert(got.getAs[Long]("n_affected") == 1L)
+    assert(got.getAs[Long]("n_artifacts") == 2L)
+    assert(got.getAs[Long]("worst_doc") == 1L)
+  }
+
   test("passing(0) means artifact-free at ANY length (exact rational bound)") {
     import org.apache.spark.sql.functions._
     val long = "x".repeat(1100000) + "Ã©" // 1 artifact in >1 Mchar
