@@ -131,17 +131,56 @@ object Tables {
     * INT64, no timestamp annotation). Nanos truncate sub-µs —
     * lossless for query semantics, all downstream bucketing is
     * ≥ second granularity.
+    *
+    * VALIDITY WINDOW: exact only for events between 1973-03 and 5138 —
+    * a nanos value below 1e17 (pre-1973, incl. negative epochs) reads
+    * as µs, silently ~1000× too small. [[TsUnitAuditKey]] turns the
+    * window into a check: with `spark.graft.tsUnitAudit=true`, [[load]]
+    * runs ONE aggregate over the raw longs and fails fast when a batch
+    * mixes values on both sides of the threshold — the signature of
+    * data outside the assumed range (a uniform batch is what every
+    * shipped generator writes; a mixed one means sub-1973 nanos or
+    * post-5138 µs are present and the per-row CASE is misreading
+    * part of it). Off by default: the audit is an extra scan per
+    * `load("events")`, and the driver testdata is in-window.
     */
   val tsToMicrosExpr: String =
     "timestamp_micros(CASE WHEN ts >= 100000000000000000 THEN ts div 1000 ELSE ts END)"
 
+  /** The µs/ns decision threshold of [[tsToMicrosExpr]] (1e17). */
+  val TsUnitThreshold: Long = 100000000000000000L
+
+  /** Conf switch for the [[assertUniformTsUnit]] audit (default off). */
+  val TsUnitAuditKey = "spark.graft.tsUnitAudit"
+
+  /** Fail fast when `raw.ts` (raw longs) mixes magnitudes across the
+    * [[TsUnitThreshold]] — evidence the timeline leaves the 1973–5138
+    * window where the per-value unit test is exact. One map-side-
+    * combined aggregate to a single row.
+    */
+  def assertUniformTsUnit(raw: DataFrame): Unit = {
+    import org.apache.spark.sql.functions._
+    val r = raw.agg(
+      sum(when(col("ts") >= TsUnitThreshold, 1L).otherwise(0L)).as("hi"),
+      count(col("ts")).as("n")).head()
+    val (hi, n) = (if (r.isNullAt(0)) 0L else r.getLong(0), r.getLong(1))
+    if (hi != 0L && hi != n)
+      throw new IllegalStateException(
+        s"GRAFT_TS_UNIT: events.ts mixes magnitudes across 1e17 ($hi of $n " +
+        "values read as nanos): the batch has timestamps outside the " +
+        "1973–5138 window where the per-value µs/ns test is exact — fix " +
+        "the producer's unit, or convert explicitly instead of Tables.load")
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val raw = spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     val df =
-      if (name == "events")
+      if (name == "events") {
+        if (spark.conf.get(TsUnitAuditKey, "false").toBoolean)
+          assertUniformTsUnit(raw)
         raw.withColumn("ts",
           org.apache.spark.sql.functions.expr(tsToMicrosExpr))
-      else raw
+      } else raw
     // Parallelism guard for the compute-heavy tables: the testdata
     // ships as one row group per file, so a scan arrives as ONE task
     // and every map-side stage runs single-threaded regardless of
