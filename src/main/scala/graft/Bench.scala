@@ -77,7 +77,11 @@ object Bench {
     "q123_lsh_recall_curve",
     "q124_cms_heavy_hitters",
     "q125_encoding_noise",
-    "q126_ivf_recall_curve")
+    "q126_ivf_recall_curve",
+    "q127_bpe_train",
+    "q128_image_decode",
+    "q129_bloom_decontaminate",
+    "q130_native_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -150,7 +154,7 @@ object Bench {
     // The default name is COMMITTED to git per round (the old default,
     // bench_out.json, was gitignored — the round-4 receipt asked for
     // the complete min/median/max maps in the tree).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_r05.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_r06.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>

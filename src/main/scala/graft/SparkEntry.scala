@@ -27,6 +27,7 @@ object SparkEntry {
     streaming.EventQueries.all ++
     text.TextQueries.all ++
     text.Bpe.all ++
+    text.BloomPrune.all ++
     similarity.VectorQueries.all ++
     multimodal.MultimodalQueries.all ++
     operators.Search.all ++

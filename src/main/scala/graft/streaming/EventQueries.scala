@@ -386,5 +386,67 @@ object EventQueries {
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
     doc = "J-family scale path: key-less interval join via one-window-length time buckets (no BroadcastNestedLoopJoin)")
 
-  val all: Seq[Q] = Seq(q36, q37, q38, q39, q54, q73, q76, q77, q93)
+  /** q130 — sessionization via Spark's NATIVE `session_window`
+    * (SPARK-10816 merging-interval aggregation): the same
+    * gaps-and-islands answer as q54, produced by the operator a
+    * STREAMING sessionizer would run — `groupBy(user_id,
+    * session_window(ts, gap))` compiles to UpdatingSessions +
+    * MergingSessions over ONE user-keyed exchange (no window
+    * functions, no LAG), and the identical expression works under
+    * `readStream` + watermark where q54's batch windows cannot.
+    *
+    * SEMANTIC EDGE vs q54, deliberate and oracle-pinned: native
+    * session windows merge only when event windows OVERLAP, so a gap
+    * of EXACTLY the session timeout starts a new session (strict <),
+    * while q54's LAG form keeps it (≤). The oracle mirrors the strict
+    * form — the two queries agree everywhere except exact-boundary
+    * gaps, and both conventions exist in production sessionizers.
+    *
+    * Scale: the merge is sort-based within each user partition —
+    * state proportional to OPEN sessions, not events; skewed users
+    * cost a sort, never a cross product.
+    */
+  val q130 = Q(
+    "q130_native_session_window",
+    (s, dir) => {
+      import s.implicits._
+      val mins = EventStreamJob.SessionGapUs / 60000000L
+      events(s, dir)
+        .select($"user_id", $"ts", expr("unix_micros(ts)").as("us"), $"value")
+        .groupBy($"user_id", session_window($"ts", s"$mins minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          graft.Q.sumMoney($"value").as("total_value"),
+          (max($"us") - min($"us")).as("duration_us"),
+          min($"us").as("start_us"))
+        .select($"user_id",
+          date_format(timestamp_micros($"start_us"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"),
+          $"n_events", $"total_value", $"duration_us")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some(s"""WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+      |lagged AS (
+      |  SELECT user_id, us, value,
+      |         CASE WHEN us - LAG(us) OVER w < ${EventStreamJob.SessionGapUs}
+      |              THEN 0 ELSE 1 END AS new_sess
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |islands AS (
+      |  SELECT user_id, us, value,
+      |         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |           ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM lagged)
+      |SELECT user_id,
+      |       strftime(make_timestamp(MIN(us)), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |       COUNT(*) AS n_events,
+      |       ${graft.Q.oSum("value")} AS total_value,
+      |       MAX(us) - MIN(us) AS duration_us
+      |FROM islands
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin),
+    doc = "sessionization: native session_window merging-interval aggregation (strict-gap convention), the streaming-capable operator form")
+
+  val all: Seq[Q] =
+    Seq(q36, q37, q38, q39, q54, q73, q76, q77, q93, q130)
 }

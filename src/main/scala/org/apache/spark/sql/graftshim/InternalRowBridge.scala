@@ -34,4 +34,18 @@ object InternalRowBridge {
                       schema: StructType): DataFrame =
     like.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Wrap a raw Catalyst expression as a user-facing Column and back —
+    * `classic.ExpressionUtils` is `private[sql]` in 4.x. Used by
+    * [[graft.text.BloomPrune]] to plant `BloomFilterAggregate` /
+    * `BloomFilterMightContain` (the expressions behind Spark's own
+    * runtime bloom-filter join) into DataFrame plans explicitly.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }
