@@ -81,7 +81,8 @@ object Bench {
     "q127_bpe_train",
     "q128_image_decode",
     "q129_bloom_decontaminate",
-    "q130_native_session_window")
+    "q130_native_session_window",
+    "q131_quantized_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

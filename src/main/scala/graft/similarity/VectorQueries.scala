@@ -642,5 +642,126 @@ object VectorQueries {
       |ORDER BY g.nprobe""".stripMargin),
     doc = "similarity: measured IVF recall@5 vs brute force by nprobe — the ANN-family S-curve audit")
 
-  val all: Seq[Q] = Seq(q47, q48, q49, q52, q106, q108, q126)
+  /** The corpus in symmetric per-vector int8 form: `q[i] =
+    * round(x[i] · 127 / max|x|)` ∈ [−127, 127], plus the integer
+    * squared norm. Zero vectors quantize to zeros (guarded — no
+    * divide-by-zero NaN). The two `.cache()` calls are CollapseProject
+    * barriers, not persistence for reuse: without the first, `scale`
+    * (an O(dim) aggregate) inlines into the per-element quantization
+    * lambda and recomputes per COMPONENT (64×); without the second,
+    * the quantized arrays inline into the scoring join and recompute
+    * per PAIR (see the q45/q51 precedent in TextQueries).
+    */
+  private[similarity] def int8Quantized(e: DataFrame): DataFrame = {
+    val withScale = e.select(col("vec_id"), col("embedding"),
+        expr("aggregate(transform(embedding, x -> abs(cast(x as double)))," +
+          " 0.0d, (a, x) -> greatest(a, x))").as("scale"))
+      .cache()
+    withScale.select(col("vec_id"),
+        expr("""CASE WHEN scale = 0.0d
+          | THEN transform(embedding, x -> 0L)
+          | ELSE transform(embedding,
+          |   x -> cast(round(cast(x as double) * 127.0d / scale) as long))
+          | END""".stripMargin).as("q"))
+      .withColumn("n2", expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"))
+      .cache()
+  }
+
+  /** q131 — int8-quantized similarity search: the memory-bandwidth
+    * scale path for embedding retrieval. At 100 TB the embedding
+    * column dominates scan cost; symmetric int8 quantization cuts it
+    * 4× and turns the scoring inner loop into INTEGER dot products —
+    * exact longs, no float accumulation order to disagree about, so
+    * the whole coarse ranking is hash-verifiable cross-engine (the
+    * same reason the text side ranks on quantized integers). Top-k is
+    * ranked on the QUANTIZED score; the full-precision cosine is then
+    * computed for the k winners only — the classic
+    * coarse-score-then-rerank shape, with the expensive float pass
+    * touching 40 rows instead of the corpus.
+    *
+    * Determinism: quantization is one IEEE double expression both
+    * engines evaluate bit-identically (cast-widen, multiply, divide,
+    * HALF_UP round); dot and norms are exact integers (|q|≤127, 64
+    * dims → dot ≤ 1.04e6, n2·n2 ≤ 1.1e12 < 2⁵³, so the final
+    * `dot/√(n2a·n2b)` divides exact doubles); ranking rounds to 4dp
+    * with a vec_id tie-break (the q47 convention).
+    */
+  val q131 = Q(
+    "q131_quantized_ann",
+    (s, dir) => {
+      import s.implicits._
+      val qv = int8Quantized(emb(s, dir))
+      val probes = qv.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2"))
+      val topk = qv.crossJoin(broadcast(probes))
+        .filter($"vec_id" =!= $"query_id")
+        .withColumn("dot",
+          expr("aggregate(zip_with(q, qq, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        .withColumn("q8_score", expr(
+          """CASE WHEN n2 = 0 OR qn2 = 0 THEN 0.0d
+            | ELSE round(cast(dot as double) / sqrt(cast(n2 * qn2 as double)), 4)
+            | END""".stripMargin))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"q8_score".desc, $"vec_id")))
+        .filter($"rank" <= 5)
+        .select($"query_id", $"vec_id".as("neighbor_id"), $"q8_score", $"rank")
+      // full-precision rerank pass touches only the k winners: join the
+      // float vectors back for 8×5 rows, not the corpus
+      val e = emb(s, dir)
+      topk
+        .join(e.select($"vec_id".as("neighbor_id"), $"embedding".as("nvec")),
+          Seq("neighbor_id"))
+        .join(broadcast(e.filter($"vec_id" < 8)
+          .select($"vec_id".as("query_id"), $"embedding".as("qvec"))),
+          Seq("query_id"))
+        .withColumn("exact_score", round(cos(s, "qvec", "nvec"), 4))
+        .select($"query_id", $"neighbor_id", $"q8_score", $"exact_score", $"rank")
+        .orderBy($"query_id", $"rank")
+    },
+    Some(s"""WITH base AS (
+      |  SELECT vec_id, embedding,
+      |         (SELECT MAX(abs(CAST(x AS DOUBLE)))
+      |          FROM UNNEST(embedding) AS t(x)) AS scale
+      |  FROM embeddings),
+      |qv AS (
+      |  SELECT vec_id,
+      |         CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+      |              ELSE list_transform(embedding,
+      |                x -> CAST(round(CAST(x AS DOUBLE) * 127 / scale) AS BIGINT))
+      |         END AS q
+      |  FROM base),
+      |nq AS (
+      |  SELECT vec_id, q,
+      |         (SELECT SUM(q[i] * q[i])
+      |          FROM UNNEST(generate_series(1, 64)) AS g(i)) AS n2
+      |  FROM qv),
+      |probes AS (
+      |  SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM nq WHERE vec_id < 8),
+      |scored AS (
+      |  SELECT p.query_id, e.vec_id,
+      |         (SELECT SUM(e.q[i] * p.qq[i])
+      |          FROM UNNEST(generate_series(1, 64)) AS g(i)) AS dot,
+      |         e.n2, p.qn2
+      |  FROM nq e CROSS JOIN probes p WHERE e.vec_id <> p.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |         CASE WHEN n2 = 0 OR qn2 = 0 THEN 0.0
+      |              ELSE round(CAST(dot AS DOUBLE) / sqrt(CAST(n2 * qn2 AS DOUBLE)), 4)
+      |         END AS q8_score,
+      |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+      |           CASE WHEN n2 = 0 OR qn2 = 0 THEN 0.0
+      |                ELSE round(CAST(dot AS DOUBLE) / sqrt(CAST(n2 * qn2 AS DOUBLE)), 4)
+      |           END DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT r.query_id, r.vec_id AS neighbor_id, r.q8_score,
+      |       ROUND(${oCos("qe.embedding", "ne.embedding")}, 4) AS exact_score,
+      |       CAST(r.rank AS INT) AS rank
+      |FROM ranked r
+      |JOIN embeddings ne ON ne.vec_id = r.vec_id
+      |JOIN embeddings qe ON qe.vec_id = r.query_id
+      |WHERE r.rank <= 5
+      |ORDER BY r.query_id, r.rank""".stripMargin),
+    doc = "similarity: symmetric int8 quantization, exact integer dot-product coarse rank, float rerank on the k winners only")
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q52, q106, q108, q126, q131)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 130 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 130)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 130)
+  test("registry has 132 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 132)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 132)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
