@@ -83,5 +83,56 @@ object SecurityQueries {
       |FROM f GROUP BY access_flag ORDER BY access_flag""".stripMargin),
     doc = "F12: access-audit surveillance (after-hours / high-volume / no-relationship)")
 
-  val all: Seq[Q] = Seq(q82)
+  /** q132 — k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    * et al. 2007): the release-safety check that belongs next to the
+    * reference's PII masking (healthcare-data-pipeline-main.py:44-80) —
+    * masking direct identifiers is not enough when QUASI-identifiers
+    * (here: nation × market segment × order year) isolate individuals.
+    * Every equivalence class over the quasi-identifier tuple is sized;
+    * classes below k = 5 re-identify their members by linkage, and
+    * classes whose sensitive attribute (order priority) shows < 2
+    * distinct values leak it outright even at size ≥ k. Reported per
+    * (segment, year): class counts, unsafe classes, rows at risk, and
+    * the minimum l-diversity — the table a privacy review signs off on.
+    *
+    * Scale design: one customer⋈orders equi-join (dimension side
+    * broadcasts at test SFs, shuffles cleanly past that), then two
+    * map-side-combinable aggregates — class cardinality is bounded by
+    * |nations|×|segments|×|years|, so the second aggregate is
+    * thousands of rows regardless of corpus size. All counts exact
+    * integers; no floats anywhere.
+    */
+  val q132 = Q(
+    "q132_k_anonymity",
+    (s, dir) => {
+      import s.implicits._
+      val cls = Tables.maybeBroadcast(Tables.load(s, dir, "customer"))
+        .join(Tables.load(s, dir, "orders"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_nationkey", $"c_mktsegment",
+          year($"o_orderdate").as("yr"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct($"o_orderpriority").as("l"))
+      cls.groupBy($"c_mktsegment", $"yr")
+        .agg(count(lit(1)).as("n_classes"),
+          count_if($"n" < 5).as("n_unsafe_classes"),
+          sum(when($"n" < 5, $"n").otherwise(0L)).as("rows_at_risk"),
+          min($"l").as("min_l_diversity"))
+        .orderBy($"c_mktsegment", $"yr")
+    },
+    Some("""WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         EXTRACT(year FROM o_orderdate) AS yr,
+      |         COUNT(*) AS n, COUNT(DISTINCT o_orderpriority) AS l
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1, 2, 3)
+      |SELECT c_mktsegment, CAST(yr AS INT) AS yr,
+      |       COUNT(*) AS n_classes,
+      |       CAST(COUNT(CASE WHEN n < 5 THEN 1 END) AS BIGINT) AS n_unsafe_classes,
+      |       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      |       CAST(MIN(l) AS BIGINT) AS min_l_diversity
+      |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    doc = "privacy: k-anonymity class sizes + l-diversity floor over quasi-identifiers (nation, segment, order year)")
+
+  val all: Seq[Q] = Seq(q82, q132)
 }
