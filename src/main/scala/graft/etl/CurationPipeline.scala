@@ -128,6 +128,18 @@ object CurationPipeline {
     * tie-break must see the full unit key, or the chunks of one doc —
     * identical in every sorted column — would be order-ambiguous in the
     * prefix sum and seq assignment would differ run to run.
+    *
+    * ERASURE STANCE (doc-level, deliberate): [[Erasure.erase]] removes
+    * every manifest row of an erased doc, but sequences are NOT
+    * re-numbered — other docs' chunks stay packed in sequences that
+    * once also contained the erased doc's chunks, with a token-count
+    * gap where its rows were. Their content never included the erased
+    * text (each row carries only its own doc's tokens), so nothing of
+    * the erased doc survives; what does survive is the packing
+    * GEOMETRY it influenced. A trainer re-materializing sequences from
+    * the manifest simply gets shorter sequences at the gaps; re-pack
+    * (re-run the pipeline) when exact block occupancy matters more
+    * than stable seq_ids.
     */
   def packSequencesBy(selected: DataFrame, idCols: Seq[String],
                       block: Long = 4096L,
