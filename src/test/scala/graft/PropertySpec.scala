@@ -377,4 +377,33 @@ object PropertySpec extends Properties("graft") {
       oneSided && merged == whole
     }
   }
+
+  // Bloom semi-join pruning: members ALWAYS pass the probe (no false
+  // negatives — the property the q129 exact-equality rests on), for
+  // arbitrary member sets and filters squeezed down to pathological
+  // sizes; and the pruned exact join equals the unpruned one.
+  property("bloom prune: no false negatives at any filter size") =
+    Prop.forAll(
+      Gen.nonEmptyListOf(Gen.identifier),
+      Gen.listOf(Gen.identifier),
+      Gen.oneOf(64L, 512L, 1L << 14)) { (members0, probes0, bits) =>
+      val members = members0.distinct
+      val bloom = graft.text.BloomPrune.buildBloom(
+        members.toDF("k"), col("k"), expectedItems = 1 << 10, numBits = bits)
+      val probes = (members ++ probes0).distinct.toDF("k")
+      val passed = probes
+        .filter(graft.text.BloomPrune.mightContain(bloom, col("k")))
+        .as[String].collect().toSet
+      // membership is never pruned…
+      members.toSet.subsetOf(passed) && {
+        // …so bloom-prune + exact join ≡ exact join
+        val exact = probes.join(members.toDF("k"), Seq("k"), "left_semi")
+          .as[String].collect().toSet
+        val pruned = probes
+          .filter(graft.text.BloomPrune.mightContain(bloom, col("k")))
+          .join(members.toDF("k"), Seq("k"), "left_semi")
+          .as[String].collect().toSet
+        exact == pruned
+      }
+    }
 }
