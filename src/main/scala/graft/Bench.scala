@@ -82,7 +82,8 @@ object Bench {
     "q128_image_decode",
     "q129_bloom_decontaminate",
     "q130_native_session_window",
-    "q131_quantized_ann")
+    "q131_quantized_ann",
+    "q133_audio_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

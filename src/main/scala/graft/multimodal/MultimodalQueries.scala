@@ -397,5 +397,167 @@ object MultimodalQueries {
       |ORDER BY source""".stripMargin),
     doc = "multimodal: batched encoder inference (grouped mapPartitions, 32-record batches)")
 
-  val all: Seq[Q] = Seq(q50, q53, q87, q128)
+  /** Typed output of the REAL audio decode path ([[audioFeatures]]).
+    * Stub fallback mirrors [[ImageFeatures]]: undecodable payloads get
+    * the stub stats with `decoded` = false, schema-stable either way.
+    */
+  final case class AudioFeatures(
+      doc_id: Long, source: String, decoded: Boolean,
+      sample_rate: Int, channels: Int, n_samples: Long,
+      sum_abs: Long, peak: Long)
+
+  /** Deterministic PCM16LE mono WAV for the q133 roundtrip: an integer
+    * sawtooth `s_i = ((i·k) mod 32768) − 16384` with `k = 1 + id mod 7`
+    * over `800 + id mod 800` samples at 8 kHz. Pure integer math, so
+    * the decoded stats have a CLOSED FORM a SQL oracle can compute —
+    * hash-equality then proves the byte-level WAV write → JDK decode
+    * roundtrip lossless, the same certification shape as the PNG path
+    * (q128), but oracle-checked because no codec entropy is involved.
+    */
+  def syntheticWav(docId: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val k = 1 + (docId % 7).toInt
+    val n = (800 + docId % 800).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (((i.toLong * k) % 32768L) - 16384L).toInt
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = sr·block
+      .putShort(2.toShort).putShort(16.toShort) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    bb.array()
+  }
+
+  /** REAL audio decode — JDK `javax.sound.sampled`, no new dependency:
+    * parse the container, then fold the PCM frames into exact integer
+    * stats (sample count, Σ|s|, peak |s|). Only 16-bit signed PCM is
+    * decoded (what `AudioSystem` reads without a transcoding SPI);
+    * everything else returns None and the caller stubs — one bad blob
+    * degrades, never kills the task.
+    */
+  def decodeWav(payload: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] = {
+    if (payload == null || payload.length < 44 ||
+        payload(0) != 'R' || payload(1) != 'I' ||
+        payload(2) != 'F' || payload(3) != 'F') return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => return None } // corrupt container
+    try {
+      val f = in.getFormat
+      if (f.getSampleSizeInBits != 16 ||
+          f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return None
+      val bytes = in.readAllBytes()
+      val bigEndian = f.isBigEndian
+      var sumAbs = 0L
+      var peak = 0L
+      var count = 0L
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val s =
+          if (bigEndian) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+          else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+        val a = math.abs(s.toLong)
+        sumAbs += a
+        if (a > peak) peak = a
+        count += 1
+        i += 2
+      }
+      Some((f.getSampleRate.toInt, f.getChannels, count, sumAbs, peak))
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** [[decodeWav]] over a (doc_id, source, payload) frame with the
+    * stub fallback — the q50/q128 typed-mapPartitions pipeline shape.
+    */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.select(col("doc_id"), col("source"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions(_.map { m =>
+        decodeWav(m.payload) match {
+          case Some((sr, ch, n, sumAbs, peak)) =>
+            AudioFeatures(m.doc_id, m.source, decoded = true,
+              sr, ch, n, sumAbs, peak)
+          case None =>
+            val (nBytes, nFrames, headerSum) = decodeStub(m.payload)
+            AudioFeatures(m.doc_id, m.source, decoded = false,
+              0, 0, nFrames, headerSum, nBytes)
+        }
+      }).toDF()
+  }
+
+  /** q133 — real audio codec roundtrip WITH a SQL oracle: render one
+    * deterministic WAV per sampled doc in-engine, decode through the
+    * JDK audio stack, and aggregate exact integer sample stats per
+    * source. The waveform is closed-form integer math, so DuckDB
+    * computes the same stats WITHOUT parsing WAV — hash-equality
+    * certifies the full byte-level write → container parse → PCM
+    * decode roundtrip, a stronger check than q128's rows-only can be
+    * (PNG pixels aren't SQL-expressible; a sawtooth is).
+    *
+    * Scale shape: synth + decode fuse into one mapPartitions stage
+    * over the bounded sample (no shuffle between them); the only
+    * exchange is the final per-source aggregate.
+    */
+  val q133 = Q(
+    "q133_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      val media = Tables.load(s, dir, "documents")
+        .select($"doc_id", $"source")
+        .orderBy($"doc_id").limit(200) // bounded media sample (q128)
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, src) =>
+          MediaRecord(id, src, syntheticWav(id))
+        }).toDF()
+      audioFeatures(media)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_clips"),
+          sum(when($"decoded", 1L).otherwise(0L)).as("n_decoded"),
+          sum($"n_samples").as("total_samples"),
+          sum($"sum_abs").as("total_abs"),
+          max($"peak").as("max_peak"))
+        .orderBy($"source")
+    },
+    Some("""WITH docs200 AS (
+      |  SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 200),
+      |clips AS (
+      |  SELECT doc_id, source,
+      |         1 + doc_id % 7 AS k,
+      |         800 + doc_id % 800 AS n
+      |  FROM docs200),
+      |idx AS (
+      |  SELECT doc_id, source, k,
+      |         UNNEST(generate_series(0, CAST(n - 1 AS INT))) AS i
+      |  FROM clips),
+      |vals AS (
+      |  SELECT doc_id, source, ABS(((i * k) % 32768) - 16384) AS a
+      |  FROM idx),
+      |per AS (
+      |  SELECT doc_id, source, COUNT(*) AS n_samples,
+      |         SUM(a) AS sum_abs, MAX(a) AS peak
+      |  FROM vals GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_clips,
+      |       CAST(COUNT(*) AS BIGINT) AS n_decoded,
+      |       CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+      |       CAST(SUM(sum_abs) AS BIGINT) AS total_abs,
+      |       CAST(MAX(peak) AS BIGINT) AS max_peak
+      |FROM per GROUP BY source ORDER BY source""".stripMargin),
+    doc = "multimodal: real JDK audio decode roundtrip (synthetic PCM16 WAV → exact sample stats), oracle-checked closed form")
+
+  val all: Seq[Q] = Seq(q50, q53, q87, q128, q133)
 }

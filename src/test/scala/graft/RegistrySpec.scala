@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 132 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 132)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 132)
+  test("registry has 133 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 133)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 133)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
