@@ -258,6 +258,15 @@ object CurationPipeline {
     * not a training mix. `Some(0)` keeps only artifact-free docs.
     * Gated docs stay in the dedup index like every other gate's.
     *
+    * `decontaminate`, when given, drops kept docs whose distinct
+    * shingles overlap the held-out benchmark corpus past the
+    * threshold ([[DecontaminationGate]] →
+    * [[graft.text.BloomPrune.decontaminated]], the q83/q129
+    * semantics) — eval leakage never reaches the training manifest.
+    * Runs LAST of the gates: it is the most expensive (a shingle
+    * explode), so it sees only the pool every cheaper gate already
+    * passed, and the Bloom prune keeps its shuffle candidate-sized.
+    *
     * The returned report's `gateAccounting` ledgers every enabled
     * stage per source (see [[CurationReport.gateAccounting]]): one
     * tiny aggregate per enabled boundary, differenced so gate drops
@@ -277,6 +286,15 @@ object CurationPipeline {
       .drop("text_trimmed", "n_tokens_before", "n_tokens_after")
   }
 
+  /** Benchmark-overlap gate parameters: the held-out corpus (any frame
+    * with a `text` column), shingle width, the drop threshold (hit
+    * shingles ≥ `maxHitPct`% of doc shingles), and the Bloom sizing
+    * (see [[graft.text.BloomPrune.buildBloom]]).
+    */
+  final case class DecontaminationGate(
+      benchmark: DataFrame, shingleN: Int = 7, maxHitPct: Int = 10,
+      expectedItems: Long = 1L << 20, bloomBits: Long = 1L << 23)
+
   def run(spark: SparkSession, srcDir: String, indexName: String,
           indexPath: String, workDir: String, buckets: Int = 32,
           budgetNum: Long = 1, budgetDen: Long = 2,
@@ -289,7 +307,8 @@ object CurationPipeline {
           qualityGate: Option[graft.text.QualityRules.Params] = None,
           trim: Option[Int] = None,
           perplexityGate: Option[Long] = None,
-          noiseGate: Option[Long] = None)
+          noiseGate: Option[Long] = None,
+          decontaminate: Option[DecontaminationGate] = None)
       : CurationReport = {
     import spark.implicits._
     if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
@@ -350,11 +369,17 @@ object CurationPipeline {
     val keptRules = qualityGate
       .map(p => graft.text.QualityRules.passing(keptClean, p))
       .getOrElse(keptClean)
-    // LM gate last: rules are cheap, and the intrinsic bigram model
-    // then trains on rule-passing survivors only (the CCNet stance)
-    val kept = perplexityGate
+    // LM gate after rules: rules are cheap, and the intrinsic bigram
+    // model then trains on rule-passing survivors only (CCNet stance)
+    val keptPpx = perplexityGate
       .map(t => graft.text.BigramLm.passing(keptRules, t))
       .getOrElse(keptRules)
+    // benchmark-overlap gate LAST (the priciest — a shingle explode —
+    // runs on the smallest pool; Bloom prune keeps it candidate-sized)
+    val kept = decontaminate
+      .map(g => graft.text.BloomPrune.decontaminated(keptPpx, g.benchmark,
+        g.shingleN, g.maxHitPct, g.expectedItems, g.bloomBits))
+      .getOrElse(keptPpx)
 
     // Per-gate per-source accounting: one |sources|-row map-side-
     // combined aggregate per ENABLED stage boundary (a gate-less run
@@ -372,7 +397,8 @@ object CurationPipeline {
       trim.map(_ => "trim" -> keptTrim),
       noiseGate.map(_ => "noise" -> keptClean),
       qualityGate.map(_ => "rules" -> keptRules),
-      perplexityGate.map(_ => "perplexity" -> kept)).flatten
+      perplexityGate.map(_ => "perplexity" -> keptPpx),
+      decontaminate.map(_ => "decontaminate" -> kept)).flatten
     var gateIn = bySource(keptRaw)
     val gateAccounting = boundaries.flatMap { case (gate, df) =>
       val out = bySource(df)

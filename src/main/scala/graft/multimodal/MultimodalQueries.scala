@@ -12,13 +12,15 @@ import org.apache.spark.sql.functions._
   * schema declared by case-class Encoders).
   *
   * Since round 6 the IMAGE codec is REAL for the formats the JDK
-  * ships readers for — PNG/JPEG/GIF/BMP via `javax.imageio`, no new
-  * dependency ([[decodeImage]] / [[imageFeatures]] / q128). The
+  * ships readers for — PNG/JPEG/GIF/BMP via `javax.imageio`
+  * ([[decodeImage]] / [[imageFeatures]] / q128) — and so is the AUDIO
+  * codec for 16-bit PCM WAV via `javax.sound.sampled` ([[decodeWav]] /
+  * [[audioFeatures]] / q133), both with no new dependency. The
   * generic-media stub remains as the fallback for payloads the JDK
-  * cannot decode (audio/video/exotic images): a deterministic fake so
-  * the Spark-side plumbing — binary schema, partition batching,
-  * feature schema, downstream aggregation — stays real and verified
-  * even where the codec is not.
+  * cannot decode (video, compressed audio, exotic images): a
+  * deterministic fake so the Spark-side plumbing — binary schema,
+  * partition batching, feature schema, downstream aggregation — stays
+  * real and verified even where the codec is not.
   */
 object MultimodalQueries {
 

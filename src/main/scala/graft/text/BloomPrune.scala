@@ -69,6 +69,52 @@ object BloomPrune {
       Literal(bloom, BinaryType),
       new XxHash64(Seq(InternalRowBridge.expression(value)))))
 
+  /** The distinct-`n`-token-shingle array of `text` as a SQL
+    * expression — the ONE shingle definition q129 and the pipeline
+    * gate share (the q83 convention: docs shorter than one shingle
+    * yield an empty array and vanish in the explode).
+    */
+  private def shingleExpr(n: Int): String =
+    s"""CASE WHEN size(split(text, ' ')) >= $n
+       |  THEN transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+       |    i -> concat_ws(' ',
+       |      slice(split(text, ' '), i, $n)))
+       |  ELSE array() END""".stripMargin
+
+  /** Schema-preserving decontamination GATE (the
+    * [[graft.etl.CurationPipeline]] form of q83/q129): drop every doc
+    * whose benchmark-shingle hits reach `maxHitPct`% of its distinct
+    * `n`-token shingles; docs too short to have a shingle cannot be
+    * contaminated and pass. `benchmark` is the held-out eval corpus
+    * (any frame with a `text` column). With `bloomBits > 0` the probe
+    * side pre-filters map-side through [[mightContain]] — identical
+    * kept set, shuffle cut to the candidate slice; an EMPTY benchmark
+    * builds no filter and drops nothing.
+    */
+  def decontaminated(docsDf: DataFrame, benchmark: DataFrame,
+                     n: Int = 7, maxHitPct: Int = 10,
+                     expectedItems: Long = 1L << 20,
+                     bloomBits: Long = 1L << 23): DataFrame = {
+    require(maxHitPct > 0, "maxHitPct must be positive")
+    val bench = benchmark
+      .select(explode(array_distinct(expr(shingleExpr(n)))).as("sh"))
+      .distinct()
+    val docSh = docsDf.select(col("doc_id"),
+      explode(array_distinct(expr(shingleExpr(n)))).as("sh"))
+    val probe =
+      if (bloomBits <= 0) docSh
+      else docSh.filter(
+        mightContain(buildBloom(bench, col("sh"), expectedItems, bloomBits),
+          col("sh")))
+    val nSh = docSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val contaminated = probe.join(bench, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .join(nSh, Seq("doc_id"))
+      .filter(col("n_hit") * 100 >= col("n_sh") * maxHitPct)
+      .select("doc_id")
+    docsDf.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** The exact decontamination join, optionally Bloom-pruned: per-doc
     * distinct `n`-token shingles of the non-benchmark slice are
     * matched against the benchmark slice's distinct shingles
@@ -89,12 +135,7 @@ object BloomPrune {
           "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"),
           lit(buckets)))
       .select($"doc_id", $"source", ($"bucket" === 0L).as("is_bench"),
-        explode(array_distinct(expr(
-          s"""CASE WHEN size(split(text, ' ')) >= $n
-             |  THEN transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
-             |    i -> concat_ws(' ',
-             |      slice(split(text, ' '), i, $n)))
-             |  ELSE array() END""".stripMargin))).as("sh"))
+        explode(array_distinct(expr(shingleExpr(n)))).as("sh"))
     val bench = shingleRows.filter($"is_bench").select($"sh").distinct()
     val probe0 = shingleRows.filter(!$"is_bench")
     val probe =

@@ -438,6 +438,47 @@ class PipelineSpec extends SparkSpec {
     assert(acct.map(_.dropped).sum === ingestKept - r.kept)
   }
 
+  test("curation stage gates benchmark-contaminated docs before the manifest") {
+    // eval leakage: doc 3 embeds a run of benchmark text long enough
+    // that ≥10% of its 7-shingles are benchmark shingles; doc 1 is
+    // clean. The decontamination gate (Bloom-pruned q83/q129
+    // semantics) must drop 3 and ledger the drop.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val name = "cur_idx_deco"
+    Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
+        BandIndex.toksTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = Files.createTempDirectory("graft-curation-deco")
+    val srcDir = root.resolve("src"); Files.createDirectories(srcDir)
+    def docsDf(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", when($"doc_id" % 2 === 0, "web").otherwise("books"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val benchRun = (1 to 12).map("eval" + _).mkString(" ") // 6 bench 7-shingles
+    val clean = (1 to 30).map("alpha" + _).mkString(" ")
+    docsDf(
+      1L -> clean,
+      3L -> s"${(1 to 20).map("beta" + _).mkString(" ")} $benchRun")
+      .coalesce(1).write.parquet(s"$srcDir/a")
+
+    val bench = Seq((900L, benchRun)).toDF("doc_id", "text")
+    val r = CurationPipeline.run(spark, s"$srcDir/*", name,
+      root.resolve("idx").toString, root.resolve("work").toString,
+      buckets = 4, budgetNum = 1, budgetDen = 1, block = 64L,
+      decontaminate = Some(CurationPipeline.DecontaminationGate(bench)))
+
+    assert(r.kept === 1)
+    val manifestIds = spark.read.parquet(r.manifestPath)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(manifestIds === Set(1L))
+    val line = r.gateAccounting.find(_.gate == "decontaminate")
+    assert(line.isDefined)
+    assert(r.gateAccounting.filter(_.gate == "decontaminate")
+      .map(_.dropped).sum === 1)
+  }
+
   test("curation stage trims cross-doc duplicated runs before gating and selection") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
