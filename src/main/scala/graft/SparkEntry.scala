@@ -12,11 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.AggQueries    q17–q30, q57–q65, q70–q71, q76  aggregates/windows/set ops (§2.4-2.7)
   *   - operators.Search        q79–q80  E2 parameterized query builders
   *   - functions.ScalarQueries q31–q35, q67, q81  scalar fns, UDAF, Fernet (§2.8-2.9, S3)
-  *   - streaming.EventQueries  q36–q39, q54, q73–q74  event windows/sessions (§2.10)
-  *   - text.TextQueries        q40–q46, q51, q55, q61, q66, q68–q69, q72, q78, q83–q86, q88–q91, q94–q105, q107, q109–q117  text/dedup/sampling/packing/curation/filtering
-  *   - similarity.VectorQueries q47–q49, q52, q106, q108  embedding similarity + ANN + semantic dedup + pair mining
-  *   - multimodal.MultimodalQueries q50, q53  binary-column plumbing
-  *   - security.SecurityQueries q82  access-audit surveillance (F12)
+  *   - streaming.EventQueries  q36–q39, q54, q73–q74, q93, q130  event windows/sessions (§2.10)
+  *   - text.TextQueries        q40–q46, q51, q55, q61, q66, q68–q69, q72, q78, q83–q86, q88–q91, q94–q125  text/dedup/sampling/packing/curation/filtering/sketches
+  *   - text.Bpe                q109 companion trainer + q127  applied BPE
+  *   - text.BloomPrune         q129  Bloom-pruned decontamination + the pipeline gate
+  *   - similarity.VectorQueries q47–q49, q52, q106, q108, q126, q131  embedding similarity + ANN + semantic dedup + quantization
+  *   - multimodal.MultimodalQueries q50, q53, q87, q128, q133  binary-column plumbing + real JDK image/audio codecs
+  *   - security.SecurityQueries q82, q132  access audit (F12) + k-anonymity
   */
 object SparkEntry {
 

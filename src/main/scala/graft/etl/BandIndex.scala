@@ -962,6 +962,10 @@ object BandIndex {
     if (!midSwap && spark.catalog.tableExists(bandsTable(name)) &&
         spark.table(bandsTable(name))
           .join(ids, Seq("doc_id"), "left_semi").isEmpty) {
+      // the sweep DELETES directories, so it is a commit like any swap:
+      // fence-check first, or a paused holder that lost its lease could
+      // sweep the new holder's in-progress generation dir as an orphan
+      verifyFence(spark, path, fence)
       Seq(bandsTable(name), docsTable(name), toksTable(name))
         .filter(spark.catalog.tableExists)
         .foreach(sweepOrphanGenerations(spark, _, path))

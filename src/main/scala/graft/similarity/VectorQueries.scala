@@ -650,21 +650,22 @@ object VectorQueries {
     * (an O(dim) aggregate) inlines into the per-element quantization
     * lambda and recomputes per COMPONENT (64×); without the second,
     * the quantized arrays inline into the scoring join and recompute
-    * per PAIR (see the q45/q51 precedent in TextQueries).
+    * per PAIR (the q45/q51 precedent) -- graft.Barrier rather than a
+    * raw cache so the storage strategy follows the session conf and
+    * Verify/Bench release the frames between queries.
     */
   private[similarity] def int8Quantized(e: DataFrame): DataFrame = {
-    val withScale = e.select(col("vec_id"), col("embedding"),
-        expr("aggregate(transform(embedding, x -> abs(cast(x as double)))," +
-          " 0.0d, (a, x) -> greatest(a, x))").as("scale"))
-      .cache()
-    withScale.select(col("vec_id"),
+    val withScale = graft.Barrier(e.select(col("vec_id"), col("embedding"),
+      expr("aggregate(transform(embedding, x -> abs(cast(x as double)))," +
+        " 0.0d, (a, x) -> greatest(a, x))").as("scale")))
+    graft.Barrier(withScale.select(col("vec_id"),
         expr("""CASE WHEN scale = 0.0d
           | THEN transform(embedding, x -> 0L)
           | ELSE transform(embedding,
           |   x -> cast(round(cast(x as double) * 127.0d / scale) as long))
           | END""".stripMargin).as("q"))
-      .withColumn("n2", expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)"))
-      .cache()
+      .withColumn("n2",
+        expr("aggregate(transform(q, x -> x * x), 0L, (a, x) -> a + x)")))
   }
 
   /** q131 — int8-quantized similarity search: the memory-bandwidth
