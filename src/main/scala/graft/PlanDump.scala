@@ -108,7 +108,17 @@ object PlanDump {
     "q125_encoding_noise" ->
       "Encoding noise: ONE codegen'd map pass (regexp_count + length) and one map-side-combinable aggregate to a |sources|-row frame (the q95 scrub shape); no text shuffles; worst-doc election is max(struct).",
     "q126_ivf_recall_curve" ->
-      "IVF recall audit: ONE corpus-sized scoring pass serves ground truth and all four nprobe levels — every (cell, probe-rank) pair scored once behind a barrier, each level a probe_r filter (the nested-candidates contract), the exact top-5 the unfiltered ranking of the same scores.")
+      "IVF recall audit: ONE corpus-sized scoring pass serves ground truth and all four nprobe levels — every (cell, probe-rank) pair scored once behind a barrier, each level a probe_r filter (the nested-candidates contract), the exact top-5 the unfiltered ranking of the same scores.",
+    "q127_bpe_train" ->
+      "Applied BPE: all k trainer rounds iterate the |vocab| dict (localCheckpoint per round so round k+1 reads materialized symbols, not a k-deep expression tree); each round = one map-side-combinable pair aggregate + a 1-row argmax collect; the corpus is touched exactly once (the vocab groupBy).",
+    "q129_bloom_decontaminate" ->
+      "Bloom-pruned decontamination: BloomFilterAggregate builds the filter DISTRIBUTED over the benchmark shingles (map-side partials, one bitset to the driver); the probe side filters through codegen'd BloomFilterMightContain BEFORE its exchange, so only candidates (true hits + fp) shuffle into the exact join that kills the fp — result must be identical to the unpruned plan, the oracle proves it per round.",
+    "q130_native_session_window" ->
+      "Native session windows: UpdatingSessions + MergingSessions over ONE user-keyed Exchange — state proportional to OPEN sessions, no LAG/running-sum window cascade; the identical expression runs under readStream + watermark.",
+    "q131_quantized_ann" ->
+      "Int8-quantized ANN: quantization materialized behind two Barriers (CollapseProject would otherwise inline the scale aggregate per COMPONENT and the quantized arrays per PAIR); coarse scoring is integer zip_with dot products against a broadcast 8-probe frame; the float cosine rerank touches only the 40 winners.",
+    "q133_audio_decode" ->
+      "Audio roundtrip: WAV synth + JDK decode fuse into one mapPartitions stage over the bounded 200-doc sample (no shuffle between synth and decode); the only Exchange is the final per-source aggregate.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -133,7 +143,7 @@ object PlanDump {
       out.println(s"## $name\n")
       out.println(s"$note\n")
       out.println("```")
-      out.println(fin.toString.linesIterator.take(60).mkString("\n").trim)
+      out.println(fin.toString.linesIterator.take(100).mkString("\n").trim)
       out.println("```\n")
     }
     out.close()
