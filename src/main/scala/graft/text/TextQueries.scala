@@ -958,18 +958,27 @@ object TextQueries {
         .select($"doc_b".as("node"), $"lab")
         .groupBy($"node").agg(min($"lab").as("lab"))
         .localCheckpoint()
-      // SHORTCUT: follow the label one hop through itself. Inner join
-      // is safe (every lab is a node present in prop) and monotone
-      // (lab(x) ≤ x pointwise), so the convergence argument is intact.
-      val jump = prop.as("a")
-        .join(prop.select($"node".as("j_node"), $"lab".as("j_lab")),
-          $"a.lab" === $"j_node")
-        .select($"a.node".as("node"), $"j_lab".as("lab"))
-        .localCheckpoint()
-      val s = labSum(jump)
+      // ADAPTIVE SHORTCUT: follow the label one hop through itself —
+      // but only from round 3 on. Real near-dup components are mostly
+      // shallow (diameter ≤ 3 converges in ≤ 3 plain rounds), and for
+      // them the jump's two extra joins are pure premium — the r6
+      // same-box A/B measured it at ~13% of q100. Deep chains engage
+      // the doubling from round 3 and still converge in O(log d)
+      // rounds overall (2 plain + ~log₂ d doubled). The jump is inner-
+      // join safe (every lab is a node present in prop) and monotone
+      // (lab(x) ≤ x pointwise), so the convergence argument is intact
+      // whether or not a given round jumps.
+      val next =
+        if (rounds < 3) prop
+        else prop.as("a")
+          .join(prop.select($"node".as("j_node"), $"lab".as("j_lab")),
+            $"a.lab" === $"j_node")
+          .select($"a.node".as("node"), $"j_lab".as("lab"))
+          .localCheckpoint()
+      val s = labSum(next)
       changed = s.compareTo(prevSum) < 0
       prevSum = s
-      labels = jump
+      labels = next
     }
     labels
   }
