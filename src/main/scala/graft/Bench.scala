@@ -83,7 +83,9 @@ object Bench {
     "q129_bloom_decontaminate",
     "q130_native_session_window",
     "q131_quantized_ann",
-    "q133_audio_decode")
+    "q133_audio_decode",
+    "q134_resample_locf",
+    "q135_interval_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

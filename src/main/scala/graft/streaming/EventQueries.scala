@@ -447,6 +447,146 @@ object EventQueries {
       |ORDER BY user_id, session_start""".stripMargin),
     doc = "sessionization: native session_window merging-interval aggregation (strict-gap convention), the streaming-capable operator form")
 
+  /** q134 — time-grid resample + forward fill (LOCF): align each
+    * user's event series to a daily grid between their first and last
+    * event, carrying the last observation forward across gap days —
+    * the alignment step a vitals/lab feed needs before any
+    * fixed-frequency model sees it. Day indices are exact integer
+    * `µs div 86400e6` (no timezone/date parsing to disagree about);
+    * the per-day representative is the LAST event of the day
+    * (max(struct(us, event_id)) election — event_id unique, no tie);
+    * the fill is `last(v, ignoreNulls)` over the user-day window. The
+    * report is per user: grid size, observed days, carried days, and
+    * the exact decimal checksum of the filled series (the value a
+    * downstream consumer would actually train on).
+    *
+    * Scale design: ONE shuffle by user key serves the per-day
+    * election, the span aggregate, the grid explode, the fill window
+    * and the final rollup (same partitioning reused); the grid is
+    * |users|×|days| rows only between explode and rollup — never
+    * wider than the series a resampler must materialize anyway, and
+    * never on the driver.
+    */
+  val q134 = Q(
+    "q134_resample_locf",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val DayUs = 86400000000L
+      val e = events(s, dir).select($"user_id", $"event_id",
+        expr("unix_micros(ts)").as("us"), $"value")
+        .withColumn("day", expr(s"us div $DayUs"))
+      val perDay = e.groupBy($"user_id", $"day")
+        .agg(max(struct($"us", $"event_id", $"value")).as("w"),
+          count(lit(1)).as("n_ev"))
+        .select($"user_id", $"day", $"w.value".as("v_day"))
+      val grid = e.groupBy($"user_id")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"user_id", explode(expr("sequence(d0, d1)")).as("day"))
+      val w = Window.partitionBy($"user_id").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(perDay, Seq("user_id", "day"), "left_outer")
+        .withColumn("v_fill", last($"v_day", ignoreNulls = true).over(w))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_days"),
+          count($"v_day").as("n_observed"),
+          (count($"v_fill") - count($"v_day")).as("n_carried"),
+          graft.Q.sumMoney($"v_fill").as("filled_sum"))
+        .orderBy($"user_id")
+    },
+    Some(s"""WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+      |         epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |ranked AS (
+      |  SELECT user_id, day, value,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id, day
+      |           ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM e),
+      |pd AS (SELECT user_id, day, value AS v_day FROM ranked WHERE rn = 1),
+      |span AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM e GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, UNNEST(generate_series(d0, d1)) AS day FROM span),
+      |f AS (
+      |  SELECT g.user_id, g.day, pd.v_day,
+      |         LAST_VALUE(pd.v_day IGNORE NULLS) OVER (
+      |           PARTITION BY g.user_id ORDER BY g.day
+      |           ROWS UNBOUNDED PRECEDING) AS v_fill
+      |  FROM grid g LEFT JOIN pd ON g.user_id = pd.user_id AND g.day = pd.day)
+      |SELECT user_id, COUNT(*) AS n_days,
+      |       COUNT(v_day) AS n_observed,
+      |       COUNT(v_fill) - COUNT(v_day) AS n_carried,
+      |       ${graft.Q.oSum("v_fill")} AS filled_sum
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin),
+    doc = "time series: daily-grid resample + last-observation-carried-forward per user, exact decimal checksum of the filled series")
+
+  /** q135 — overlapping-interval merge (treatment episodes): each
+    * event opens a 30-minute interval; overlapping/touching intervals
+    * of one user merge into EPISODES (the interval-union gaps-and-
+    * islands variant: a new episode starts exactly when an interval's
+    * start exceeds the running max of prior ends). Reported per user:
+    * episode count, total covered time and the longest episode — the
+    * continuous-coverage ledger a monitoring feed needs. All exact
+    * integer µs.
+    *
+    * Scale design: one user-keyed shuffle; the running-max and
+    * island-sum windows and the two-level rollup all reuse it. No
+    * interval self-join — the sweep is linear per user.
+    */
+  val q135 = Q(
+    "q135_interval_merge",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val LenUs = 1800000000L // 30 min
+      val byUser = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select($"user_id", $"event_id", expr("unix_micros(ts)").as("us"))
+        .withColumn("end_us", $"us" + LenUs)
+        .withColumn("new_ep",
+          when($"us" > max($"end_us").over(prior), 1).otherwise(0))
+        .withColumn("ep", sum($"new_ep").over(run))
+        .groupBy($"user_id", $"ep")
+        .agg(min($"us").as("ep_start"), max($"end_us").as("ep_end"),
+          count(lit(1)).as("n_ev"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_episodes"),
+          sum($"ep_end" - $"ep_start").as("covered_us"),
+          max($"ep_end" - $"ep_start").as("longest_us"),
+          max($"n_ev").as("busiest_episode_events"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |         epoch_us(ts) + 1800000000 AS end_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, us, end_us,
+      |         CASE WHEN us > MAX(end_us) OVER (
+      |                PARTITION BY user_id ORDER BY us, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              THEN 1 ELSE 0 END AS new_ep,
+      |         event_id
+      |  FROM e),
+      |islands AS (
+      |  SELECT user_id, us, end_us,
+      |         SUM(new_ep) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS ep
+      |  FROM flagged),
+      |eps AS (
+      |  SELECT user_id, ep, MIN(us) AS ep_start, MAX(end_us) AS ep_end,
+      |         COUNT(*) AS n_ev
+      |  FROM islands GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_episodes,
+      |       CAST(SUM(ep_end - ep_start) AS BIGINT) AS covered_us,
+      |       CAST(MAX(ep_end - ep_start) AS BIGINT) AS longest_us,
+      |       CAST(MAX(n_ev) AS BIGINT) AS busiest_episode_events
+      |FROM eps GROUP BY user_id ORDER BY user_id""".stripMargin),
+    doc = "intervals: overlapping 30-min windows merge to episodes per user (linear sweep, no self-join); coverage + longest-episode ledger")
+
   val all: Seq[Q] =
-    Seq(q36, q37, q38, q39, q54, q73, q76, q77, q93, q130)
+    Seq(q36, q37, q38, q39, q54, q73, q76, q77, q93, q130, q134, q135)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 133 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 133)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 133)
+  test("registry has 135 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 135)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 135)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
