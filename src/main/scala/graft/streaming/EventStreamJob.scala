@@ -163,7 +163,8 @@ object EventStreamJob {
     * decimal cast), exact decimal sum, double at the edge — so the
     * stateful path is bit-identical to the windowed batch query.
     */
-  def splitSessions(sorted: Seq[SessEvent]): Seq[Session] = {
+  def splitSessions(sorted: Seq[SessEvent],
+                    gapUs: Long = SessionGapUs): Seq[Session] = {
     if (sorted.isEmpty) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[Session]
     var run = List(sorted.head)
@@ -177,7 +178,7 @@ object EventStreamJob {
         es.size.toLong, total.toDouble, es.last.us - es.head.us)
     }
     sorted.tail.foreach { e =>
-      if (e.us - run.head.us <= SessionGapUs) run = e :: run
+      if (e.us - run.head.us <= gapUs) run = e :: run
       else { close(run); run = List(e) }
     }
     close(run)
@@ -190,12 +191,13 @@ object EventStreamJob {
   /** Group sorted events into gap-delimited runs (the event-level view
     * of [[splitSessions]]).
     */
-  def groupSessions(sorted: Seq[SessEvent]): Seq[Seq[SessEvent]] = {
+  def groupSessions(sorted: Seq[SessEvent],
+                    gapUs: Long = SessionGapUs): Seq[Seq[SessEvent]] = {
     if (sorted.isEmpty) return Nil
     val out = scala.collection.mutable.ArrayBuffer.empty[Seq[SessEvent]]
     var run = scala.collection.mutable.ArrayBuffer(sorted.head)
     sorted.tail.foreach { e =>
-      if (e.us - run.last.us <= SessionGapUs) run += e
+      if (e.us - run.last.us <= gapUs) run += e
       else { out += run.toSeq; run = scala.collection.mutable.ArrayBuffer(e) }
     }
     out += run.toSeq
@@ -209,7 +211,7 @@ object EventStreamJob {
     * user holds only the open tail, so state size is bounded by
     * session length, never stream length.
     */
-  def sessionStateFunc(
+  def sessionStateFunc(gapUs: Long = SessionGapUs)(
       userId: Long,
       rows: Iterator[SessEvent],
       state: org.apache.spark.sql.streaming.GroupState[SessBuffer]): Iterator[Session] = {
@@ -217,8 +219,8 @@ object EventStreamJob {
     val all = sortEvents(buffered ++ rows.toSeq)
     if (all.isEmpty) { state.remove(); return Iterator.empty }
     val wmUs = state.getCurrentWatermarkMs() * 1000L
-    val (closed, open) = groupSessions(all).partition(
-      g => g.last.us + SessionGapUs < wmUs)
+    val (closed, open) = groupSessions(all, gapUs).partition(
+      g => g.last.us + gapUs < wmUs)
     if (open.isEmpty) state.remove()
     else {
       state.update(SessBuffer(open.flatten.toList))
@@ -226,10 +228,10 @@ object EventStreamJob {
       // run (min, not max: an idle user's several-run backlog must not
       // wait for the youngest run's gap to clear).
       val wakeMs = Math.floorDiv(
-        open.map(_.last.us).min + SessionGapUs, 1000L) + 1
+        open.map(_.last.us).min + gapUs, 1000L) + 1
       state.setTimeoutTimestamp(math.max(wakeMs, state.getCurrentWatermarkMs() + 1))
     }
-    closed.flatMap(splitSessions).iterator
+    closed.flatMap(splitSessions(_, gapUs)).iterator
   }
 
   /** Typed sessionization over a batch or streaming event frame (both
@@ -237,8 +239,18 @@ object EventStreamJob {
     * group sees all its rows in one call, so the result equals the q54
     * window query exactly. Streaming uses EventTimeTimeout against the
     * `ts` watermark and emits only watermark-closed sessions.
+    *
+    * `gapUs` parameterizes the session gap (default: the q54
+    * 120-minute convention). At gap = interval length this same
+    * operator IS the q135 interval-merge: overlapping/touching
+    * `[us, us+gap)` windows merge exactly when the inter-event gap is
+    * ≤ gap, so episodes = sessions and episode coverage = session
+    * duration + the trailing half-open window (`EventStreamSpec` pins
+    * the identity) — one stateful sessionizer serves both shapes,
+    * batch and streaming.
     */
-  def sessionize(events: DataFrame, streaming: Boolean): org.apache.spark.sql.Dataset[Session] = {
+  def sessionize(events: DataFrame, streaming: Boolean,
+                 gapUs: Long = SessionGapUs): org.apache.spark.sql.Dataset[Session] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val withWm = if (streaming) events.withWatermark("ts", WatermarkDelay) else events
@@ -249,13 +261,13 @@ object EventStreamJob {
     if (streaming)
       typed.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-          sessionStateFunc)
+          sessionStateFunc(gapUs))
     else
       typed.groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
           (_: Long, rows: Iterator[SessEvent],
            _: org.apache.spark.sql.streaming.GroupState[SessBuffer]) =>
-            splitSessions(sortEvents(rows.toSeq)).iterator)
+            splitSessions(sortEvents(rows.toSeq), gapUs).iterator)
   }
 
   /** File-source streaming read of the events table: parquet files

@@ -70,6 +70,30 @@ class EventStreamSpec extends SparkSpec {
     assert(sortedRows(stateful) == sortedRows(batch))
   }
 
+  test("q135 interval-merge ≡ the stateful sessionizer at a 30-minute gap") {
+    // episodes ARE sessions under gap = interval length: [us, us+30m)
+    // windows merge exactly when the inter-event gap is ≤ 30 min, and
+    // episode coverage = session duration + the trailing half-open
+    // window — so the one stateful sessionizer (batch AND streaming)
+    // serves the q135 shape too.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val LenUs = 1800000000L
+    val viaSessions = EventStreamJob.sessionize(
+        graft.Tables.load(spark, SparkSpec.Sf0001, "events"),
+        streaming = false, gapUs = LenUs)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_episodes"),
+        sum($"duration_us" + LenUs).as("covered_us"),
+        max($"duration_us" + LenUs).as("longest_us"),
+        max($"n_events").as("busiest_episode_events"))
+      .orderBy($"user_id")
+      .collect().map(_.toSeq)
+    val batch = EventQueries.q135.build(spark, SparkSpec.Sf0001)
+      .collect().map(_.toSeq)
+    assert(viaSessions.toSeq === batch.toSeq)
+  }
+
   test("streaming sessionization emits a watermark-closed subset of q54") {
     val batchKeys = EventQueries.q54.build(spark, SparkSpec.Sf0001).collect()
       .map(_.toSeq).toSet
