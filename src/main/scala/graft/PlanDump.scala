@@ -118,7 +118,11 @@ object PlanDump {
     "q131_quantized_ann" ->
       "Int8-quantized ANN: quantization materialized behind two Barriers (CollapseProject would otherwise inline the scale aggregate per COMPONENT and the quantized arrays per PAIR); coarse scoring is integer zip_with dot products against a broadcast 8-probe frame; the float cosine rerank touches only the 40 winners.",
     "q133_audio_decode" ->
-      "Audio roundtrip: WAV synth + JDK decode fuse into one mapPartitions stage over the bounded 200-doc sample (no shuffle between synth and decode); the only Exchange is the final per-source aggregate.")
+      "Audio roundtrip: WAV synth + JDK decode fuse into one mapPartitions stage over the bounded 200-doc sample (no shuffle between synth and decode); the only Exchange is the final per-source aggregate.",
+    "q134_resample_locf" ->
+      "Resample + LOCF: one user-keyed Exchange serves the per-day max-struct election, the span aggregate, the grid explode, the last(ignoreNulls) fill window and the final rollup; the users x days grid exists only between explode and rollup, never on the driver.",
+    "q135_interval_merge" ->
+      "Interval merge: linear per-user sweep (running max of prior ends -> island sum -> two-level rollup) on ONE user-keyed Exchange; no interval self-join at any width. Same operator as sessionize(gap = interval length) - spec-pinned.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
