@@ -85,7 +85,8 @@ object Bench {
     "q131_quantized_ann",
     "q133_audio_decode",
     "q134_resample_locf",
-    "q135_interval_merge")
+    "q135_interval_merge",
+    "q136_corpus_datasheet")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

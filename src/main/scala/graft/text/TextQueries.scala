@@ -4159,10 +4159,87 @@ object TextQueries {
       |ORDER BY p.source""".stripMargin),
     doc = "curation: encoding-noise audit (control junk, mojibake lead+trail pairs, U+FFFD) per source with worst-doc election")
 
+  /** q136 — the corpus DATASHEET (Gebru et al. 2021, "Datasheets for
+    * Datasets"): the per-source release card a dataset ships with —
+    * doc and token volume, language breadth, vocabulary size, mean
+    * tokens per doc, and the exact-duplicate footprint (docs whose
+    * full-text fingerprint repeats within the source). One artifact
+    * instead of five ad-hoc queries at release time; every number
+    * exact-integer.
+    *
+    * Scale design: three map-side-combinable aggregates joined on the
+    * tiny source key — volume stats off one tokenizing pass, the dup
+    * footprint off a fingerprint groupBy (narrow md5 keys), vocabulary
+    * off a distinct (source, token) projection; no text ever shuffles
+    * (fingerprints and token hashes do).
+    */
+  val q136 = Q(
+    "q136_corpus_datasheet",
+    (s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+        .select($"doc_id", $"source", $"lang",
+          coalesce($"text", lit("")).as("text"))
+      val tok = d.select($"source",
+        expr("size(split(text, ' '))").cast("long").as("m"),
+        md5($"text".cast("binary")).as("fp"))
+      val per = tok.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"m").as("n_tokens"))
+        .withColumn("tokens_per_doc_q",
+          expr("n_tokens * 1000000L div n_docs"))
+      val langs = d.select($"source", $"lang").distinct()
+        .groupBy($"source").agg(count(lit(1)).as("n_langs"))
+      val dup = tok.groupBy($"source", $"fp")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"source")
+        .agg(sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_fp_docs"))
+      val vocab = d
+        .select($"source", explode(split($"text", " ")).as("t"))
+        .distinct()
+        .groupBy($"source").agg(count(lit(1)).as("n_distinct_tokens"))
+      per.join(langs, Seq("source")).join(dup, Seq("source"))
+        .join(vocab, Seq("source"))
+        .select($"source", $"n_docs", $"n_langs", $"n_tokens",
+          $"n_distinct_tokens", $"tokens_per_doc_q", $"dup_fp_docs")
+        .orderBy($"source")
+    },
+    Some("""WITH d AS (
+      |  SELECT doc_id, source, lang, COALESCE(text, '') AS text
+      |  FROM documents),
+      |tok AS (
+      |  SELECT source, len(string_split(text, ' ')) AS m, md5(text) AS fp
+      |  FROM d),
+      |per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(m) AS BIGINT) * 1000000 // COUNT(*) AS tokens_per_doc_q
+      |  FROM tok GROUP BY 1),
+      |langs AS (
+      |  SELECT source, COUNT(*) AS n_langs
+      |  FROM (SELECT DISTINCT source, lang FROM d) GROUP BY 1),
+      |dup AS (
+      |  SELECT source,
+      |         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_fp_docs
+      |  FROM (SELECT source, fp, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |voc AS (
+      |  SELECT source, COUNT(*) AS n_distinct_tokens
+      |  FROM (SELECT DISTINCT source, t
+      |        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS t FROM d))
+      |  GROUP BY 1)
+      |SELECT p.source, p.n_docs, l.n_langs, p.n_tokens,
+      |       v.n_distinct_tokens, p.tokens_per_doc_q, du.dup_fp_docs
+      |FROM per p
+      |JOIN langs l ON p.source = l.source
+      |JOIN dup du ON p.source = du.source
+      |JOIN voc v ON p.source = v.source
+      |ORDER BY p.source""".stripMargin),
+    doc = "release: per-source corpus datasheet — volume, languages, vocabulary, mean tokens/doc, exact-duplicate footprint, all exact integers")
+
   val all: Seq[Q] =
     Seq(q40, q41, q42, q43, q44, q45, q46, q51, q55, q61, q66, q68, q69, q72,
         q78, q83, q84, q85, q86, q88, q89, q90, q91, q94, q95, q96, q97, q98,
         q99, q100, q101, q102, q103, q104, q105, q107, q109, q110, q111, q112,
         q113, q114, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-        q125)
+        q125, q136)
 }
