@@ -4169,9 +4169,12 @@ object TextQueries {
     *
     * Scale design: three map-side-combinable aggregates joined on the
     * tiny source key — volume stats off one tokenizing pass, the dup
-    * footprint off a fingerprint groupBy (narrow md5 keys), vocabulary
-    * off a distinct (source, token) projection; no text ever shuffles
-    * (fingerprints and token hashes do).
+    * footprint off a fingerprint groupBy (narrow md5 keys, never doc
+    * text), vocabulary off a distinct (source, token) projection whose
+    * exchange carries individual TOKENS (short strings; the partial
+    * distinct collapses each partition's repeats map-side first —
+    * the one shuffle here wider than a hash, priced by the q69/q91
+    * vocabulary family already).
     */
   val q136 = Q(
     "q136_corpus_datasheet",
