@@ -19,6 +19,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - similarity.VectorQueries q47–q49, q52, q106, q108, q126, q131  embedding similarity + ANN + semantic dedup + quantization
   *   - multimodal.MultimodalQueries q50, q53, q87, q128, q133  binary-column plumbing + real JDK image/audio codecs
   *   - security.SecurityQueries q82, q132  access audit (F12) + k-anonymity
+  *   - graph.GraphQueries      q137–q138  PageRank + A-Priori pair mining over the co-purchase graph
   */
 object SparkEntry {
 
@@ -33,7 +34,8 @@ object SparkEntry {
     similarity.VectorQueries.all ++
     multimodal.MultimodalQueries.all ++
     operators.Search.all ++
-    security.SecurityQueries.all
+    security.SecurityQueries.all ++
+    graph.GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -1,0 +1,195 @@
+package graft.graph
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over the part co-purchase graph (parts
+  * that appear together in an order are linked) — the graph family the
+  * engine's label-propagation machinery ([[graft.text.TextQueries]]
+  * componentLabels) does not cover: value-propagating power iteration
+  * (PageRank, Brin & Page 1998) and support-pruned pair mining
+  * (A-Priori, Agrawal & Srikant 1994).
+  *
+  * Reference anchor: the reference's analytics corpus ranks entities by
+  * joined aggregates (e.g. provider performance,
+  * healthcare-sql-analytics.sql:207-248); centrality over a
+  * co-occurrence graph is the same "who matters" question asked of the
+  * relationship structure itself, which the reference's RDBMS could
+  * only express as a recursive CTE it never attempts.
+  *
+  * Exactness design: ranks are integer micro-units (scale 1e12) and
+  * every update is integer `div` — associative sums, truncating
+  * divisions, zero floats — so Spark and the DuckDB oracle agree
+  * bit-for-bit with no rounding negotiation. Mass lost to truncation is
+  * deterministic and identical in both engines.
+  *
+  * Scale design (100 TB): the O(basket²) pair explosion is generated
+  * per order AFTER a distinct-(order, part) projection, then collapsed
+  * immediately to weighted edges — the iteration cost is |E| distinct
+  * edges, not |pair instances|. The edge list (with out-weight folded
+  * in) is built once behind a [[graft.Barrier]] and reused by all
+  * three power-iteration joins; each iteration is exactly one shuffle
+  * join on `src` plus one map-side-combinable aggregate on `dst`. The
+  * vertex count rides a 1-row broadcast, never a driver collect. The
+  * final top-20 is TakeOrdered-sized; row numbering happens post-limit
+  * (bounded window, the q69/q94 pattern).
+  */
+object GraphQueries {
+
+  private val Scale = 1000000000000L // 1e12 integer micro-rank units
+  private val Iters = 3
+
+  /** Distinct (order, part) basket membership. */
+  private def baskets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "lineitem")
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+  }
+
+  /** Weighted directed co-purchase edges (both directions, so the graph
+    * is symmetric and has no dangling vertices): w = number of baskets
+    * containing both items. `lp` is a distinct (o, p) membership frame.
+    */
+  private[graph] def coEdges(lp: DataFrame): DataFrame = {
+    val s = lp.sparkSession
+    import s.implicits._
+    lp.as("a").join(lp.as("b"), $"a.o" === $"b.o" && $"a.p" =!= $"b.p")
+      .groupBy($"a.p".as("src"), $"b.p".as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Full-vertex integer PageRank frame (p, r) after `iters` damped
+    * rounds — the testable core of q137 (spec-checked against a
+    * driver-side reference loop on fixture graphs).
+    */
+  private[graph] def pageRank(lp: DataFrame, iters: Int = Iters): DataFrame = {
+    val s = lp.sparkSession
+    import s.implicits._
+    val eB = graft.Barrier(coEdges(lp))
+    val deg = eB.groupBy($"src").agg(sum($"w").as("wout"))
+    // edge list with out-weight folded in, built once, reused by all
+    // iterations; deg/nv/r0 are cheap aggregates over the cached edge
+    // list (1 row per vertex / 1 row total)
+    val ew = graft.Barrier(eB.join(deg, "src"))
+    val nDf = deg.agg(count(lit(1)).as("nv"))
+    val r0 = deg.select($"src".as("p")).crossJoin(broadcast(nDf))
+      .select($"p", expr(s"$Scale div nv").as("r"))
+    (1 to iters).foldLeft(r0) { (r, _) =>
+      // unqualified condition: "src"/"p" each exist on exactly one
+      // side, sidestepping dataset-id ambiguity (r's lineage contains
+      // ew from the previous iteration)
+      ew.join(r, $"src" === $"p")
+        .select($"dst", expr("(r div wout) * w").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("m"))
+        .crossJoin(broadcast(nDf))
+        .select($"dst".as("p"),
+          (expr(s"(15 * $Scale) div (100 * nv)") +
+           expr("(85 * m) div 100")).as("r"))
+    }
+  }
+
+  /** A-Priori-pruned frequent pairs (p1 < p2, support) over a distinct
+    * (o, p) membership frame — the testable core of q138. Items at or
+    * below the average singleton support are pruned before the
+    * per-basket pair self-join.
+    */
+  private[graph] def frequentPairs(lp0: DataFrame): DataFrame = {
+    val s = lp0.sparkSession
+    import s.implicits._
+    val lp = graft.Barrier(lp0)
+    val itemSup = lp.groupBy($"p").agg(count(lit(1)).as("sup"))
+    val thr = itemSup.agg(
+      expr("sum(sup) div count(*)").cast("long").as("avg_sup"))
+    val freq = itemSup.crossJoin(broadcast(thr))
+      .filter($"sup" > $"avg_sup").select($"p")
+    // prune baskets to frequent members BEFORE the pair self-join
+    val fb = graft.Barrier(lp.join(freq, "p"))
+    fb.as("a").join(fb.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
+      .groupBy($"a.p".as("p1"), $"b.p".as("p2"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  private val oEdges =
+    """lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (
+      |  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
+      |  FROM lp a JOIN lp b ON a.o = b.o AND a.p <> b.p
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** q137 — PageRank by integer power iteration: 3 damped rounds
+    * (d = 85/100) over the co-purchase graph, top-20 parts by final
+    * rank. Teleport and damping terms are integer `div` expressions;
+    * see the object scaladoc for the exactness and scale rationale.
+    */
+  val q137 = Q(
+    "q137_pagerank",
+    (s, dir) => {
+      import s.implicits._
+      val top = pageRank(baskets(s, dir)).orderBy($"r".desc, $"p").limit(20)
+      top.withColumn("pos",
+          row_number().over(Window.orderBy($"r".desc, $"p")))
+        .select($"p".as("p_partkey"), $"r".as("pagerank"), $"pos")
+        .orderBy($"pos")
+    },
+    Some(s"""WITH $oEdges,
+      |deg AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS nv FROM deg),
+      |r0 AS (SELECT src AS p, $Scale // nv AS r FROM deg, n),
+      |r1 AS (
+      |  SELECT e.dst AS p,
+      |         CAST((15 * $Scale) // (100 * ANY_VALUE(n.nv))
+      |           + (85 * SUM((r.r // d.wout) * e.w)) // 100 AS BIGINT) AS r
+      |  FROM e JOIN r0 r ON e.src = r.p JOIN deg d ON e.src = d.src, n
+      |  GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT e.dst AS p,
+      |         CAST((15 * $Scale) // (100 * ANY_VALUE(n.nv))
+      |           + (85 * SUM((r.r // d.wout) * e.w)) // 100 AS BIGINT) AS r
+      |  FROM e JOIN r1 r ON e.src = r.p JOIN deg d ON e.src = d.src, n
+      |  GROUP BY e.dst),
+      |r3 AS (
+      |  SELECT e.dst AS p,
+      |         CAST((15 * $Scale) // (100 * ANY_VALUE(n.nv))
+      |           + (85 * SUM((r.r // d.wout) * e.w)) // 100 AS BIGINT) AS r
+      |  FROM e JOIN r2 r ON e.src = r.p JOIN deg d ON e.src = d.src, n
+      |  GROUP BY e.dst),
+      |top AS (SELECT * FROM r3 ORDER BY r DESC, p LIMIT 20)
+      |SELECT p AS p_partkey, r AS pagerank,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY r DESC, p) AS INT) AS pos
+      |FROM top ORDER BY pos""".stripMargin),
+    doc = "graph: integer-exact damped PageRank (3 power iterations) over the part co-purchase graph")
+
+  /** q138 — frequent co-purchase pairs with A-Priori pruning: only
+    * parts whose singleton support exceeds the corpus average survive
+    * into pair generation (Agrawal & Srikant's monotonicity cut — a
+    * pair can only be frequent if both members are), so the per-basket
+    * self-join runs on the pruned membership frame. At 100 TB this is
+    * the difference between O(basket²) over everything and O(basket²)
+    * over the popular minority; the prune itself is one aggregate plus
+    * a broadcast-sized threshold (1-row crossJoin, never a collect).
+    * Support threshold is relative (above-average popularity), so the
+    * query is meaningful at every SF without retuning.
+    */
+  val q138 = Q(
+    "q138_frequent_pairs",
+    (s, dir) => {
+      import s.implicits._
+      frequentPairs(baskets(s, dir))
+        .orderBy($"support".desc, $"p1", $"p2").limit(20)
+        .select($"p1", $"p2", $"support")
+    },
+    Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |sup AS (SELECT p, COUNT(*) AS sup FROM lp GROUP BY 1),
+      |thr AS (SELECT CAST(SUM(sup) // COUNT(*) AS BIGINT) AS avg_sup FROM sup),
+      |freq AS (SELECT p FROM sup, thr WHERE sup > avg_sup),
+      |fb AS (SELECT lp.o, lp.p FROM lp JOIN freq USING (p))
+      |SELECT a.p AS p1, b.p AS p2, COUNT(*) AS support
+      |FROM fb a JOIN fb b ON a.o = b.o AND a.p < b.p
+      |GROUP BY 1, 2
+      |ORDER BY support DESC, p1, p2 LIMIT 20""".stripMargin),
+    doc = "graph: A-Priori-pruned frequent co-purchase pairs (market-basket mining)")
+
+  val all: Seq[Q] = Seq(q137, q138)
+}
