@@ -16,6 +16,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - text.TextQueries        q40–q46, q51, q55, q61, q66, q68–q69, q72, q78, q83–q86, q88–q91, q94–q125  text/dedup/sampling/packing/curation/filtering/sketches
   *   - text.Bpe                q109 companion trainer + q127  applied BPE
   *   - text.BloomPrune         q129  Bloom-pruned decontamination + the pipeline gate
+  *   - text.HybridSearch       q139  reciprocal-rank fusion of BM25 + TF-IDF rankings
   *   - similarity.VectorQueries q47–q49, q52, q106, q108, q126, q131  embedding similarity + ANN + semantic dedup + quantization
   *   - multimodal.MultimodalQueries q50, q53, q87, q128, q133  binary-column plumbing + real JDK image/audio codecs
   *   - security.SecurityQueries q82, q132  access audit (F12) + k-anonymity
@@ -31,6 +32,7 @@ object SparkEntry {
     text.TextQueries.all ++
     text.Bpe.all ++
     text.BloomPrune.all ++
+    text.HybridSearch.all ++
     similarity.VectorQueries.all ++
     multimodal.MultimodalQueries.all ++
     operators.Search.all ++

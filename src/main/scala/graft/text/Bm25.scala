@@ -51,6 +51,20 @@ object Bm25 {
             ceiling: Long = TokenTfCeiling): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
+    docs.join(scoredBase(docs, terms, ceiling)
+      .select($"doc_id", $"dl", $"score_q"), Seq("doc_id"))
+  }
+
+  /** The scorer's full intermediate — (doc_id, dl, tf_0..tf_{n-1},
+    * n_docs, t_tok, df_0..df_{n-1}, score_q) — for consumers that fuse
+    * BM25 with other signals computed off the same term statistics
+    * (q139 reciprocal-rank fusion). Same algebra and guard as
+    * [[score]].
+    */
+  private[text] def scoredBase(docs: DataFrame, terms: Seq[String],
+                               ceiling: Long = TokenTfCeiling): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
     require(terms.nonEmpty, "BM25 needs at least one query term")
     require(terms.forall(_.matches("[A-Za-z0-9_]+")),
       s"query terms must be identifier-like literals, got $terms")
@@ -82,10 +96,8 @@ object Bm25 {
         s" - ${TextQueries.lqSql(s"2 * df_$i + 1")}) * 22 * t_tok * tf_$i)" +
         s" div (10 * t_tok * tf_$i + 3 * t_tok + 9 * n_docs * dl)"
     }.mkString(" + ")
-    val scored = base.crossJoin(broadcast(stats))
+    base.crossJoin(broadcast(stats))
       .withColumn("score_q", expr(contrib))
-      .select($"doc_id", $"dl", $"score_q")
-    docs.join(scored, Seq("doc_id"))
   }
 
   /** The oracle-side rendering of the same algebra (DuckDB SQL), kept
