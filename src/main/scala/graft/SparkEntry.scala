@@ -21,6 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - multimodal.MultimodalQueries q50, q53, q87, q128, q133  binary-column plumbing + real JDK image/audio codecs
   *   - security.SecurityQueries q82, q132  access audit (F12) + k-anonymity
   *   - graph.GraphQueries      q137–q138  PageRank + A-Priori pair mining over the co-purchase graph
+  *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   */
 object SparkEntry {
 
@@ -36,6 +37,7 @@ object SparkEntry {
     similarity.VectorQueries.all ++
     multimodal.MultimodalQueries.all ++
     operators.Search.all ++
+    operators.JoinEstimate.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all
 
