@@ -22,6 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - security.SecurityQueries q82, q132  access audit (F12) + k-anonymity
   *   - graph.GraphQueries      q137–q138  PageRank + A-Priori pair mining over the co-purchase graph
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
+  *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   */
 object SparkEntry {
 
@@ -38,6 +39,7 @@ object SparkEntry {
     multimodal.MultimodalQueries.all ++
     operators.Search.all ++
     operators.JoinEstimate.all ++
+    operators.DataLayout.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all
 
