@@ -764,5 +764,95 @@ object VectorQueries {
       |ORDER BY r.query_id, r.rank""".stripMargin),
     doc = "similarity: symmetric int8 quantization, exact integer dot-product coarse rank, float rerank on the k winners only")
 
-  val all: Seq[Q] = Seq(q47, q48, q49, q52, q106, q108, q126, q131)
+  /** q142 — simplified-silhouette clustering audit over the `label`
+    * assignment (Rousseeuw 1987's silhouette with the per-point "a"/"b"
+    * taken to CENTROIDS instead of all points — the O(n·k) form that
+    * survives 100 TB; the O(n²) original cannot). Per label: vector
+    * count, the exact integer SUM of quantized silhouettes (report the
+    * sum, not a mean — no cross-engine division), and how many points
+    * sit closer to a foreign centroid than their own (negative
+    * silhouette = candidate misassignment). The audit a user runs on
+    * [[KMeans]]/IVF output before trusting cells for routing or
+    * SemDeDup pruning.
+    *
+    * Exactness: components quantize to floor((x+1)·10⁶) AFTER a
+    * double cast — the +1 shift keeps every integer non-negative,
+    * because Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors and they only agree on non-negative operands (the shift
+    * cancels inside every distance difference). Distances are integer
+    * squared-L2; the silhouette quotient is sign-split so each
+    * division runs on non-negative operands.
+    *
+    * Scale shape: one explode to (label, d) partial sums for the
+    * centroid table (k·64 rows, map-side combinable), centroids
+    * broadcast back as ordered arrays, per-(vector, centroid) distance
+    * via a fused zip_with/aggregate lambda (no second explode), then
+    * two narrow aggregates (per vector, per label). Nothing bigger
+    * than rows·k ever shuffles.
+    */
+  /** [[q142]]'s pipeline over an in-memory embeddings frame (vec_id,
+    * embedding, label) — spec fixtures pin the sign semantics (tight
+    * clusters → positive sums, a point parked on a foreign centroid →
+    * counted negative).
+    */
+  private[graft] def silhouetteOf(embDf: DataFrame): DataFrame = {
+      val s = embDf.sparkSession
+      import s.implicits._
+      val e = graft.Barrier(embDf.select($"vec_id", $"label",
+        expr("transform(embedding, x -> cast(floor((cast(x as double) + 1.0d) * 1000000) as bigint))")
+          .as("q")))
+      val cents = e.select($"label".as("clabel"), posexplode($"q").as(Seq("d", "v")))
+        .groupBy($"clabel", $"d")
+        .agg(expr("sum(v) div count(*)").as("c"))
+        .groupBy($"clabel")
+        .agg(expr("transform(sort_array(collect_list(struct(d, c))), s -> s.c)")
+          .as("carr"))
+      val ab = e.crossJoin(broadcast(cents))
+        .withColumn("dist2", expr(
+          "aggregate(zip_with(q, carr, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+        .groupBy($"vec_id", $"label")
+        .agg(min(when($"clabel" === $"label", $"dist2")).as("a"),
+          min(when($"clabel" =!= $"label", $"dist2")).as("b"))
+      val sil = ab.withColumn("sil_q",
+        when($"b" >= $"a", expr("(b - a) * 10000 div greatest(b, 1)"))
+          .otherwise(-expr("(a - b) * 10000 div greatest(a, 1)")))
+      sil.groupBy($"label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum($"sil_q").as("sum_sil_q"),
+          count_if($"sil_q" < 0).as("n_negative"))
+        .orderBy($"label")
+  }
+
+  val q142 = Q(
+    "q142_silhouette",
+    (s, dir) => silhouetteOf(emb(s, dir)),
+    Some("""WITH q AS (
+      |  SELECT vec_id, label, i.i AS d,
+      |         CAST(floor((CAST(embedding[i.i] AS DOUBLE) + 1.0) * 1000000) AS BIGINT) AS v
+      |  FROM embeddings CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i) i),
+      |cent AS (
+      |  SELECT label AS clabel, d, CAST(SUM(v) // COUNT(*) AS BIGINT) AS c
+      |  FROM q GROUP BY 1, 2),
+      |dist AS (
+      |  SELECT q.vec_id, q.label, cent.clabel,
+      |         CAST(SUM((q.v - cent.c) * (q.v - cent.c)) AS BIGINT) AS dist2
+      |  FROM q JOIN cent ON q.d = cent.d
+      |  GROUP BY 1, 2, 3),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |         MIN(CASE WHEN clabel = label THEN dist2 END) AS a,
+      |         MIN(CASE WHEN clabel <> label THEN dist2 END) AS b
+      |  FROM dist GROUP BY 1, 2),
+      |sil AS (
+      |  SELECT vec_id, label,
+      |         CASE WHEN b >= a THEN (b - a) * 10000 // GREATEST(b, 1)
+      |              ELSE -((a - b) * 10000 // GREATEST(a, 1)) END AS sil_q
+      |  FROM ab)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |       CAST(SUM(sil_q) AS BIGINT) AS sum_sil_q,
+      |       CAST(COUNT(CASE WHEN sil_q < 0 THEN 1 END) AS BIGINT) AS n_negative
+      |FROM sil GROUP BY label ORDER BY label""".stripMargin),
+    doc = "similarity: simplified-silhouette audit of the label clustering (integer-exact, centroid-based)")
+
+  val all: Seq[Q] = Seq(q47, q48, q49, q52, q106, q108, q126, q131, q142)
 }
