@@ -23,6 +23,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - graph.GraphQueries      q137–q138  PageRank + A-Priori pair mining over the co-purchase graph
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
+  *   - operators.Skyline       q143  grid-pruned Pareto frontier
   */
 object SparkEntry {
 
@@ -40,6 +41,7 @@ object SparkEntry {
     operators.Search.all ++
     operators.JoinEstimate.all ++
     operators.DataLayout.all ++
+    operators.Skyline.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all
 
