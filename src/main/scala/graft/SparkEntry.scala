@@ -37,6 +37,7 @@ object SparkEntry {
     text.BloomPrune.all ++
     text.HybridSearch.all ++
     similarity.VectorQueries.all ++
+    similarity.Mmr.all ++
     multimodal.MultimodalQueries.all ++
     operators.Search.all ++
     operators.JoinEstimate.all ++
