@@ -43,6 +43,7 @@ object SparkEntry {
     operators.JoinEstimate.all ++
     operators.DataLayout.all ++
     operators.Skyline.all ++
+    operators.GoldenRecord.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all
 
