@@ -24,6 +24,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
+  *   - similarity.Mmr          q144  MMR diversified retrieval
+  *   - operators.GoldenRecord  q145  MDM golden-record consolidation
+  *   - streaming.Seasonal      q146  day-of-week seasonal anomaly baseline
+  *   - operators.SkewAudit     q147  join-key skew diagnostics
   */
 object SparkEntry {
 
@@ -32,6 +36,7 @@ object SparkEntry {
     operators.AggQueries.all ++
     functions.ScalarQueries.all ++
     streaming.EventQueries.all ++
+    streaming.Seasonal.all ++
     text.TextQueries.all ++
     text.Bpe.all ++
     text.BloomPrune.all ++
@@ -44,6 +49,7 @@ object SparkEntry {
     operators.DataLayout.all ++
     operators.Skyline.all ++
     operators.GoldenRecord.all ++
+    operators.SkewAudit.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all
 
