@@ -50,6 +50,7 @@ object SparkEntry {
     operators.Skyline.all ++
     operators.GoldenRecord.all ++
     operators.SkewAudit.all ++
+    operators.Constraints.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all
 
