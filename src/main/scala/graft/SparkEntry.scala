@@ -41,6 +41,7 @@ object SparkEntry {
     text.Bpe.all ++
     text.BloomPrune.all ++
     text.HybridSearch.all ++
+    text.WeightedSample.all ++
     similarity.VectorQueries.all ++
     similarity.Mmr.all ++
     multimodal.MultimodalQueries.all ++
