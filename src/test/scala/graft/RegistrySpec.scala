@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 136 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 136)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 136)
+  test("registry has 149 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 149)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 149)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
