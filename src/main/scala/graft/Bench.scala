@@ -86,7 +86,21 @@ object Bench {
     "q133_audio_decode",
     "q134_resample_locf",
     "q135_interval_merge",
-    "q136_corpus_datasheet")
+    "q136_corpus_datasheet",
+    "q137_pagerank",
+    "q138_frequent_pairs",
+    "q139_rrf_hybrid",
+    "q140_join_size_estimate",
+    "q141_zorder_cells",
+    "q142_silhouette",
+    "q143_skyline",
+    "q144_mmr_diverse",
+    "q145_golden_record",
+    "q146_seasonal_anomaly",
+    "q147_skew_audit",
+    "q148_constraint_suite",
+    "q149_weighted_sample",
+    "q150_asof_tolerance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

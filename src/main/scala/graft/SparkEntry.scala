@@ -52,6 +52,7 @@ object SparkEntry {
     operators.GoldenRecord.all ++
     operators.SkewAudit.all ++
     operators.Constraints.all ++
+    operators.AsofJoin.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all
 

@@ -72,4 +72,83 @@ object AsofJoin {
       .select(left.columns.map(col) ++
         carry.map(c => col("_carry").getField(c).as(c)): _*)
   }
+
+  /** [[latestBefore]] with a STALENESS BOUND (pandas `merge_asof
+    * tolerance`): carries are kept only when the matched right row is
+    * within `toleranceUs` microseconds at-or-before the left time;
+    * older matches surface as NULL (no-match), exactly like the naive
+    * "latest right in [t−Δ, t]" encoding — if the latest-at-or-before
+    * row is older than Δ, nothing is in the window, so nulling the
+    * carry IS the bounded semantics (no second pass needed). Same
+    * single-shuffle plan as [[latestBefore]]; the right event time
+    * rides the carry struct and the bound is one map-side comparison.
+    */
+  def latestWithin(left: DataFrame, right: DataFrame, key: String,
+                   leftTime: String, rightTime: String,
+                   carry: Seq[String], toleranceUs: Long): DataFrame = {
+    require(!left.columns.contains("_rt") && !carry.contains("_rt"),
+      "_rt is reserved for the carried right time")
+    val right2 = right.withColumn("_rt", col(rightTime))
+    val joined = latestBefore(left, right2, key, leftTime, rightTime,
+      carry :+ "_rt")
+    val fresh = expr(s"unix_micros(cast($leftTime as timestamp))") -
+      expr("unix_micros(cast(_rt as timestamp))") <= lit(toleranceUs)
+    carry.foldLeft(joined) { (df, c) =>
+        df.withColumn(c, when(fresh, col(c)))
+      }
+      .drop("_rt")
+  }
+
+  /** q150 — tolerance-bounded as-of attribution: q56's last-touch
+    * click-before-purchase, but a click counts only within 30 minutes
+    * (stale attribution is worse than none). Reports the match ledger:
+    * purchases, bounded matches, match rate (ppm), and the exact total
+    * click-to-purchase gap over matches — gap-based, so the result is
+    * insensitive to right-side same-instant tie resolution. The oracle
+    * is DuckDB's native ASOF LEFT JOIN with the staleness bound applied
+    * post-match — the same "latest then null-if-stale" semantics
+    * [[latestWithin]] documents.
+    */
+  val q150 = graft.Q(
+    "q150_asof_tolerance",
+    (s, dir) => {
+      import s.implicits._
+      val TolUs = 1800000000L // 30 minutes
+      val ev = graft.Tables.load(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts".as("click_ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts".as("purchase_ts"),
+          $"event_id".as("purchase_id"))
+      latestWithin(purchases, clicks, key = "user_id",
+          leftTime = "purchase_ts", rightTime = "click_ts",
+          carry = Seq("click_ts"), toleranceUs = TolUs)
+        .select(
+          (unix_micros($"purchase_ts") - unix_micros($"click_ts"))
+            .as("gap_us"))
+        .agg(count(lit(1)).as("n_purchases"),
+          count($"gap_us").as("n_matched"),
+          expr("count(gap_us) * 1000000L div count(*)").as("match_rate_ppm"),
+          coalesce(sum($"gap_us"), lit(0L)).as("matched_gap_sum_us"))
+    },
+    Some("""WITH clicks AS (
+      |  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT CASE WHEN epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+      |                   <= 1800000000
+      |              THEN epoch_us(p.purchase_ts) - epoch_us(c.click_ts)
+      |         END AS gap_us
+      |  FROM purchases p ASOF LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts)
+      |SELECT COUNT(*) AS n_purchases,
+      |       COUNT(gap_us) AS n_matched,
+      |       COUNT(gap_us) * 1000000 // COUNT(*) AS match_rate_ppm,
+      |       CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS matched_gap_sum_us
+      |FROM m""".stripMargin),
+    doc = "as-of join with staleness tolerance (merge_asof tolerance semantics; gap ledger)")
+
+  val all: Seq[graft.Q] = Seq(q150)
 }
