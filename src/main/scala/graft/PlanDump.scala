@@ -122,7 +122,21 @@ object PlanDump {
     "q134_resample_locf" ->
       "Resample + LOCF: one user-keyed Exchange serves the per-day max-struct election, the span aggregate, the grid explode, the last(ignoreNulls) fill window and the final rollup; the users x days grid exists only between explode and rollup, never on the driver.",
     "q135_interval_merge" ->
-      "Interval merge: linear per-user sweep (running max of prior ends -> island sum -> two-level rollup) on ONE user-keyed Exchange; no interval self-join at any width. Same operator as sessionize(gap = interval length) - spec-pinned.")
+      "Interval merge: linear per-user sweep (running max of prior ends -> island sum -> two-level rollup) on ONE user-keyed Exchange; no interval self-join at any width. Same operator as sessionize(gap = interval length) - spec-pinned.",
+    "q137_pagerank" ->
+      "Integer PageRank: per-order pair explosion collapses immediately to weighted distinct edges (iteration cost |E|, not pair instances); the out-weight-folded edge list sits behind a Barrier reused by all 3 power iterations; each iteration = ONE src-keyed shuffle join + one map-side-combinable dst aggregate; vertex count rides a 1-row broadcast; final top-20 is TakeOrdered with post-limit rank.",
+    "q139_rrf_hybrid" ->
+      "RRF hybrid search: BM25 and TF-IDF share ONE scored base pass (per-doc tf in-row via size(filter(..)), corpus stats a 1-row broadcast) behind a Barrier; each ranking is TakeOrdered(50); fusion is a 100-row full-outer join — nothing corpus-sized shuffles after the scoring map.",
+    "q140_join_size_estimate" ->
+      "CMS join-size estimate: each side compresses to per-key counts (map-side combinable) then to <= d*w sketch cells; the inner product joins two <= 4096-row cell grids; exact audit joins the two key-count frames — the sketch path alone never moves more than d*w rows regardless of input volume.",
+    "q141_zorder_cells" ->
+      "Z-order cells: key-range stats are a 1-row broadcast; range normalization + 32-term bit interleave is one codegen'd map expression; ONE map-side-combinable aggregate to <= 4096 tiles; TakeOrdered(10).",
+    "q143_skyline" ->
+      "Skyline: grid bucketing off a 1-row stats broadcast; cell-level domination prune via <= B^2-row broadcast anti-join; point prune a broadcast semi-join on cell id; the exact quadratic pass (BroadcastNestedLoopJoin) runs only on the surviving staircase band (~2n/B rows).",
+    "q145_golden_record" ->
+      "Golden record: within-block candidate self-join (bounded blocks) + Levenshtein filter; componentLabels' log-round propagate+shortcut over (node, lab) pairs; survivor election is ONE struct-max aggregate per cluster — no per-cluster window.",
+    "q146_seasonal_anomaly" ->
+      "Seasonal anomaly: one map-side day projection + one (type, day) count aggregate; span is a 1-row broadcast; baseline join is |types*7| rows; deviation flags and ppm ratios are in-row integer cross-products; worst-day election is max(struct).")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
