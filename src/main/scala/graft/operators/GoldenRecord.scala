@@ -34,15 +34,19 @@ object GoldenRecord {
       val c = graft.Barrier(Tables.load(s, dir, "customer")
         .select($"c_custkey", $"c_name", $"c_acctbal",
           substring($"c_name", 1, 16).as("blk")))
-      val matches = c.as("a").join(c.as("b"),
+      // Barrier: componentLabels reads its edge input twice (node
+      // universe + symmetric closure) — uncached, the block self-join
+      // and its 700k levenshtein evaluations would run twice.
+      val matches = graft.Barrier(c.as("a").join(c.as("b"),
           $"a.blk" === $"b.blk" && $"a.c_custkey" < $"b.c_custkey")
         .filter(levenshtein($"a.c_name", $"b.c_name") <= 1)
-        .select($"a.c_custkey".as("doc_a"), $"b.c_custkey".as("doc_b"))
-      // self-loops enroll singletons as their own cluster
-      val edges = matches.unionByName(
-        c.select($"c_custkey".as("doc_a"), $"c_custkey".as("doc_b")))
-      val labels = graft.text.TextQueries.componentLabels(edges)
-      c.join(labels, c("c_custkey") === labels("node"))
+        .select($"a.c_custkey".as("doc_a"), $"b.c_custkey".as("doc_b")))
+      // Singletons stay OUT of the propagation (they would ride every
+      // round as always-stable nodes) and enroll afterwards: no match
+      // row ⇒ the record is its own cluster root.
+      val labels = graft.text.TextQueries.componentLabels(matches)
+      c.join(labels, c("c_custkey") === labels("node"), "left_outer")
+        .withColumn("lab", coalesce($"lab", $"c_custkey"))
         .groupBy($"lab".as("cluster_root"))
         .agg(count(lit(1)).as("n_members"),
           max(struct($"c_acctbal".as("bal"), (-$"c_custkey").as("negk")))
