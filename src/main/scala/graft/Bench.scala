@@ -100,7 +100,8 @@ object Bench {
     "q147_skew_audit",
     "q148_constraint_suite",
     "q149_weighted_sample",
-    "q150_asof_tolerance")
+    "q150_asof_tolerance",
+    "q151_hll_set_algebra")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

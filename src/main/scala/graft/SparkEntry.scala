@@ -53,6 +53,7 @@ object SparkEntry {
     operators.SkewAudit.all ++
     operators.Constraints.all ++
     operators.AsofJoin.all ++
+    operators.HllSetOps.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all
 

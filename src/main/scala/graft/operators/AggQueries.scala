@@ -632,7 +632,7 @@ object AggQueries {
     * and inlined as the SAME double literal into both engines' plans.
     * (Defined before q63: object vals initialize in declaration order.)
     */
-  private val HllC: Double =
+  private[operators] val HllC: Double =
     0.7213 / (1 + 1.079 / 512) * 512.0 * 512.0 * 4503599627370496.0
 
   val q63 = Q(

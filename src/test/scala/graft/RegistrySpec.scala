@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 150 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 150)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 150)
+  test("registry has 151 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 151)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 151)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
