@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Currently injects:
   *  - `cosine_sim(array<float>, array<float>) -> double` — the
   *    codegen'd similarity kernel ([[functions.CosineSimilarity]]).
+  *  - `jaro_winkler(string, string) -> double` — the record-linkage
+  *    scalar ([[functions.JaroWinklerSim]]), bit-identical to DuckDB's.
   *
   * No custom optimizer `Rule`s or `SparkStrategy`s are injected by
   * design: SURVEY.md §4.2-4.3 — every reference operator plans well
@@ -35,5 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[functions.DotProduct].getCanonicalName, "dot_product"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(
+        classOf[functions.JaroWinklerSim].getCanonicalName, "jaro_winkler"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.JaroWinklerSim(exprs(0), exprs(1))))
   }
 }

@@ -21,6 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - multimodal.MultimodalQueries q50, q53, q87, q128, q133  binary-column plumbing + real JDK image/audio codecs
   *   - security.SecurityQueries q82, q132  access audit (F12) + k-anonymity
   *   - graph.GraphQueries      q137–q138  PageRank + A-Priori pair mining over the co-purchase graph
+  *   - graph.Triangles         q152  degree-ordered triangle census + clustering coefficients
+  *   - operators.Survival      q153  Kaplan-Meier censoring-aware time-to-event curve
+  *   - graph.AssocRules        q154  confidence/lift rule generation over frequent pairs
+  *   - operators.NameSimilarity q155  native Jaro-Winkler namespace confusability audit
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -54,8 +58,12 @@ object SparkEntry {
     operators.Constraints.all ++
     operators.AsofJoin.all ++
     operators.HllSetOps.all ++
+    operators.Survival.all ++
+    operators.NameSimilarity.all ++
     security.SecurityQueries.all ++
-    graph.GraphQueries.all
+    graph.GraphQueries.all ++
+    graph.Triangles.all ++
+    graph.AssocRules.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).
