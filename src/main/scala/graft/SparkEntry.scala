@@ -25,6 +25,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.Survival      q153  Kaplan-Meier censoring-aware time-to-event curve
   *   - graph.AssocRules        q154  confidence/lift rule generation over frequent pairs
   *   - operators.NameSimilarity q155  native Jaro-Winkler namespace confusability audit
+  *   - operators.BenfordAudit  q156  Benford first-digit conformance audit
+  *   - operators.ColumnEntropy q157  per-column entropy/cardinality/mode profile
+  *   - operators.RobustOutliers q158  MAD modified-z robust outlier scan
+  *   - operators.ExpSmoothing  q159  dyadic-kernel EWMA revenue smoothing
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -60,6 +64,10 @@ object SparkEntry {
     operators.HllSetOps.all ++
     operators.Survival.all ++
     operators.NameSimilarity.all ++
+    operators.BenfordAudit.all ++
+    operators.ColumnEntropy.all ++
+    operators.RobustOutliers.all ++
+    operators.ExpSmoothing.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all ++
     graph.Triangles.all ++
