@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - functions.ScalarQueries q31–q35, q67, q81  scalar fns, UDAF, Fernet (§2.8-2.9, S3)
   *   - streaming.EventQueries  q36–q39, q54, q73–q74, q93, q130  event windows/sessions (§2.10)
   *   - text.TextQueries        q40–q46, q51, q55, q61, q66, q68–q69, q72, q78, q83–q86, q88–q91, q94–q125  text/dedup/sampling/packing/curation/filtering/sketches
-  *   - text.Bpe                q109 companion trainer + q127  applied BPE
+  *   - text.Bpe                q109 companion trainer + q127  applied BPE + q162  fertility audit
   *   - text.BloomPrune         q129  Bloom-pruned decontamination + the pipeline gate
   *   - text.HybridSearch       q139  reciprocal-rank fusion of BM25 + TF-IDF rankings
   *   - similarity.VectorQueries q47–q49, q52, q106, q108, q126, q131  embedding similarity + ANN + semantic dedup + quantization
@@ -29,6 +29,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.ColumnEntropy q157  per-column entropy/cardinality/mode profile
   *   - operators.RobustOutliers q158  MAD modified-z robust outlier scan
   *   - operators.ExpSmoothing  q159  dyadic-kernel EWMA revenue smoothing
+  *   - streaming.MarkovTransitions q160  directly-follows transition matrix
+  *   - text.ZipfTail           q161  Hill tail-exponent vocabulary datasheet stat
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -45,6 +47,8 @@ object SparkEntry {
     functions.ScalarQueries.all ++
     streaming.EventQueries.all ++
     streaming.Seasonal.all ++
+    streaming.MarkovTransitions.all ++
+    text.ZipfTail.all ++
     text.TextQueries.all ++
     text.Bpe.all ++
     text.BloomPrune.all ++

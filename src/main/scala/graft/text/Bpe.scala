@@ -169,11 +169,17 @@ object Bpe {
   /** The unrolled DuckDB twin of [[train]]. Static SQL generated once
     * at build time; k iterations of (pair-count, argmax, rewrite).
     */
-  private def oracleSql(k: Int): String = {
+  /** The shared CTE prefix v0..vK/m1..mK of the unrolled trainer —
+    * carries the word key `w` through every round (a per-row rewrite,
+    * so q127's counts are unchanged) so downstream oracles (q162's
+    * fertility join) can use the final dict per word.
+    */
+  private[text] def roundsCte(k: Int): String = {
     val sb = new StringBuilder
     sb ++=
       """WITH v0 AS MATERIALIZED (
-        |  SELECT CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+        |  SELECT w,
+        |         CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
         |         ELSE list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) END AS syms,
         |         COUNT(*) AS c
         |  FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
@@ -187,13 +193,19 @@ object Bpe {
         |        FROM v${i - 1} WHERE len(syms) >= 2)
         |  GROUP BY p.a, p.b ORDER BY n DESC, a, b LIMIT 1),
         |v$i AS MATERIALIZED (
-        |  SELECT CASE WHEN len(syms) < 2 THEN syms
+        |  SELECT w, CASE WHEN len(syms) < 2 THEN syms
         |         ELSE string_split(list_reduce(syms, (acc, x) ->
         |           CASE WHEN string_split(acc, ' ')[-1] = m.a AND x = m.b
         |             THEN array_to_string(list_concat(string_split(acc, ' ')[:-2], [m.a || m.b]), ' ')
         |             ELSE acc || ' ' || x END), ' ') END AS syms, c
         |  FROM v${i - 1}, m$i AS m)""".stripMargin
     }
+    sb.toString
+  }
+
+  private def oracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= roundsCte(k)
     sb ++= "\nSELECT * FROM (\n"
     sb ++= (1 to k).map { i =>
       s"""  SELECT CAST($i AS INT) AS rank, a AS lhs, b AS rhs, a || b AS merged,
@@ -205,5 +217,51 @@ object Bpe {
     sb.toString
   }
 
-  val all: Seq[Q] = Seq(q127)
+  /** q162 — tokenizer fertility audit: encode every source under the
+    * K learned merges and report chars-per-subword (fertility — the
+    * cross-lingual tokenizer-equity metric: a source whose fertility
+    * runs high pays more sequence length for the same text) and
+    * subwords-per-whitespace-word (compression). The oracle reuses
+    * the SAME unrolled trainer CTEs as q127 and joins the final
+    * round's per-word dict — both engines train AND apply the
+    * tokenizer independently.
+    *
+    * Scale shape: training is vocab-dict-bound (q127); application is
+    * one explode + a dict join (broadcast at vocab scale) + one
+    * map-side-combinable per-source aggregate. Integer-ppm ratios.
+    */
+  val q162 = Q(
+    "q162_tokenizer_fertility",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = vocabOf(docs)
+      val merges = train(vocab, K)
+      val dict = encodedDict(vocab, merges).select($"w", $"n_bpe")
+      docs.select($"source", explode(split($"text", " ")).as("w"))
+        .join(dict, Seq("w"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("ws_tokens"),
+          sum($"n_bpe").as("bpe_tokens"),
+          sum(length($"w")).cast("long").as("token_chars"))
+        .select($"source", $"ws_tokens", $"bpe_tokens", $"token_chars",
+          expr("(token_chars * 1000000) div bpe_tokens").as("fertility_ppm"),
+          expr("(bpe_tokens * 1000000) div ws_tokens").as("compression_ppm"))
+        .orderBy($"source")
+    },
+    Some(s"""${roundsCte(K)},
+      |dict AS (SELECT w, len(syms) AS n_bpe FROM v$K),
+      |words AS (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents),
+      |agg AS (
+      |  SELECT source, COUNT(*) AS ws_tokens,
+      |         CAST(SUM(d.n_bpe) AS BIGINT) AS bpe_tokens,
+      |         CAST(SUM(len(words.w)) AS BIGINT) AS token_chars
+      |  FROM words JOIN dict d USING (w) GROUP BY 1)
+      |SELECT source, ws_tokens, bpe_tokens, token_chars,
+      |       (token_chars * 1000000) // bpe_tokens AS fertility_ppm,
+      |       (bpe_tokens * 1000000) // ws_tokens AS compression_ppm
+      |FROM agg ORDER BY source""".stripMargin),
+    doc = "tokenizer: per-source fertility (chars/subword) and compression (subwords/word) under the K learned merges")
+
+  val all: Seq[Q] = Seq(q127, q162)
 }

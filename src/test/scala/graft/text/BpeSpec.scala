@@ -113,4 +113,40 @@ class BpeSpec extends SparkSpec {
     // each merge reduces tokens by exactly its application count ≤ pair_n
     for (s <- steps) assert(s.pairN > 0)
   }
+
+  test("fertility ledger (q162 core): per-source ppm ratios match a dict replay") {
+    // source A repeats one word (compresses hard); source B is unique chars
+    val docsDf = Seq(
+      (1L, "A", "abab abab abab"), (2L, "A", "abab abab"),
+      (3L, "B", "xq zw vy")).toDF("doc_id", "source", "text")
+    val vocab = Bpe.vocabOf(docsDf)
+    // 2 merges: (a,b) then (ab,ab) — 'abab' fully fuses, B never merges
+    val steps = Bpe.train(vocab, 2)
+    val dict = Bpe.encodedDict(vocab, steps)
+      .select($"w", $"n_bpe").as[(String, Long)].collect().toMap
+    // driver replay of the per-source ledger
+    val rows = Seq(("A", "abab", 5L), ("B", "xq", 1L), ("B", "zw", 1L), ("B", "vy", 1L))
+    def ledger(src: String) = {
+      val ws = rows.filter(_._1 == src)
+      val n = ws.map(_._3).sum
+      val bpe = ws.map(r => dict(r._2) * r._3).sum
+      val chars = ws.map(r => r._2.length * r._3).sum
+      (n, bpe, chars * 1000000L / bpe, bpe * 1000000L / n)
+    }
+    val got = docsDf.select($"source", explode(split($"text", " ")).as("w"))
+      .join(Bpe.encodedDict(vocab, steps).select($"w", $"n_bpe"), Seq("w"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("ws"), sum($"n_bpe").as("bpe"),
+        sum(length($"w")).cast("long").as("chars"))
+      .select($"source", $"ws", $"bpe",
+        expr("(chars * 1000000) div bpe").as("fert"),
+        expr("(bpe * 1000000) div ws").as("comp"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got("A") == ledger("A") && got("B") == ledger("B"))
+    // 2 merges fully fuse 'abab': source A fertility = 4 chars/token
+    assert(dict("abab") == 1L && got("A")._3 == 4000000L)
+    // source B never merges (all pairs unique): fertility = 1 char/token
+    assert(got("B")._3 == 1000000L)
+  }
 }
