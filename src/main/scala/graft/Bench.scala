@@ -101,7 +101,18 @@ object Bench {
     "q148_constraint_suite",
     "q149_weighted_sample",
     "q150_asof_tolerance",
-    "q151_hll_set_algebra")
+    "q151_hll_set_algebra",
+    "q152_triangle_census",
+    "q153_km_survival",
+    "q154_assoc_rules",
+    "q155_confusable_names",
+    "q156_benford_audit",
+    "q157_column_entropy",
+    "q158_mad_outliers",
+    "q159_ewma_revenue",
+    "q160_markov_transitions",
+    "q161_zipf_tail",
+    "q162_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

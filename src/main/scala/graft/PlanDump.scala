@@ -9,6 +9,16 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   */
 object PlanDump {
   val annotations: Map[String, String] = Map(
+    "q152_triangle_census" ->
+      "Degree-ordered orientation before wedge generation: hub vertices sit on the HIGH end of their edges and emit zero wedges, bounding the wedge join at O(m^1.5) under any skew; backbone (w>=2) + oriented edges each built once behind a Barrier and reused by the wedge and closing joins.",
+    "q153_km_survival" ->
+      "Corpus collapses to per-duration (events, total) in one map-side-combinable aggregate; the at-risk reverse-cumsum and KM prefix windows run on a CALENDAR-bounded frame (<= max follow-up days) the corpus cannot grow; study end rides a 1-row broadcast.",
+    "q155_confusable_names" ->
+      "Quadratic Jaro-Winkler pass runs on the deduped NAME DICTIONARY (vocabulary-bounded), never the catalog; the kernel is a codegen'd Catalyst expression — no UDF serialization boundary in the pair loop.",
+    "q161_zipf_tail" ->
+      "Corpus → vocab dict in one aggregate; top-(k+1) via TakeOrdered (no global sort); Hill fold is a (k+1)-row aggregate against a 1-row broadcast.",
+    "q162_tokenizer_fertility" ->
+      "Training is vocab-dict-bound (q127's loop); application joins exploded words against the encoded dict (broadcast at vocab scale) and folds per source map-side — corpus text never shuffles.",
     "q01_readmission_rate" ->
       "One shuffle (patient key) + window; no self-join pair explosion. HAVING floor applied post-agg.",
     "q02_star_join_revenue" ->
