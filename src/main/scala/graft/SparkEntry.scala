@@ -31,6 +31,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.ExpSmoothing  q159  dyadic-kernel EWMA revenue smoothing
   *   - streaming.MarkovTransitions q160  directly-follows transition matrix
   *   - text.ZipfTail           q161  Hill tail-exponent vocabulary datasheet stat
+  *   - operators.StatsAudits   q163–q164  mutual information + Poisson bootstrap
+  *   - operators.CubeAgg       q165  CUBE all-margins aggregate
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -72,6 +74,8 @@ object SparkEntry {
     operators.ColumnEntropy.all ++
     operators.RobustOutliers.all ++
     operators.ExpSmoothing.all ++
+    operators.StatsAudits.all ++
+    operators.CubeAgg.all ++
     security.SecurityQueries.all ++
     graph.GraphQueries.all ++
     graph.Triangles.all ++
