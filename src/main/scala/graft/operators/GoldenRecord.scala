@@ -37,9 +37,17 @@ object GoldenRecord {
       // Barrier: componentLabels reads its edge input twice (node
       // universe + symmetric closure) — uncached, the block self-join
       // and its 700k levenshtein evaluations would run twice.
+      // Two exact cuts on the verify cost, preserving "same block AND
+      // levenshtein(name) <= 1" semantics bit-for-bit:
+      //  - prefix stripping: blocked pairs share their 16-char prefix
+      //    BY CONSTRUCTION, and ed(p·s, p·t) = ed(s, t) — so the DP
+      //    runs on the short suffixes, not the full names;
+      //  - the banded (threshold) form: O(len·k) per pair, -1 past the
+      //    bound, so "within 1 edit" is >= 0.
       val matches = graft.Barrier(c.as("a").join(c.as("b"),
           $"a.blk" === $"b.blk" && $"a.c_custkey" < $"b.c_custkey")
-        .filter(levenshtein($"a.c_name", $"b.c_name") <= 1)
+        .filter(levenshtein(
+          expr("substring(a.c_name, 17)"), expr("substring(b.c_name, 17)"), 1) >= 0)
         .select($"a.c_custkey".as("doc_a"), $"b.c_custkey".as("doc_b")))
       // Singletons stay OUT of the propagation (they would ride every
       // round as always-stable nodes) and enroll afterwards: no match
