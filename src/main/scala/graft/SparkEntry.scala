@@ -33,6 +33,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - text.ZipfTail           q161  Hill tail-exponent vocabulary datasheet stat
   *   - operators.StatsAudits   q163–q164  mutual information + Poisson bootstrap
   *   - operators.CubeAgg       q165  CUBE all-margins aggregate
+  *   - graph.Assortativity     q166  Newman degree assortativity
+  *   - operators.Gini          q167  Gini revenue concentration
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -79,7 +81,9 @@ object SparkEntry {
     security.SecurityQueries.all ++
     graph.GraphQueries.all ++
     graph.Triangles.all ++
-    graph.AssocRules.all
+    graph.AssocRules.all ++
+    graph.Assortativity.all ++
+    operators.Gini.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Gini concentration of per-customer revenue (Gini 1912, via the
+  * rank formula G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+  * values) — the one-number inequality statistic for "how concentrated
+  * is our revenue/token/data mass", the business twin of q147's
+  * join-key skew audit and q68's source-mixture shares.
+  *
+  * Exactness: per-customer cents and the rank-weighted sum R = Σ i·xᵢ
+  * are exact longs (R < 2⁶³ past 10¹⁶ cent-ranks); the single float
+  * expression (2R − (n+1)S)/(n·S) runs on identical integers with
+  * identical shape in both engines (the q151/q166 stance).
+  *
+  * Scale shape: the corpus collapses to per-customer totals in one
+  * groupBy; the ascending GLOBAL ranking runs through
+  * [[DistributedRank.withRowNumber]] (range sort + per-partition
+  * offsets — never a one-task window); the fold is one aggregate.
+  */
+object Gini {
+
+  /** q167 — revenue concentration across customers. */
+  val q167 = Q(
+    "q167_gini_concentration",
+    (s, dir) => {
+      import s.implicits._
+      val per = Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+          .as("cents"))
+      val ranked = DistributedRank.withRowNumber(
+        per, Seq($"cents".asc, $"o_custkey".asc), out = "rk")
+      ranked.agg(count(lit(1)).as("n"), sum($"cents").as("s"),
+          sum($"rk" * $"cents").as("r"))
+        .select($"n", $"s".as("total_cents"), $"r".as("rank_weighted_cents"),
+          (((lit(2L) * $"r" - ($"n" + 1L) * $"s").cast("double")) /
+            (($"n" * $"s").cast("double"))).as("gini"))
+    },
+    Some("""WITH per AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT cents,
+      |         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+      |  FROM per),
+      |m AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+      |         CAST(SUM(rk * cents) AS BIGINT) AS r
+      |  FROM ranked)
+      |SELECT n, s AS total_cents, r AS rank_weighted_cents,
+      |       CAST(2 * r - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+      |FROM m""".stripMargin),
+    doc = "stats: Gini revenue concentration — DistributedRank global ranking, exact-integer core, one IEEE expression")
+
+  val all: Seq[Q] = Seq(q167)
+}
