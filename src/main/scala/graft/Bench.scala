@@ -112,7 +112,12 @@ object Bench {
     "q159_ewma_revenue",
     "q160_markov_transitions",
     "q161_zipf_tail",
-    "q162_tokenizer_fertility")
+    "q162_tokenizer_fertility",
+    "q163_mutual_information",
+    "q164_poisson_bootstrap",
+    "q165_cube_margins",
+    "q166_degree_assortativity",
+    "q167_gini_concentration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
