@@ -25,23 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object MarkovTransitions {
 
+  /** The testable core shared with [[TransitionMonitorJob]]: the full
+    * directly-follows matrix (from_type, to_type, n, p_ppm) of an
+    * events frame — per-user lead pairs in the engine-shared
+    * (ts µs, event_id) order, integer-ppm outflow shares.
+    */
+  private[streaming] def transitionShares(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy(expr("unix_micros(ts)"), $"event_id")
+    val pairs = events
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("next_type", lead($"event_type", 1).over(byUser))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outflow = pairs.groupBy($"from_type").agg(sum($"n").as("out_n"))
+    pairs.join(broadcast(outflow), "from_type")
+      .select($"from_type", $"to_type", $"n",
+        expr("(n * 1000000) div out_n").as("p_ppm"))
+  }
+
   /** q160 — top-20 event-type transitions with outflow shares. */
   val q160 = Q(
     "q160_markov_transitions",
     (s, dir) => {
       import s.implicits._
-      val byUser = Window.partitionBy($"user_id")
-        .orderBy(expr("unix_micros(ts)"), $"event_id")
-      val pairs = Tables.load(s, dir, "events")
-        .select($"user_id", $"event_type", $"ts", $"event_id")
-        .withColumn("next_type", lead($"event_type", 1).over(byUser))
-        .filter($"next_type".isNotNull)
-        .groupBy($"event_type".as("from_type"), $"next_type".as("to_type"))
-        .agg(count(lit(1)).as("n"))
-      val outflow = pairs.groupBy($"from_type").agg(sum($"n").as("out_n"))
-      val top = pairs.join(broadcast(outflow), "from_type")
-        .select($"from_type", $"to_type", $"n",
-          expr("(n * 1000000) div out_n").as("p_ppm"))
+      val top = transitionShares(Tables.load(s, dir, "events"))
         .orderBy($"n".desc, $"from_type", $"to_type").limit(20)
       top.withColumn("pos", row_number().over(
           Window.orderBy($"n".desc, $"from_type", $"to_type")))
