@@ -117,7 +117,10 @@ object Bench {
     "q164_poisson_bootstrap",
     "q165_cube_margins",
     "q166_degree_assortativity",
-    "q167_gini_concentration")
+    "q167_gini_concentration",
+    "q168_return_pchart",
+    "q169_lorenz_deciles",
+    "q170_spearman_ranks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -13,10 +13,17 @@ import org.apache.spark.sql.functions._
   * the workload's CHARACTER stays fixed while its volume scales,
   * which is what a scaling curve must hold constant.
   *
+  * Fact tables scale the same way: per-copy key offsets keep order /
+  * part / customer namespaces disjoint (the co-purchase graph and the
+  * match graph replicate per copy instead of densifying), customer
+  * names get a copy prefix (no artificial cross-copy fuzzy matches),
+  * while DATES are shared — volume per calendar day grows with the
+  * factor, which is exactly what the calendar-bounded-frame claims
+  * (q153/q159) must absorb.
+  *
   * Usage: runMain graft.ScaleGen <srcSfDir> <destDir> <factor>
-  * (writes `<destDir>/documents.parquet`; the text-family queries
-  * read only the documents table, so the scaled dir serves
-  * q40-q46/q51/q55/q61+/q72/q83-q98 via SPARK_GRAFT_SF_DIR.)
+  * (writes documents/orders/lineitem/customer parquet; queries over
+  * other tables are out of a scaled dir's scope.)
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -43,6 +50,39 @@ object ScaleGen {
     copies.reduce(_ unionByName _)
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$destDir/documents.parquet")
+
+    val cust = Tables.load(spark, srcDir, "customer")
+    val ord = Tables.load(spark, srcDir, "orders")
+    val li = Tables.load(spark, srcDir, "lineitem")
+    val maxCust = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1
+    val maxOrd = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    val maxPart = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
+    val maxSupp = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+
+    (0 until factor).map { i =>
+      cust.select((col("c_custkey") + lit(i * maxCust)).as("c_custkey"),
+        concat(lit(s"c${i}_"), col("c_name")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$destDir/customer.parquet")
+
+    (0 until factor).map { i =>
+      ord.select((col("o_orderkey") + lit(i * maxOrd)).as("o_orderkey"),
+        (col("o_custkey") + lit(i * maxCust)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$destDir/orders.parquet")
+
+    (0 until factor).map { i =>
+      li.select((col("l_orderkey") + lit(i * maxOrd)).as("l_orderkey"),
+        (col("l_partkey") + lit(i * maxPart)).as("l_partkey"),
+        (col("l_suppkey") + lit(i * maxSupp)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$destDir/lineitem.parquet")
     spark.stop()
   }
 }

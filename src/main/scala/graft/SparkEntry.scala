@@ -34,7 +34,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.StatsAudits   q163–q164  mutual information + Poisson bootstrap
   *   - operators.CubeAgg       q165  CUBE all-margins aggregate
   *   - graph.Assortativity     q166  Newman degree assortativity
-  *   - operators.Gini          q167  Gini revenue concentration
+  *   - operators.Gini          q167, q169  Gini concentration + Lorenz deciles
+  *   - operators.ControlChart  q168  monthly return-rate p-chart (SPC)
+  *   - operators.Spearman      q170  volume-vs-value rank agreement
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -83,7 +85,9 @@ object SparkEntry {
     graph.Triangles.all ++
     graph.AssocRules.all ++
     graph.Assortativity.all ++
-    operators.Gini.all
+    operators.Gini.all ++
+    operators.ControlChart.all ++
+    operators.Spearman.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -55,5 +55,56 @@ object Gini {
       |FROM m""".stripMargin),
     doc = "stats: Gini revenue concentration — DistributedRank global ranking, exact-integer core, one IEEE expression")
 
-  val all: Seq[Q] = Seq(q167)
+  /** q169 — the Lorenz decile ledger behind q167's one number: revenue
+    * share and cumulative share per ascending-revenue customer decile
+    * (decile 10 = top spenders). Deciles are exact integer cuts of the
+    * DistributedRank row number (((rk−1)·10) div n + 1), shares are
+    * integer ppm, and the cumulative ride a 10-row window.
+    */
+  val q169 = Q(
+    "q169_lorenz_deciles",
+    (s, dir) => {
+      import s.implicits._
+      val per = Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+          .as("cents"))
+      val ranked = DistributedRank.withRowNumber(
+        per, Seq($"cents".asc, $"o_custkey".asc), out = "rk")
+      val n = ranked.agg(count(lit(1)).as("n"), sum($"cents").as("tot"))
+      val dec = ranked.crossJoin(broadcast(n))
+        .select(expr("((rk - 1) * 10) div n + 1").as("decile"), $"cents", $"tot")
+        .groupBy($"decile")
+        .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cents"),
+          max($"tot").as("tot"))
+      dec.select($"decile", $"n_customers",
+          expr("(cents * 1000000) div tot").as("share_ppm"))
+        .withColumn("cum_share_ppm",
+          sum($"share_ppm").over(
+            org.apache.spark.sql.expressions.Window.orderBy($"decile")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+        .orderBy($"decile")
+    },
+    Some("""WITH per AS (
+      |  SELECT o_custkey,
+      |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |ranked AS (
+      |  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+      |  FROM per),
+      |nn AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot FROM ranked),
+      |dec AS (
+      |  SELECT ((rk - 1) * 10) // nn.n + 1 AS decile,
+      |         COUNT(*) AS n_customers,
+      |         CAST(SUM(cents) AS BIGINT) AS cents, MAX(nn.tot) AS tot
+      |  FROM ranked, nn GROUP BY 1)
+      |SELECT decile, n_customers,
+      |       (cents * 1000000) // tot AS share_ppm,
+      |       CAST(SUM((cents * 1000000) // tot) OVER (ORDER BY decile
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_share_ppm
+      |FROM dec ORDER BY decile""".stripMargin),
+    doc = "stats: Lorenz decile ledger — exact integer decile cuts over the DistributedRank ordering")
+
+  val all: Seq[Q] = Seq(q167, q169)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 167 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 167)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 167)
+  test("registry has 170 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 170)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 170)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
