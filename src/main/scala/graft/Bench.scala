@@ -120,7 +120,10 @@ object Bench {
     "q167_gini_concentration",
     "q168_return_pchart",
     "q169_lorenz_deciles",
-    "q170_spearman_ranks")
+    "q170_spearman_ranks",
+    "q171_packing_curve",
+    "q172_cluster_sizes",
+    "q173_event_burstiness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

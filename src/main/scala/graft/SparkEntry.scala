@@ -37,6 +37,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.Gini          q167, q169  Gini concentration + Lorenz deciles
   *   - operators.ControlChart  q168  monthly return-rate p-chart (SPC)
   *   - operators.Spearman      q170  volume-vs-value rank agreement
+  *   - text.PackingCurve       q171–q172  context-length packing ledger + cluster-size distribution
+  *   - streaming.Burstiness    q173  Goh-Barabasi inter-arrival burstiness
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -55,6 +57,8 @@ object SparkEntry {
     streaming.Seasonal.all ++
     streaming.MarkovTransitions.all ++
     text.ZipfTail.all ++
+    text.PackingCurve.all ++
+    streaming.Burstiness.all ++
     text.TextQueries.all ++
     text.Bpe.all ++
     text.BloomPrune.all ++

@@ -578,7 +578,7 @@ object TextQueries {
     * ending in `pairs(doc_a, doc_b)` — composed into q51's and q72's
     * oracles (q72 prepends RECURSIVE).
     */
-  private val NgramPairsCtes: String =
+  private[text] val NgramPairsCtes: String =
     """tk AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 170 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 170)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 170)
+  test("registry has 173 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 173)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 173)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
