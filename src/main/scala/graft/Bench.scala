@@ -123,7 +123,11 @@ object Bench {
     "q170_spearman_ranks",
     "q171_packing_curve",
     "q172_cluster_sizes",
-    "q173_event_burstiness")
+    "q173_event_burstiness",
+    "q174_abc_classes",
+    "q175_rfm_segments",
+    "q176_daily_autocorr",
+    "q177_heaps_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

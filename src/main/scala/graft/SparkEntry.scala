@@ -39,6 +39,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.Spearman      q170  volume-vs-value rank agreement
   *   - text.PackingCurve       q171–q172  context-length packing ledger + cluster-size distribution
   *   - streaming.Burstiness    q173  Goh-Barabasi inter-arrival burstiness
+  *   - operators.AbcRfm        q174–q175  ABC/Pareto classes + RFM quintile segments
+  *   - operators.Autocorr      q176  daily-series lag autocorrelation
+  *   - text.Heaps              q177  Heaps-law vocabulary growth curve
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -91,7 +94,10 @@ object SparkEntry {
     graph.Assortativity.all ++
     operators.Gini.all ++
     operators.ControlChart.all ++
-    operators.Spearman.all
+    operators.Spearman.all ++
+    operators.AbcRfm.all ++
+    operators.Autocorr.all ++
+    text.Heaps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 173 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 173)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 173)
+  test("registry has 177 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 177)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 177)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that

@@ -45,6 +45,23 @@ class RankStatsSpec extends SparkSpec {
     assert(dec.map(_._3).toSeq == dec.map(_._3).toSeq.sorted)
   }
 
+  test("abc classes: division-free boundaries cut exactly at 80/95 cumulative share") {
+    // revenue 80, 15, 4, 1 of a 100 total in rank order:
+    // cum = 80 (A: 80·5=400 ≤ 4·100=400), 95 (B: 95·20=1900 ≤ 19·100),
+    // 99 (C), 100 (C)
+    val cls = Seq(80L, 95L, 99L, 100L).map { cum =>
+      if (cum * 5 <= 100L * 4) "A" else if (cum * 20 <= 100L * 19) "B" else "C"
+    }
+    assert(cls == Seq("A", "B", "C", "C"))
+  }
+
+  test("rfm quintiles: exact integer cuts assign 5 equal bands") {
+    val n = 25L
+    val bands = (1L to n).map(rk => ((rk - 1) * 5) / n + 1)
+    assert(bands.distinct == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(bands.groupBy(identity).values.map(_.size).toSet == Set(5))
+  }
+
   test("spearman: identical rankings give rho 1, reversed give -1, formula matches replica") {
     def rho(pairs: Seq[(Long, Long)]): Double = {
       val n = pairs.size.toDouble
