@@ -81,13 +81,15 @@ object AbcRfm {
         .select($"o_custkey", to_date($"o_orderdate").as("d"),
           expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
       val studyEnd = o.agg(max($"d").as("endd"))
-      val per = o.groupBy($"o_custkey")
+      // Barrier: all three quintile passes read this aggregate —
+      // uncached, the orders groupBy would run three times
+      val per = graft.Barrier(o.groupBy($"o_custkey")
         .agg(max($"d").as("last_d"), count(lit(1)).as("freq"),
           sum($"cents").as("money"))
         .crossJoin(broadcast(studyEnd))
         .select($"o_custkey",
           datediff($"endd", $"last_d").cast("long").as("rec_days"),
-          $"freq", $"money")
+          $"freq", $"money"))
       val nDf = per.agg(count(lit(1)).as("nn"))
       def quintile(sort: Seq[org.apache.spark.sql.Column], out: String) =
         DistributedRank.withRowNumber(per, sort, out = "rk")

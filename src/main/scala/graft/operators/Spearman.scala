@@ -29,11 +29,14 @@ object Spearman {
     "q170_spearman_ranks",
     (s, dir) => {
       import s.implicits._
-      val per = Tables.load(s, dir, "lineitem")
+      // Barrier: BOTH rank passes read this corpus-sized aggregate —
+      // uncached, the lineitem groupBy (and its count_distinct expand)
+      // would run twice
+      val per = graft.Barrier(Tables.load(s, dir, "lineitem")
         .groupBy($"l_partkey")
         .agg(sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
           .as("cents"),
-          count_distinct($"l_orderkey").as("orders"))
+          count_distinct($"l_orderkey").as("orders")))
       val byRev = DistributedRank.withRowNumber(
         per, Seq($"cents".desc, $"l_partkey".asc), out = "r_rev")
         .select($"l_partkey", $"r_rev")
