@@ -127,7 +127,9 @@ object Bench {
     "q174_abc_classes",
     "q175_rfm_segments",
     "q176_daily_autocorr",
-    "q177_heaps_curve")
+    "q177_heaps_curve",
+    "q178_fd_mining",
+    "q179_image_dhash_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -42,6 +42,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.AbcRfm        q174–q175  ABC/Pareto classes + RFM quintile segments
   *   - operators.Autocorr      q176  daily-series lag autocorrelation
   *   - text.Heaps              q177  Heaps-law vocabulary growth curve
+  *   - operators.FdMining      q178  functional-dependency violation audit
+  *   - multimodal.ImageDedup   q179  banded dHash image near-dup (spec-verified)
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -97,7 +99,9 @@ object SparkEntry {
     operators.Spearman.all ++
     operators.AbcRfm.all ++
     operators.Autocorr.all ++
-    text.Heaps.all
+    text.Heaps.all ++
+    operators.FdMining.all ++
+    multimodal.ImageDedup.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

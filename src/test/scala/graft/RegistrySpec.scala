@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 177 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 177)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 177)
+  test("registry has 179 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 179)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 179)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
@@ -18,7 +18,8 @@ class RegistrySpec extends SparkSpec {
     * named spec — rows-only without one is not verification.
     */
   val oracleExempt: Map[String, String] = Map(
-    "q128_image_decode" -> "ImageDecodeSpec" // DuckDB cannot decode PNG
+    "q128_image_decode" -> "ImageDecodeSpec", // DuckDB cannot decode PNG
+    "q179_image_dhash_neardup" -> "ImageDedupSpec" // same: PNG decode in-engine
   )
 
   test("every query has a DuckDB oracle or a named spec-verified exemption") {
