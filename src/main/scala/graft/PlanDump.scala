@@ -15,6 +15,20 @@ object PlanDump {
       "Corpus collapses to per-duration (events, total) in one map-side-combinable aggregate; the at-risk reverse-cumsum and KM prefix windows run on a CALENDAR-bounded frame (<= max follow-up days) the corpus cannot grow; study end rides a 1-row broadcast.",
     "q155_confusable_names" ->
       "Quadratic Jaro-Winkler pass runs on the deduped NAME DICTIONARY (vocabulary-bounded), never the catalog; the kernel is a codegen'd Catalyst expression — no UDF serialization boundary in the pair loop.",
+    "q170_spearman_ranks" ->
+      "Per-part aggregate built ONCE behind a Barrier (the count_distinct expand is the expensive pass), then two DistributedRank range-sort passes and a part-key join — no one-task windows.",
+    "q171_packing_curve" ->
+      "ONE DistributedRank prefix-sum pass (the q86 offset) reused by all four context lengths via a 4-row broadcast crossJoin — the curve costs a |L| factor on a map stage, not |L| corpus passes.",
+    "q172_cluster_sizes" ->
+      "q45's bucketed pair machinery + componentLabels; the histogram is one |clusters|-row aggregate and singleton mass is DERIVED from the corpus total — edge-less docs never enter the propagation.",
+    "q174_abc_classes" ->
+      "Distributed prefix sum over the revenue ordering; class boundaries are small-multiplier integer comparisons (cum*5 vs tot*4) — no division, no per-row broadcast-total ppm products near the long ceiling.",
+    "q175_rfm_segments" ->
+      "Orders aggregate behind a Barrier feeds three DistributedRank quintile passes; quintile cuts are exact integer rank arithmetic against a 1-row broadcast count.",
+    "q176_daily_autocorr" ->
+      "Corpus touched by exactly one day aggregate; the complete calendar grid (sequence + zero-fill) and all lag windows run on the calendar-bounded frame.",
+    "q179_image_dhash_neardup" ->
+      "Render+decode+dHash fuse into one mapPartitions stage; the band join shuffles (band, 16-bit chunk, doc_id) triples only — pixels never shuffle; verify is a 64-bit XOR popcount.",
     "q161_zipf_tail" ->
       "Corpus → vocab dict in one aggregate; top-(k+1) via TakeOrdered (no global sort); Hill fold is a (k+1)-row aggregate against a 1-row broadcast.",
     "q162_tokenizer_fertility" ->
