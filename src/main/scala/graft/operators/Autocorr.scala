@@ -34,10 +34,12 @@ object Autocorr {
         .groupBy(to_date($"o_orderdate").as("d"))
         .agg(count(lit(1)).as("x"))
       val bounds = daily.agg(min($"d").as("d0"), max($"d").as("d1"))
-      val grid = bounds
+      // Barrier: all three lag arms aggregate over this frame —
+      // uncached, the corpus day-aggregate would run once per lag
+      val grid = graft.Barrier(bounds
         .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
         .join(daily, Seq("d"), "left_outer")
-        .select($"d", coalesce($"x", lit(0L)).as("x"))
+        .select($"d", coalesce($"x", lit(0L)).as("x")))
       val byD = Window.orderBy($"d") // calendar-bounded frame
       val lagged = Lags.foldLeft(grid) { (df, l) =>
         df.withColumn(s"x_$l", lag($"x", l).over(byD))
