@@ -129,7 +129,9 @@ object Bench {
     "q176_daily_autocorr",
     "q177_heaps_curve",
     "q178_fd_mining",
-    "q179_image_dhash_neardup")
+    "q179_image_dhash_neardup",
+    "q180_chi_square",
+    "q181_homoglyph_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

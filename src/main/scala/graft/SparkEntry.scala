@@ -31,7 +31,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.ExpSmoothing  q159  dyadic-kernel EWMA revenue smoothing
   *   - streaming.MarkovTransitions q160  directly-follows transition matrix
   *   - text.ZipfTail           q161  Hill tail-exponent vocabulary datasheet stat
-  *   - operators.StatsAudits   q163–q164  mutual information + Poisson bootstrap
+  *   - operators.StatsAudits   q163–q164, q180  MI + Poisson bootstrap + chi-square
   *   - operators.CubeAgg       q165  CUBE all-margins aggregate
   *   - graph.Assortativity     q166  Newman degree assortativity
   *   - operators.Gini          q167, q169  Gini concentration + Lorenz deciles
@@ -44,6 +44,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - text.Heaps              q177  Heaps-law vocabulary growth curve
   *   - operators.FdMining      q178  functional-dependency violation audit
   *   - multimodal.ImageDedup   q179  banded dHash image near-dup (spec-verified)
+  *   - text.Homoglyph          q181  mixed-script homoglyph audit
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -101,7 +102,8 @@ object SparkEntry {
     operators.Autocorr.all ++
     text.Heaps.all ++
     operators.FdMining.all ++
-    multimodal.ImageDedup.all
+    multimodal.ImageDedup.all ++
+    text.Homoglyph.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

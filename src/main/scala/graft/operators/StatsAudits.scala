@@ -113,5 +113,60 @@ object StatsAudits {
       |FROM drawn GROUP BY b ORDER BY b""".stripMargin),
     doc = "stats: one-pass Poisson bootstrap — B=16 deterministic replicate means of order value, no sampling shuffle")
 
-  val all: Seq[Q] = Seq(q163, q164)
+  /** q180 — Pearson's χ² independence statistic for the q163 column
+    * pair, with per-cell integer-ppm terms: χ²_ppm(cell) =
+    * (o·n − ca·cb)²·10⁶ div (n·ca·cb), each an EXACT integer (the
+    * squared numerator rides DECIMAL(38,0) — o·n alone is ~2·10¹⁰ at
+    * sf0.1 and its square is past 2⁶³), summed exactly — so the
+    * statistic is order-insensitive and bit-identical across engines
+    * where a sum of per-cell IEEE doubles would depend on aggregation
+    * order. Emits the statistic and the degrees of freedom; the
+    * critical-value lookup is the caller's table (no incomplete-gamma
+    * in either engine's exact surface).
+    */
+  val q180 = Q(
+    "q180_chi_square",
+    (s, dir) => {
+      import s.implicits._
+      val cells = Tables.load(s, dir, "orders")
+        .groupBy($"o_orderpriority".as("a"), $"o_orderstatus".as("b"))
+        .agg(count(lit(1)).as("cab"))
+      val ma = cells.groupBy($"a").agg(sum($"cab").as("ca"))
+      val mb = cells.groupBy($"b").agg(sum($"cab").as("cb"))
+      val n = cells.agg(sum($"cab").as("n"),
+        count_distinct($"a").as("da"), count_distinct($"b").as("db"))
+      cells.join(broadcast(ma), "a").join(broadcast(mb), "b")
+        .crossJoin(broadcast(n))
+        .select($"cab", $"ca", $"cb", $"n", $"da", $"db",
+          expr("cast(cab as decimal(38,0)) * n - cast(ca as decimal(38,0)) * cb")
+            .as("dev"))
+        .agg(max($"n").as("n"),
+          max(($"da" - 1) * ($"db" - 1)).as("dof"),
+          // div (IntegralDivide), NOT decimal "/": Spark decimal
+          // division rounds HALF_UP at the result scale where DuckDB
+          // // floors — div truncates, and both operands are
+          // non-negative, so trunc ≡ floor
+          sum(expr(
+            "(dev * dev * 1000000) div (cast(n as decimal(38,0)) * ca * cb)"))
+            .cast("long").as("chi2_ppm"))
+    },
+    Some("""WITH cells AS (
+      |  SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS cab
+      |  FROM orders GROUP BY 1, 2),
+      |ma AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cells GROUP BY 1),
+      |mb AS (SELECT b, CAST(SUM(cab) AS BIGINT) AS cb FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(cab) AS BIGINT) AS n,
+      |              COUNT(DISTINCT a) AS da, COUNT(DISTINCT b) AS db
+      |       FROM cells),
+      |terms AS (
+      |  SELECT n, (da - 1) * (db - 1) AS dof,
+      |         CAST(cab AS HUGEINT) * n - CAST(ca AS HUGEINT) * cb AS dev,
+      |         ca, cb
+      |  FROM cells JOIN ma USING (a) JOIN mb USING (b), nn)
+      |SELECT MAX(n) AS n, MAX(dof) AS dof,
+      |       CAST(SUM((dev * dev * 1000000) // (CAST(n AS HUGEINT) * ca * cb)) AS BIGINT) AS chi2_ppm
+      |FROM terms""".stripMargin),
+    doc = "stats: Pearson chi-square independence — decimal-exact per-cell ppm terms, order-insensitive sum")
+
+  val all: Seq[Q] = Seq(q163, q164, q180)
 }

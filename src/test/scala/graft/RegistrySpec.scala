@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 179 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 179)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 179)
+  test("registry has 181 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 181)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 181)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
