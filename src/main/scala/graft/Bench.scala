@@ -131,7 +131,8 @@ object Bench {
     "q178_fd_mining",
     "q179_image_dhash_neardup",
     "q180_chi_square",
-    "q181_homoglyph_audit")
+    "q181_homoglyph_audit",
+    "q182_hits_scores")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -45,6 +45,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.FdMining      q178  functional-dependency violation audit
   *   - multimodal.ImageDedup   q179  banded dHash image near-dup (spec-verified)
   *   - text.Homoglyph          q181  mixed-script homoglyph audit
+  *   - graph.Hits              q182  HITS hubs/authorities (bipartite purchase graph)
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -103,7 +104,8 @@ object SparkEntry {
     text.Heaps.all ++
     operators.FdMining.all ++
     multimodal.ImageDedup.all ++
-    text.Homoglyph.all
+    text.Homoglyph.all ++
+    graph.Hits.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

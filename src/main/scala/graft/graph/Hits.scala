@@ -1,0 +1,131 @@
+package graft.graph
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** HITS hubs-and-authorities (Kleinberg 1999) over the BIPARTITE
+  * customer→part purchase graph — the dual-score complement to
+  * q137's PageRank: a part is authoritative when bought by strong
+  * hub customers, a customer is a hub when buying authoritative
+  * parts. On a bipartite graph the two scores are genuinely
+  * different ledgers (on q137's symmetric co-purchase graph they
+  * would collapse into one).
+  *
+  * Exactness: integer mutual-recursion with SUM-normalization each
+  * half-step — scores are rescaled to Σ = 10¹² via `div` against a
+  * 1-row broadcast total, so every value is an exact long in both
+  * engines (the q137 discipline; float HITS would need a norm the
+  * engines round differently). Truncation mass loss is deterministic
+  * and identical.
+  *
+  * Scale shape: the edge list (distinct customer–part purchase
+  * pairs, weighted by order count) builds ONCE behind a Barrier;
+  * each of the 2·k half-steps is one shuffle join + one map-side
+  * combinable aggregate + a 1-row normalization broadcast. Top-10s
+  * are TakeOrdered; row numbering is post-limit.
+  */
+object Hits {
+
+  private val Scale = 1000000000000L
+  private val Iters = 3
+
+  /** Weighted bipartite purchase edges (c, p, w). */
+  private[graph] def purchaseEdges(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey".as("o_orderkey"), $"l_partkey"), "o_orderkey")
+      .groupBy($"o_custkey".as("c"), $"l_partkey".as("p"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** (hubs(c, h), auths(p, a)) after `iters` normalized rounds — the
+    * testable core.
+    */
+  private[graph] def hits(edges0: DataFrame, iters: Int = Iters)
+      : (DataFrame, DataFrame) = {
+    val s = edges0.sparkSession
+    import s.implicits._
+    val e = graft.Barrier(edges0)
+    // rescale via decimal: raw half-step scores reach ~10¹⁵, and a
+    // long product with the 10¹² scale would overflow; IntegralDivide
+    // on decimals returns an exact long (positive ⇒ trunc ≡ floor)
+    def normalize(df: DataFrame, col: String): DataFrame = {
+      val t = df.agg(
+        sum(org.apache.spark.sql.functions.col(col).cast("decimal(38,0)")).as("t"))
+      df.crossJoin(broadcast(t))
+        .select(df.columns.filter(_ != col).map(org.apache.spark.sql.functions.col) :+
+          expr(s"(cast($col as decimal(38,0)) * $Scale) div t").as(col): _*)
+    }
+    var hubs = normalize(
+      e.groupBy($"c").agg(sum($"w").as("h")), "h")
+    var auths: DataFrame = null
+    (1 to iters).foreach { _ =>
+      auths = normalize(
+        e.join(hubs, "c").groupBy($"p").agg(sum($"w" * $"h").as("a")), "a")
+      hubs = normalize(
+        e.join(auths, "p").groupBy($"c").agg(sum($"w" * $"a").as("h")), "h")
+    }
+    (hubs, auths)
+  }
+
+  /** q182 — top-10 authorities and hubs, one stacked ledger. */
+  val q182 = Q(
+    "q182_hits_scores",
+    (s, dir) => {
+      import s.implicits._
+      val (hubs, auths) = hits(purchaseEdges(s, dir))
+      def top(df: DataFrame, kind: String, key: String, score: String) = {
+        val t = df.orderBy(col(score).desc, col(key)).limit(10)
+        t.withColumn("pos",
+            row_number().over(Window.orderBy(col(score).desc, col(key))))
+          .select(lit(kind).as("kind"), col(key).cast("long").as("node_key"),
+            col(score).as("score"), $"pos")
+      }
+      top(auths, "authority", "p", "a")
+        .unionByName(top(hubs, "hub", "c", "h"))
+        .orderBy($"kind", $"pos")
+    },
+    Some {
+      def norm(src: String, col: String): String =
+        s"SELECT * REPLACE (CAST((CAST($col AS HUGEINT) * $Scale) // " +
+          s"(SELECT CAST(SUM($col) AS HUGEINT) FROM $src) AS BIGINT) AS $col) FROM $src"
+      val sb = new StringBuilder
+      sb ++= s"""WITH e AS MATERIALIZED (
+        |  SELECT o.o_custkey AS c, l.l_partkey AS p, COUNT(*) AS w
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |h0r AS MATERIALIZED (SELECT c, CAST(SUM(w) AS BIGINT) AS h FROM e GROUP BY 1),
+        |h0 AS MATERIALIZED (${norm("h0r", "h")})""".stripMargin
+      for (i <- 1 to Iters) {
+        sb ++= s""",
+        |a${i}r AS MATERIALIZED (
+        |  SELECT e.p, CAST(SUM(e.w * h.h) AS BIGINT) AS a
+        |  FROM e JOIN h${i - 1} h ON h.c = e.c GROUP BY 1),
+        |a$i AS MATERIALIZED (${norm(s"a${i}r", "a")}),
+        |h${i}r AS MATERIALIZED (
+        |  SELECT e.c, CAST(SUM(e.w * a.a) AS BIGINT) AS h
+        |  FROM e JOIN a$i a ON a.p = e.p GROUP BY 1),
+        |h$i AS MATERIALIZED (${norm(s"h${i}r", "h")})""".stripMargin
+      }
+      sb ++= s"""
+        |, ta AS (SELECT * FROM a$Iters ORDER BY a DESC, p LIMIT 10),
+        |th AS (SELECT * FROM h$Iters ORDER BY h DESC, c LIMIT 10)
+        |SELECT * FROM (
+        |  SELECT 'authority' AS kind, p AS node_key, a AS score,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY a DESC, p) AS INT) AS pos
+        |  FROM ta
+        |  UNION ALL
+        |  SELECT 'hub', c, h,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY h DESC, c) AS INT)
+        |  FROM th)
+        |ORDER BY kind, pos""".stripMargin
+      sb.toString
+    },
+    doc = "graph: HITS hubs/authorities over the bipartite purchase graph — integer sum-normalized mutual recursion")
+
+  val all: Seq[Q] = Seq(q182)
+}

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 181 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 181)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 181)
+  test("registry has 182 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 182)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 182)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
