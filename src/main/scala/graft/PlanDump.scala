@@ -15,6 +15,8 @@ object PlanDump {
       "Corpus collapses to per-duration (events, total) in one map-side-combinable aggregate; the at-risk reverse-cumsum and KM prefix windows run on a CALENDAR-bounded frame (<= max follow-up days) the corpus cannot grow; study end rides a 1-row broadcast.",
     "q155_confusable_names" ->
       "Quadratic Jaro-Winkler pass runs on the deduped NAME DICTIONARY (vocabulary-bounded), never the catalog; the kernel is a codegen'd Catalyst expression — no UDF serialization boundary in the pair loop.",
+    "q182_hits_scores" ->
+      "Edge list Barrier'd once; each HITS half-step is one shuffle join + aggregate + 1-row normalization broadcast, localCheckpointed — iteration CUTS the logical plan (the componentLabels stance), or Catalyst/AQE re-analysis compounds across rounds (measured 103s uncut vs 2.9s).",
     "q170_spearman_ranks" ->
       "Per-part aggregate built ONCE behind a Barrier (the count_distinct expand is the expensive pass), then two DistributedRank range-sort passes and a part-key join — no one-task windows.",
     "q171_packing_curve" ->
