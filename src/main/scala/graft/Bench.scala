@@ -132,7 +132,8 @@ object Bench {
     "q179_image_dhash_neardup",
     "q180_chi_square",
     "q181_homoglyph_audit",
-    "q182_hits_scores")
+    "q182_hits_scores",
+    "q183_leadtime_sla")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

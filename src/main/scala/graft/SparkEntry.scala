@@ -46,6 +46,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - multimodal.ImageDedup   q179  banded dHash image near-dup (spec-verified)
   *   - text.Homoglyph          q181  mixed-script homoglyph audit
   *   - graph.Hits              q182  HITS hubs/authorities (bipartite purchase graph)
+  *   - operators.LeadTime      q183  order-to-ship SLA type-1 percentiles
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -105,7 +106,8 @@ object SparkEntry {
     operators.FdMining.all ++
     multimodal.ImageDedup.all ++
     text.Homoglyph.all ++
-    graph.Hits.all
+    graph.Hits.all ++
+    operators.LeadTime.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

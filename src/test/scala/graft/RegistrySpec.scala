@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 182 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 182)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 182)
+  test("registry has 183 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 183)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 183)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
