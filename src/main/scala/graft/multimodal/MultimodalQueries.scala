@@ -211,11 +211,18 @@ object MultimodalQueries {
   /** q128 — REAL codec round-trip in the registry: render one
     * deterministic PNG per sampled doc in-engine (the testdata has no
     * physical media column), decode through [[imageFeatures]], and
-    * aggregate per source. No SQL oracle — DuckDB cannot decode PNG —
-    * so the driver records the weaker rows-only check; the exact-value
-    * verification lives in `ImageDecodeSpec` (decode-vs-rendered-
-    * pattern equality, PNG and JPEG fixtures, corrupt-payload
-    * fallback).
+    * aggregate per source.
+    *
+    * ORACLE-CHECKED since round 7 via the q133 closed-form stance:
+    * DuckDB cannot decode PNG, but it does not have to — PNG is
+    * LOSSLESS, so the decoded pixels equal the rendered
+    * [[syntheticPng]] gradient, whose per-pixel integer luma
+    * `(299·r + 587·g + 114·b) div 1000` is a pure arithmetic function
+    * of (doc_id, x, y) the oracle computes with generate_series.
+    * Hash-equality therefore certifies the full byte-level PNG encode
+    * → ImageIO decode → pixel-walk roundtrip (any codec or color-model
+    * drift would shift total_luma). `ImageDecodeSpec` keeps the
+    * pixel-exact unit view (PNG and JPEG fixtures, corrupt fallback).
     *
     * Scale shape: encode and decode fuse into one mapPartitions stage
     * over the sampled frame (no shuffle between them); the only
@@ -243,8 +250,36 @@ object MultimodalQueries {
           sum($"resized_luma_sum").as("total_resized_luma"))
         .orderBy($"source")
     },
-    None,
-    doc = "multimodal: real JDK imageio decode round-trip (synthetic PNGs → width/height/luma stats), rows-only check + ImageDecodeSpec exactness")
+    Some("""WITH docs200 AS (
+      |  SELECT doc_id, source FROM documents ORDER BY doc_id LIMIT 200),
+      |imgs AS (
+      |  SELECT doc_id, source, 8 + doc_id % 16 AS side FROM docs200),
+      |ys AS (
+      |  SELECT doc_id, source, side,
+      |         UNNEST(generate_series(0, CAST(side - 1 AS INT))) AS y
+      |  FROM imgs),
+      |px AS (
+      |  SELECT doc_id, source, side, y,
+      |         UNNEST(generate_series(0, CAST(side - 1 AS INT))) AS x
+      |  FROM ys),
+      |lum AS (
+      |  SELECT doc_id, source, x, y,
+      |         (299 * ((doc_id + x) % 256)
+      |          + 587 * ((doc_id // 7 + y) % 256)
+      |          + 114 * ((doc_id // 31 + x + y) % 256)) // 1000 AS l
+      |  FROM px),
+      |per AS (
+      |  SELECT doc_id, source, SUM(l) AS luma,
+      |         SUM(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN l ELSE 0 END) AS rl
+      |  FROM lum GROUP BY 1, 2)
+      |SELECT i.source, COUNT(*) AS n_images,
+      |       CAST(COUNT(*) AS BIGINT) AS n_decoded,
+      |       CAST(SUM(i.side * i.side) AS BIGINT) AS total_pixels,
+      |       CAST(SUM(p.luma) AS BIGINT) AS total_luma,
+      |       CAST(SUM(p.rl) AS BIGINT) AS total_resized_luma
+      |FROM imgs i JOIN per p USING (doc_id)
+      |GROUP BY i.source ORDER BY i.source""".stripMargin),
+    doc = "multimodal: real JDK imageio decode round-trip (synthetic PNGs → width/height/luma stats), oracle-checked closed form (lossless PNG ⇒ decoded pixels = rendered gradient)")
 
   /** One sampled frame of a media payload. */
   final case class Frame(

@@ -16,11 +16,13 @@ class RegistrySpec extends SparkSpec {
     * carries its exact-value verification instead (the driver then
     * records its documented weaker rows-only check). Additions need a
     * named spec — rows-only without one is not verification.
+    *
+    * EMPTY since round 7: the last two exemptions (q128 image decode,
+    * q179 dHash near-dup) flipped to oracle-checked via closed-form
+    * renderable fixtures — lossless PNG means the decoded pixels equal
+    * the rendered pattern, which DuckDB regenerates arithmetically.
     */
-  val oracleExempt: Map[String, String] = Map(
-    "q128_image_decode" -> "ImageDecodeSpec", // DuckDB cannot decode PNG
-    "q179_image_dhash_neardup" -> "ImageDedupSpec" // same: PNG decode in-engine
-  )
+  val oracleExempt: Map[String, String] = Map.empty
 
   test("every query has a DuckDB oracle or a named spec-verified exemption") {
     val missing = SparkEntry.registry
