@@ -24,6 +24,18 @@ import org.apache.spark.storage.StorageLevel
   *    the ContextCleaner when the frame is collected (no
   *    session-lifetime CacheManager entry), at the availability cost
   *    documented in [[operators.DistributedRank.withPrefixSum]];
+  *  - `RELIABLE_CHECKPOINT` → eager `df.checkpoint()` to the
+  *    fault-tolerant directory named by `spark.graft.checkpointDir`
+  *    (HDFS/S3 on a cluster). localCheckpoint blocks live on executor
+  *    local disks — one lost executor invalidates them and the lineage
+  *    was CUT, so a multi-hour 100 TB iterative job (HITS, PageRank,
+  *    label propagation) restarts from zero; a reliable checkpoint
+  *    survives executor loss at the cost of one distributed write +
+  *    read per barrier. Checkpoint files are reclaimed by the
+  *    ContextCleaner only when
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true`;
+  *    otherwise clean the directory per job (document of record:
+  *    SPARK-8582's eager-checkpoint semantics);
   *  - `NONE` → no barrier: identical results, upstream recomputed per
   *    consumer (including the CollapseProject inlining cost) — the
   *    right trade when the intermediate is wider than the recompute.
@@ -39,6 +51,7 @@ import org.apache.spark.storage.StorageLevel
 object Barrier {
 
   val ConfKey = "spark.graft.barrierStorage"
+  val CheckpointDirKey = "spark.graft.checkpointDir"
 
   // WEAK keys: a session that was released (empty queue, no DataFrame
   // value referencing it) must be collectable — a strong-keyed map
@@ -60,6 +73,7 @@ object Barrier {
     spark.conf.get(ConfKey, "MEMORY_AND_DISK").trim.toUpperCase match {
       case "NONE" => df
       case "LOCAL_CHECKPOINT" => df.localCheckpoint()
+      case "RELIABLE_CHECKPOINT" => reliableCheckpoint(df)
       case level =>
         val p = df.persist(StorageLevel.fromString(level))
         registry.computeIfAbsent(spark,
@@ -67,6 +81,45 @@ object Barrier {
           .add(p)
         p
     }
+  }
+
+  /** Lineage CUT for iterative algorithms (HITS, PageRank, label
+    * propagation, BPE training): the per-round result MUST be
+    * materialized with its logical plan truncated — a `cache()` leaves
+    * the full round-deep tree for Catalyst/AQE to re-analyze per
+    * action and planning cost compounds quadratically across rounds
+    * (q182 measured 103 s uncut / 21 s cached / 2.9 s checkpointed at
+    * sf0.1), and `NONE` would recompute every previous round per
+    * consumer. So unlike [[apply]], `cut` ALWAYS checkpoints; the only
+    * strategy question is WHERE the frozen blocks live:
+    * `RELIABLE_CHECKPOINT` → fault-tolerant `df.checkpoint()` (a
+    * multi-hour run survives executor loss), anything else → eager
+    * `localCheckpoint()` (fastest; blocks die with their executor).
+    */
+  def cut(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "MEMORY_AND_DISK")
+        .trim.toUpperCase match {
+      case "RELIABLE_CHECKPOINT" => reliableCheckpoint(df)
+      case _ => df.localCheckpoint()
+    }
+
+  /** Eager fault-tolerant checkpoint; wires the SparkContext
+    * checkpoint dir from `spark.graft.checkpointDir` on first use.
+    * Fails loudly when neither is set — silently falling back to
+    * localCheckpoint would hand a cluster job the exact availability
+    * hazard the caller opted out of.
+    */
+  private def reliableCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir = df.sparkSession.conf.getOption(CheckpointDirKey).getOrElse(
+        throw new IllegalStateException(
+          s"$ConfKey=RELIABLE_CHECKPOINT requires $CheckpointDirKey " +
+            "(a fault-tolerant path every executor can reach, e.g. " +
+            "hdfs://…/checkpoints or s3://…/checkpoints)"))
+      sc.setCheckpointDir(dir)
+    }
+    df.checkpoint()
   }
 
   /** Unpersist every barrier registered in `spark` since the last

@@ -80,15 +80,22 @@ object GraphQueries {
       .select($"p", expr(s"$Scale div nv").as("r"))
     (1 to iters).foldLeft(r0) { (r, _) =>
       // unqualified condition: "src"/"p" each exist on exactly one
-      // side, sidestepping dataset-id ambiguity (r's lineage contains
-      // ew from the previous iteration)
-      ew.join(r, $"src" === $"p")
-        .select($"dst", expr("(r div wout) * w").as("contrib"))
-        .groupBy($"dst").agg(sum($"contrib").as("m"))
-        .crossJoin(broadcast(nDf))
-        .select($"dst".as("p"),
-          (expr(s"(15 * $Scale) div (100 * nv)") +
-           expr("(85 * m) div 100")).as("r"))
+      // side, sidestepping dataset-id ambiguity.
+      // Barrier.cut per round (the q182/Hits discipline): without the
+      // per-iteration lineage cut the foldLeft stacks every round's
+      // join+agg into ONE logical plan and Catalyst/AQE re-analysis
+      // compounds quadratically with the iteration count — fine at 3
+      // rounds, pathological at 10+ (q182 measured 103 s uncut vs
+      // 2.9 s checkpointed). The rank frame is vertex-sized, so the
+      // checkpoint is cheap at any corpus scale.
+      graft.Barrier.cut(
+        ew.join(r, $"src" === $"p")
+          .select($"dst", expr("(r div wout) * w").as("contrib"))
+          .groupBy($"dst").agg(sum($"contrib").as("m"))
+          .crossJoin(broadcast(nDf))
+          .select($"dst".as("p"),
+            (expr(s"(15 * $Scale) div (100 * nv)") +
+             expr("(85 * m) div 100")).as("r")))
     }
   }
 

@@ -53,14 +53,16 @@ object Hits {
     // rescale via decimal: raw half-step scores reach ~10¹⁵, and a
     // long product with the 10¹² scale would overflow; IntegralDivide
     // on decimals returns an exact long (positive ⇒ trunc ≡ floor).
-    // localCheckpoint, NOT cache, per half-step: iteration must CUT
-    // the logical plan (the componentLabels stance) — a cache leaves
-    // the full round-deep tree for Catalyst/AQE to re-analyze per
-    // action, and planning cost compounds across rounds (measured
+    // Barrier.cut (checkpoint, NOT cache) per half-step: iteration
+    // must CUT the logical plan (the componentLabels stance) — a cache
+    // leaves the full round-deep tree for Catalyst/AQE to re-analyze
+    // per action, and planning cost compounds across rounds (measured
     // 103 s uncut / 21 s cached / 2.9 s checkpointed at sf0.1). The
-    // frame is score-entity-sized, so the checkpoint is cheap.
+    // frame is score-entity-sized, so the checkpoint is cheap — and
+    // under RELIABLE_CHECKPOINT it survives executor loss on a
+    // multi-hour cluster run.
     def normalize(df0: DataFrame, col: String): DataFrame = {
-      val df = df0.localCheckpoint()
+      val df = graft.Barrier.cut(df0)
       val t = df.agg(
         sum(org.apache.spark.sql.functions.col(col).cast("decimal(38,0)")).as("t"))
       df.crossJoin(broadcast(t))

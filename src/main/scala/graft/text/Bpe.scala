@@ -78,7 +78,11 @@ object Bpe {
   def train(vocab: DataFrame, nMerges: Int): Seq[Step] = {
     val s = vocab.sparkSession
     import s.implicits._
-    var v = vocab.select(charSyms($"w").as("syms"), $"c").localCheckpoint()
+    // Barrier.cut per round (not raw localCheckpoint): the k-round
+    // merge loop must truncate lineage each round, and under
+    // RELIABLE_CHECKPOINT the vocab-dict state survives executor loss
+    // (it is tiny — |vocab| rows — so the reliable write is cheap).
+    var v = graft.Barrier.cut(vocab.select(charSyms($"w").as("syms"), $"c"))
     val steps = scala.collection.mutable.ArrayBuffer[Step]()
     var done = false
     var rank = 1
@@ -95,8 +99,8 @@ object Bpe {
       else {
         val (a, b, n) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        v = v.select(mergeOnce($"syms", a, b).as("syms"), $"c")
-          .localCheckpoint()
+        v = graft.Barrier.cut(
+          v.select(mergeOnce($"syms", a, b).as("syms"), $"c"))
         val toks = v.agg(coalesce(sum($"c" * size($"syms")), lit(0L)))
           .head().getLong(0)
         steps += Step(rank, a, b, n, toks)

@@ -919,21 +919,23 @@ object TextQueries {
                                      maxRounds: Int = 64): DataFrame = {
     val s = edges.sparkSession
     import s.implicits._
-    val nodes = edges
-      .select(explode(array($"doc_a", $"doc_b")).as("node")).distinct()
-      .localCheckpoint()
+    // graft.Barrier.cut for every per-round materialization below:
+    // localCheckpoint by default, an HDFS/S3 checkpoint under
+    // RELIABLE_CHECKPOINT so an hour-long propagation survives
+    // executor loss (the blocks ARE the algorithm state — lineage was
+    // deliberately cut, so losing them means restarting from zero).
+    val nodes = graft.Barrier.cut(edges
+      .select(explode(array($"doc_a", $"doc_b")).as("node")).distinct())
     // Symmetric closure + a self-loop per node, checkpointed ONCE: the
     // self-loop makes "keep your own label" part of the join itself, so
     // the per-round plan is join+groupBy with no label-frame union
     // (unions of label frames re-enter Catalyst's Union constraint
     // rewrite every round and recompute the edge union besides).
-    val sym = edges.select($"doc_a", $"doc_b")
+    val sym = graft.Barrier.cut(edges.select($"doc_a", $"doc_b")
       .unionByName(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .unionByName(nodes.select($"node".as("doc_a"), $"node".as("doc_b")))
-      .localCheckpoint()
-    var labels = nodes
-      .withColumn("lab", $"node")
-      .localCheckpoint()
+      .unionByName(nodes.select($"node".as("doc_a"), $"node".as("doc_b"))))
+    var labels = graft.Barrier.cut(nodes
+      .withColumn("lab", $"node"))
     // Convergence via the EXACT label-sum: labels are monotone (only
     // ever decrease), so "any node changed" ⟺ "the total strictly
     // decreased" — one tiny columnar aggregate over the
@@ -954,10 +956,10 @@ object TextQueries {
       // Checkpoint the propagate result BEFORE the shortcut self-join:
       // the jump plan reads prop twice, so an unmaterialized prop would
       // run the propagate shuffle twice per round.
-      val prop = labels.join(sym, labels("node") === sym("doc_a"))
-        .select($"doc_b".as("node"), $"lab")
-        .groupBy($"node").agg(min($"lab").as("lab"))
-        .localCheckpoint()
+      val prop = graft.Barrier.cut(
+        labels.join(sym, labels("node") === sym("doc_a"))
+          .select($"doc_b".as("node"), $"lab")
+          .groupBy($"node").agg(min($"lab").as("lab")))
       // ADAPTIVE SHORTCUT: follow the label one hop through itself —
       // but only from round 3 on. Real near-dup components are mostly
       // shallow (diameter ≤ 3 converges in ≤ 3 plain rounds), and for
@@ -970,11 +972,10 @@ object TextQueries {
       // whether or not a given round jumps.
       val next =
         if (rounds < 3) prop
-        else prop.as("a")
+        else graft.Barrier.cut(prop.as("a")
           .join(prop.select($"node".as("j_node"), $"lab".as("j_lab")),
             $"a.lab" === $"j_node")
-          .select($"a.node".as("node"), $"j_lab".as("lab"))
-          .localCheckpoint()
+          .select($"a.node".as("node"), $"j_lab".as("lab")))
       val s = labSum(next)
       changed = s.compareTo(prevSum) < 0
       prevSum = s

@@ -24,12 +24,65 @@ class BarrierSpec extends SparkSpec {
     }
     try {
       val base = runAll("MEMORY_AND_DISK")
-      Seq("DISK_ONLY", "LOCAL_CHECKPOINT", "NONE").foreach { m =>
-        assert(runAll(m) === base, s"strategy $m diverged")
-      }
+      spark.conf.set(Barrier.CheckpointDirKey,
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      Seq("DISK_ONLY", "LOCAL_CHECKPOINT", "RELIABLE_CHECKPOINT", "NONE")
+        .foreach { m =>
+          assert(runAll(m) === base, s"strategy $m diverged")
+        }
     } finally prev match {
       case Some(v) => spark.conf.set(Barrier.ConfKey, v)
       case None => spark.conf.unset(Barrier.ConfKey)
+    }
+  }
+
+  test("RELIABLE_CHECKPOINT cut writes fault-tolerant checkpoint files") {
+    import spark.implicits._
+    val prev = spark.conf.getOption(Barrier.ConfKey)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cut")
+    val prevScDir = spark.sparkContext.getCheckpointDir
+    try {
+      spark.sparkContext.setCheckpointDir(null) // force re-wiring from conf
+      spark.conf.set(Barrier.ConfKey, "RELIABLE_CHECKPOINT")
+      spark.conf.set(Barrier.CheckpointDirKey, dir.toString)
+      val df = Barrier.cut(Seq(1, 2, 3).toDF("x")
+        .withColumn("y", $"x" * 2))
+      assert(df.collect().map(_.getInt(1)).sorted.toSeq == Seq(2, 4, 6))
+      // the plan was cut to a scan of the checkpointed RDD…
+      assert(df.queryExecution.analyzed.collectLeaves().size == 1)
+      // …whose blocks live in the REAL checkpoint dir, not executor
+      // memory: reliable-checkpoint files exist under the conf'd path
+      def files(p: java.io.File): Seq[java.io.File] =
+        Option(p.listFiles).toSeq.flatten
+          .flatMap(f => if (f.isDirectory) files(f) else Seq(f))
+      assert(files(dir.toFile).nonEmpty, "no checkpoint files written")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(Barrier.ConfKey, v)
+        case None => spark.conf.unset(Barrier.ConfKey)
+      }
+      spark.sparkContext.setCheckpointDir(prevScDir.orNull)
+    }
+  }
+
+  test("RELIABLE_CHECKPOINT without a checkpoint dir fails loudly") {
+    import spark.implicits._
+    val prev = spark.conf.getOption(Barrier.ConfKey)
+    val prevScDir = spark.sparkContext.getCheckpointDir
+    try {
+      spark.sparkContext.setCheckpointDir(null)
+      spark.conf.set(Barrier.ConfKey, "RELIABLE_CHECKPOINT")
+      spark.conf.unset(Barrier.CheckpointDirKey)
+      val e = intercept[IllegalStateException] {
+        Barrier.cut(Seq(1).toDF("x"))
+      }
+      assert(e.getMessage.contains(Barrier.CheckpointDirKey))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(Barrier.ConfKey, v)
+        case None => spark.conf.unset(Barrier.ConfKey)
+      }
+      spark.sparkContext.setCheckpointDir(prevScDir.orNull)
     }
   }
 

@@ -55,6 +55,23 @@ class GraphQueriesSpec extends SparkSpec {
     assert(total > 0 && total <= Scale)
   }
 
+  test("pageRank cuts lineage per iteration: plan size constant in iters") {
+    val baskets = Seq[(Long, Long)]((1, 1), (1, 2), (2, 2), (2, 3))
+    def planNodes(iters: Int): Int =
+      GraphQueries.pageRank(lpDf(baskets), iters = iters)
+        .queryExecution.analyzed.collect { case p => p }.size
+    val d2 = planNodes(2)
+    val d10 = planNodes(10)
+    // Barrier.cut per round: the returned frame always reads ONE
+    // checkpointed RDD, so the analyzed plan cannot grow with the
+    // iteration count (the q182 quadratic re-analysis hazard)
+    assert(d10 == d2, s"plan grew with iterations: $d2 -> $d10 nodes")
+    // and the deep run still matches the reference loop exactly
+    val got = GraphQueries.pageRank(lpDf(baskets), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refPageRank(baskets, 10))
+  }
+
   test("frequentPairs: A-Priori prune keeps exactly the above-average-support items' pairs") {
     // items 1,2 in 3 baskets each (frequent); 3,4 in 1 each (pruned):
     // avg support = (3+3+1+1)/4 = 2
