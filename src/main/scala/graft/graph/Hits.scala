@@ -99,6 +99,12 @@ object Hits {
         .orderBy($"kind", $"pos")
     },
     Some {
+      // Unroll ceiling (the Bpe.roundsCte guard, same rationale): the
+      // oracle chains 4 MATERIALIZED CTEs per HITS round; a careless
+      // Iters bump must fail at build time, not time DuckDB out.
+      require(Iters <= 8,
+        s"q182 oracle unrolls $Iters HITS rounds as MATERIALIZED CTEs; " +
+          "ceiling is 8 — re-measure DuckDB wall time before raising")
       def norm(src: String, col: String): String =
         s"SELECT * REPLACE (CAST((CAST($col AS HUGEINT) * $Scale) // " +
           s"(SELECT CAST(SUM($col) AS HUGEINT) FROM $src) AS BIGINT) AS $col) FROM $src"

@@ -157,6 +157,9 @@ object Bpe {
     */
   val K = 8
 
+  /** Hard ceiling on oracle-side CTE unrolling — see [[roundsCte]]. */
+  val MaxUnrollK = 16
+
   val q127 = Q(
     "q127_bpe_train",
     (s, dir) => {
@@ -179,6 +182,15 @@ object Bpe {
     * fertility join) can use the final dict per word.
     */
   private[text] def roundsCte(k: Int): String = {
+    // Documented unroll ceiling (the q127/q182 oracle pattern): each
+    // round is a MATERIALIZED CTE triple, and DuckDB plans the whole
+    // unrolled chain at once — fine at K=8 (~7 KB SQL, sub-second),
+    // but the cost is superlinear in K and a careless iteration bump
+    // would time the oracle out instead of failing fast. Raising the
+    // ceiling means re-measuring DuckDB wall time first.
+    require(k <= MaxUnrollK,
+      s"oracle unrolls $k rounds as MATERIALIZED CTEs; ceiling is " +
+        s"$MaxUnrollK — re-measure DuckDB planning/run time before raising")
     val sb = new StringBuilder
     sb ++=
       """WITH v0 AS MATERIALIZED (

@@ -35,6 +35,25 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("oracle SQL stays under the generated-length ceiling") {
+    // Guard for the unrolled-CTE oracle pattern (q127/q162/q182):
+    // generated SQL grows with the iteration constant, and DuckDB's
+    // planning cost on a MATERIALIZED-CTE chain is superlinear — a
+    // careless K bump should fail here, loudly, not time out the
+    // driver's oracle run. Current max is ~7.3 KB (q127 at K=8); the
+    // ceiling allows 2× headroom.
+    val ceiling = 16000
+    val over = SparkEntry.registry
+      .filter(_.oracle.exists(_.length > ceiling))
+      .map(q => s"${q.name} (${q.oracle.get.length} chars)")
+    assert(over.isEmpty,
+      s"oracles past the $ceiling-char ceiling — re-measure DuckDB before raising: $over")
+  }
+
+  test("bench headline set covers the whole registry (no perf-untracked entries)") {
+    assert(Bench.headline.toSet == SparkEntry.registry.map(_.name).toSet)
+  }
+
   test("oracle SQL never references current date/time (determinism ban)") {
     val offenders = SparkEntry.registry.collect {
       case q if q.oracle.exists(sql =>
