@@ -141,4 +141,55 @@ object CorpusIngestJob {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** File-source stream of media batches (opaque binary payload +
+    * typed metadata — the multimodal-column convention), schema
+    * pinned.
+    */
+  def readMediaStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema("doc_id long, source string, payload binary")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** The media-column twin of [[run]]: per-batch perceptual dedup
+    * against the persisted [[graft.etl.MediaBandIndex]] (dHash band
+    * join + Hamming verify reading the bucketed tables only), kept
+    * payloads appended to the curated sink and their hashes to the
+    * index. Same serialized-batch ordering (batch N+1 classifies
+    * against batch N's kept images) and the same replay-safety walk:
+    * the sink write is per-batch-partitioned dynamic OVERWRITE and
+    * happens BEFORE the index append, and a replayed already-appended
+    * image classifies as a dup of itself, emptying the retried kept
+    * slice (see [[graft.etl.MediaBandIndex.dedupBatch]]).
+    *
+    * Undecodable payloads are neither sunk nor indexed here — the
+    * curated corpus is the de-facto decodable set; route the
+    * `undecodable` flags to a quarantine sink if they need retention.
+    */
+  def runMedia(spark: SparkSession, srcDir: String, indexName: String,
+               indexPath: String, outDir: String, checkpointDir: String,
+               buckets: Int = 16,
+               maxFilesPerTrigger: Int = 1): StreamingQuery =
+    readMediaStream(spark, srcDir, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the one-session rule — see [[run]]'s rationale
+        val ss = batch.sparkSession
+        val flags = graft.etl.MediaBandIndex
+          .dedupBatch(ss, batch, indexName).localCheckpoint()
+        BandIndex.keptOf(batch, flags)
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(outDir)
+        graft.etl.MediaBandIndex.append(ss,
+          BandIndex.keptOf(batch, flags), indexName, indexPath, buckets)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

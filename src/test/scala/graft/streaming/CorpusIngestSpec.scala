@@ -71,6 +71,48 @@ class CorpusIngestSpec extends SparkSpec {
     assert(spark.table(BandIndex.docsTable(name)).count() === 5)
   }
 
+  test("media stream: cross-batch dHash dedup through the persisted media index") {
+    import graft.etl.MediaBandIndex
+    import graft.multimodal.ImageDedup
+    val name = "midx_stream"
+    Seq(MediaBandIndex.docsTable(name), MediaBandIndex.bandsTable(name))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val root = java.nio.file.Files.createTempDirectory("graft-mingest")
+    val (srcDir, indexPath, outDir, ckpt) =
+      (root.resolve("src"), root.resolve("idx"), root.resolve("out"), root.resolve("ckpt"))
+    java.nio.file.Files.createDirectories(srcDir)
+
+    def mediaDf(rows: (Long, Array[Byte])*) =
+      rows.toSeq.toDF("doc_id", "payload")
+        .withColumn("source", org.apache.spark.sql.functions.lit("crawl"))
+        .select("doc_id", "source", "payload")
+
+    // seed index: image 1
+    MediaBandIndex.create(spark, mediaDf(1L -> ImageDedup.patternPng(1)),
+      name, indexPath.toString, buckets = 4)
+    // batch A: 10 = twin of indexed 1; 11 = fresh seed-40
+    mediaDf(10L -> ImageDedup.patternPng(1, flip = 1),
+            11L -> ImageDedup.patternPng(40))
+      .coalesce(1).write.parquet(s"$srcDir/a")
+    // batch B: 20 = twin of 11 (kept only in batch A!); 21 = fresh
+    mediaDf(20L -> ImageDedup.patternPng(40, flip = 1),
+            21L -> ImageDedup.patternPng(41))
+      .coalesce(1).write.parquet(s"$srcDir/b")
+
+    val q = CorpusIngestJob.runMedia(spark, s"$srcDir/*", name,
+      indexPath.toString, outDir.toString, ckpt.toString, buckets = 4)
+    q.awaitTermination()
+
+    val kept = spark.read.parquet(outDir.toString)
+      .select($"doc_id").as[Long].collect().toSet
+    // 20 near-dups batch-A's kept 11 — only rejectable if A's index
+    // append landed before B classified
+    assert(kept === Set(11L, 21L))
+    spark.catalog.refreshTable(MediaBandIndex.docsTable(name))
+    assert(spark.table(MediaBandIndex.docsTable(name))
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 11L, 21L))
+  }
+
   test("a queued takedown erases at the next batch boundary; its re-crawl classifies kept") {
     val name = "cidx_takedown"
     Seq(BandIndex.docsTable(name), BandIndex.bandsTable(name),
