@@ -47,6 +47,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - text.Homoglyph          q181  mixed-script homoglyph audit
   *   - graph.Hits              q182  HITS hubs/authorities (bipartite purchase graph)
   *   - operators.LeadTime      q183  order-to-ship SLA type-1 percentiles
+  *   - operators.Hierarchy     q184  iterative ancestor-closure traversal + subtree rollups
+  *   - graph.Bfs               q185  bounded BFS hop rings over the strong co-purchase graph
+  *   - text.QualityBuckets     q186  CCNet-style per-source head/middle/tail terciles
+  *   - operators.CubeAgg       q187  explicit GROUPING SETS margins (with q165)
+  *   - similarity.Pq           q188  product-quantization ANN (ADC scan + exact rerank)
+  *   - security.SecurityQueries q189  t-closeness ordinal-EMD audit (with q82, q132)
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -107,7 +113,11 @@ object SparkEntry {
     multimodal.ImageDedup.all ++
     text.Homoglyph.all ++
     graph.Hits.all ++
-    operators.LeadTime.all
+    operators.LeadTime.all ++
+    operators.Hierarchy.all ++
+    graph.Bfs.all ++
+    text.QualityBuckets.all ++
+    similarity.Pq.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -46,5 +46,43 @@ object CubeAgg {
       |ORDER BY gid, returnflag, linestatus""".stripMargin),
     doc = "OLAP: CUBE all-margins aggregate with engine-matched grouping ids (completes ROLLUP/PIVOT/UNPIVOT)")
 
-  val all: Seq[Q] = Seq(q165)
+  /** q187 — explicit GROUPING SETS: the general form CUBE/ROLLUP are
+    * shorthands of, for when the report wants a HAND-PICKED margin
+    * list (here: segment×priority detail, each single-axis margin,
+    * and the grand total — exactly CUBE's sets for 2 columns, but
+    * declared explicitly through the grouping-sets API so the operator
+    * under test is the arbitrary-set expansion, on a JOIN input
+    * rather than a bare scan). Same Expand-operator scale shape as
+    * CUBE: one pass, each row feeding only its declared sets.
+    */
+  val q187 = Q(
+    "q187_grouping_sets",
+    (s, dir) => {
+      import s.implicits._
+      val oc = Tables.maybeBroadcast(Tables.load(s, dir, "customer"))
+        .join(Tables.load(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+      oc.groupingSets(
+          Seq(Seq($"c_mktsegment", $"o_orderpriority"),
+            Seq($"c_mktsegment"), Seq($"o_orderpriority"), Seq()),
+          $"c_mktsegment", $"o_orderpriority")
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          graft.Q.sumMoney($"o_totalprice").as("revenue"))
+        .select(coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"gid", $"n", $"revenue")
+        .orderBy($"gid", $"segment", $"priority")
+    },
+    Some(s"""SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+      |       COALESCE(o_orderpriority, 'ALL') AS priority,
+      |       CAST(GROUPING(c_mktsegment, o_orderpriority) AS INT) AS gid,
+      |       COUNT(*) AS n,
+      |       ${graft.Q.oSum("o_totalprice")} AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+      |                        (c_mktsegment), (o_orderpriority), ())
+      |ORDER BY gid, segment, priority""".stripMargin),
+    doc = "OLAP: explicit GROUPING SETS margins over a star join (the general form behind CUBE/ROLLUP)")
+
+  val all: Seq[Q] = Seq(q165, q187)
 }

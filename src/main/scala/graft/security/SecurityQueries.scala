@@ -134,5 +134,82 @@ object SecurityQueries {
       |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     doc = "privacy: k-anonymity class sizes + l-diversity floor over quasi-identifiers (nation, segment, order year)")
 
-  val all: Seq[Q] = Seq(q82, q132)
+  /** q189 — t-closeness audit (Li, Li & Venkatasubramanian 2007), the
+    * third rung of the release-safety ladder after q132's k-anonymity
+    * and l-diversity: a class can be large (k-safe) and show every
+    * sensitive value (l-safe) yet still LEAK by skew — 95% '1-URGENT'
+    * in one (nation, segment) class against a uniform global base
+    * rate tells an attacker the sensitive value with high confidence.
+    * t-closeness bounds the Earth Mover's Distance between each
+    * class's sensitive distribution and the global one.
+    *
+    * Exactness: the sensitive attribute is ORDINAL (priority 1..5,
+    * unit ground distance), where EMD has the closed form
+    * Σᵢ |cumᵢ/n − gcumᵢ/N| / (m−1). All cumulative counts are exact
+    * longs, the numerator is computed as the integer
+    * Σᵢ |cumᵢ·N − gcumᵢ·n| (every term bounded by n·N ≈ 2.3·10¹⁰ at
+    * sf0.1 — far inside long range), and t is ONE
+    * IEEE division of exact integers < 2⁵³ — bit-identical across
+    * engines, the avgMoney stance, no rounding negotiation.
+    *
+    * Scale shape: one equi-join (dimension side broadcasts), one
+    * map-side-combinable aggregate to |classes| rows (cumulative
+    * counts as conditional counts — no window), global totals derived
+    * from the class frame via a second tiny aggregate broadcast back,
+    * final report |segments| rows.
+    */
+  val q189 = Q(
+    "q189_t_closeness",
+    (s, dir) => {
+      import s.implicits._
+      val ord = expr("cast(substring(o_orderpriority, 1, 1) as int)")
+      val rows = Tables.maybeBroadcast(Tables.load(s, dir, "customer"))
+        .join(Tables.load(s, dir, "orders"), $"c_custkey" === $"o_custkey")
+        .select($"c_nationkey", $"c_mktsegment", ord.as("ord"))
+      val cumAggs = (1 to 4).map(i => count_if($"ord" <= i).as(s"cum$i"))
+      val cls = rows.groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("n"), cumAggs: _*)
+      val globAggs = Seq(sum($"n").as("nn")) ++
+        (1 to 4).map(i => sum(col(s"cum$i")).as(s"g$i"))
+      val glob = cls.agg(globAggs.head, globAggs.tail: _*)
+      val emd = (1 to 4).map(i =>
+        abs(col(s"cum$i") * $"nn" - col(s"g$i") * $"n")).reduce(_ + _)
+      val scored = cls.crossJoin(broadcast(glob))
+        .withColumn("t", emd.cast("double") / (($"n" * $"nn" * 4).cast("double")))
+      scored.groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_classes"),
+          max($"t").as("t_max"),
+          count_if($"t" > 0.2).as("n_divergent_classes"),
+          sum(when($"t" > 0.2, $"n").otherwise(0L)).as("rows_at_risk"))
+        .orderBy($"c_mktsegment")
+    },
+    Some("""WITH r AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(substr(o_orderpriority, 1, 1) AS INT) AS ord
+      |  FROM customer JOIN orders ON c_custkey = o_custkey),
+      |cls AS (
+      |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+      |         COUNT(CASE WHEN ord <= 1 THEN 1 END) AS cum1,
+      |         COUNT(CASE WHEN ord <= 2 THEN 1 END) AS cum2,
+      |         COUNT(CASE WHEN ord <= 3 THEN 1 END) AS cum3,
+      |         COUNT(CASE WHEN ord <= 4 THEN 1 END) AS cum4
+      |  FROM r GROUP BY 1, 2),
+      |gtot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+      |         CAST(SUM(cum1) AS BIGINT) AS g1, CAST(SUM(cum2) AS BIGINT) AS g2,
+      |         CAST(SUM(cum3) AS BIGINT) AS g3, CAST(SUM(cum4) AS BIGINT) AS g4
+      |  FROM cls),
+      |scored AS (
+      |  SELECT c_mktsegment, n,
+      |         CAST(ABS(cum1 * nn - g1 * n) + ABS(cum2 * nn - g2 * n)
+      |            + ABS(cum3 * nn - g3 * n) + ABS(cum4 * nn - g4 * n) AS DOUBLE)
+      |           / CAST(n * nn * 4 AS DOUBLE) AS t
+      |  FROM cls, gtot)
+      |SELECT c_mktsegment, COUNT(*) AS n_classes, MAX(t) AS t_max,
+      |       CAST(COUNT(CASE WHEN t > 0.2 THEN 1 END) AS BIGINT) AS n_divergent_classes,
+      |       CAST(SUM(CASE WHEN t > 0.2 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "privacy: t-closeness — integer-exact ordinal EMD between each quasi-identifier class's sensitive distribution and the global one")
+
+  val all: Seq[Q] = Seq(q82, q132, q189)
 }

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 183 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 183)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 183)
+  test("registry has 189 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 189)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 189)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
