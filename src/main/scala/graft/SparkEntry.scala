@@ -53,6 +53,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.CubeAgg       q187  explicit GROUPING SETS margins (with q165)
   *   - similarity.Pq           q188  product-quantization ANN (ADC scan + exact rerank)
   *   - security.SecurityQueries q189  t-closeness ordinal-EMD audit (with q82, q132)
+  *   - operators.RollingDistinct q190  exact trailing-7-day distinct actives
+  *   - operators.Cusum         q191  CUSUM changepoint (exact scaled integers)
+  *   - streaming.Attribution   q192  last-touch revenue attribution (window as-of)
+  *   - operators.WeightedMedian q193  exact type-1 weighted median
+  *   - similarity.Ivfpq        q194  IVF-PQ composed ANN (cells × codes × rerank)
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -117,7 +122,12 @@ object SparkEntry {
     operators.Hierarchy.all ++
     graph.Bfs.all ++
     text.QualityBuckets.all ++
-    similarity.Pq.all
+    similarity.Pq.all ++
+    operators.RollingDistinct.all ++
+    operators.Cusum.all ++
+    streaming.Attribution.all ++
+    operators.WeightedMedian.all ++
+    similarity.Ivfpq.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

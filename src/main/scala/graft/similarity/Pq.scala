@@ -51,13 +51,13 @@ object Pq {
     * slice offset), float→double per element — engine-matched with
     * [[oSubDot]].
     */
-  private def subDot(a: String, b: String, off: Int, len: Int): Column =
+  private[similarity] def subDot(a: String, b: String, off: Int, len: Int): Column =
     round(expr(
       s"""aggregate(zip_with(slice($a, $off, $len), slice($b, $off, $len),
          |  (x, y) -> cast(x as double) * cast(y as double)),
          |  0D, (acc, v) -> acc + v)""".stripMargin), 6)
 
-  private def oSubDot(a: String, b: String, off: Int, len: Int): String =
+  private[similarity] def oSubDot(a: String, b: String, off: Int, len: Int): String =
     s"""ROUND((SELECT SUM(CAST($a[$off + i - 1] AS DOUBLE)
        |                  * CAST($b[$off + i - 1] AS DOUBLE))
        |       FROM UNNEST(generate_series(1, $len)) AS g(i)), 6)""".stripMargin

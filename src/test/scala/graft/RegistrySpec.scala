@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 189 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 189)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 189)
+  test("registry has 194 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 194)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 194)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
