@@ -162,7 +162,29 @@ object PlanDump {
     "q145_golden_record" ->
       "Golden record: within-block candidate self-join (bounded blocks) + Levenshtein filter; componentLabels' log-round propagate+shortcut over (node, lab) pairs; survivor election is ONE struct-max aggregate per cluster — no per-cluster window.",
     "q146_seasonal_anomaly" ->
-      "Seasonal anomaly: one map-side day projection + one (type, day) count aggregate; span is a 1-row broadcast; baseline join is |types*7| rows; deviation flags and ppm ratios are in-row integer cross-products; worst-day election is max(struct).")
+      "Seasonal anomaly: one map-side day projection + one (type, day) count aggregate; span is a 1-row broadcast; baseline join is |types*7| rows; deviation flags and ppm ratios are in-row integer cross-products; worst-day election is max(struct).",
+    "q184_hierarchy_rollup" ->
+      "Recursive traversal as bounded join iteration: one equi-join per level against the Barrier'd parent-edge table, Barrier.cut per round (constant plan depth, RELIABLE_CHECKPOINT-capable); the closure is |V|*depth rows — what WITH RECURSIVE materializes — and the rollup is one map-side-combinable aggregate + TakeOrdered(20).",
+    "q185_hop_neighborhood" ->
+      "Bounded BFS: w>=2 edge list behind a Barrier; each hop = frontier equi-join + distinct + anti-join vs visited, cut per round; seed is a 1-row argmax broadcast; rings report via a 4-row left join so empty hops cannot vanish.",
+    "q186_quality_terciles" ->
+      "Per-source tercile split: ONE source-keyed window (sources sort in parallel; a mega-source is the DistributedRank.withRowNumber case); bucket = integer rank arithmetic, no float quantiles; final aggregate is 3*|sources| rows.",
+    "q187_grouping_sets" ->
+      "Explicit GROUPING SETS: customer dim broadcasts; Spark's Expand feeds all four declared sets from ONE pass over the join output — no per-margin rescans; output is |sets' domains| rows.",
+    "q188_pq_ann" ->
+      "PQ ANN: codebooks + per-query LUT arrays broadcast; encoding is one streaming crossJoin + map-side struct-max argmax; the ADC scan shuffles (vec_id, 4 codes) only — 4 lookups + 3 adds per vector, no float vectors; raw vectors move only for the 20-per-query rerank fetch by key.",
+    "q189_t_closeness" ->
+      "t-closeness: one broadcast equi-join, one map-side-combinable class aggregate (cumulative counts as conditional counts — no window), global totals re-broadcast from the class frame; integer EMD numerators, ONE IEEE division per class.",
+    "q190_rolling_distinct" ->
+      "Rolling 7-day distinct: corpus collapses to distinct (user, day) map-side; the |days|-row report frame broadcasts into a <=7x fan-out theta join; one exact count-distinct per report day (q63's HLL is the sketch variant).",
+    "q191_cusum_changepoint" ->
+      "CUSUM changepoint: corpus -> |days| rows in one map-side-combinable cents aggregate; prefix sum, scaled-integer argmax and split means all run on the tiny daily frame (single-partition window over |days|, never the corpus).",
+    "q192_touch_attribution" ->
+      "Last-touch attribution: NO as-of join — one user-keyed Exchange, one ordered window pass carrying last(ignoreNulls) forward, map-side final aggregate; total (ts, event_id) order kills same-timestamp nondeterminism.",
+    "q193_weighted_median" ->
+      "Weighted median: per-(group, value) weight collapse FIRST (map-side combinable), cumulative-weight window on the collapsed frame, min-value election per group — integer arithmetic, no percentile_approx.",
+    "q194_ivfpq_ann" ->
+      "IVF-PQ: one broadcast crossJoin serves both centroid roles (cells + codebooks); the ADC scan is an equi-join on cell id over (vec_id, cell, 4 codes) rows — nprobe/ncells of the corpus, 4 bytes per vector; exact rerank fetches 10/query by key.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
