@@ -58,6 +58,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - streaming.Attribution   q192  last-touch revenue attribution (window as-of)
   *   - operators.WeightedMedian q193  exact type-1 weighted median
   *   - similarity.Ivfpq        q194  IVF-PQ composed ANN (cells × codes × rerank)
+  *   - similarity.GridDbscan   q195  grid-density clustering with noise ledger
+  *   - similarity.KnnAudit     q196  kNN majority-vote label-agreement audit
+  *   - security.DpSensitivity  q197  DP L1-sensitivity noise calibration
+  *   - similarity.Medoids      q198  exact PAM medoid election per cluster
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -127,7 +131,11 @@ object SparkEntry {
     operators.Cusum.all ++
     streaming.Attribution.all ++
     operators.WeightedMedian.all ++
-    similarity.Ivfpq.all
+    similarity.Ivfpq.all ++
+    similarity.GridDbscan.all ++
+    similarity.KnnAudit.all ++
+    security.DpSensitivity.all ++
+    similarity.Medoids.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

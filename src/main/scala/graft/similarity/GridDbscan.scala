@@ -1,0 +1,122 @@
+package graft.similarity
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Grid-density clustering — the DBSCAN family (Ester et al. 1996) in
+  * its grid-quantized form (the GriDBSCAN/cell-based variant): bucket
+  * points into a fixed G×G grid over two embedding dimensions, call a
+  * cell CORE when its density reaches 4× the uniform expectation
+  * (n·G² ≥ 4·N — the MinPts analog, chosen so the testdata's blob
+  * fragments into its real density peaks at every SF), connect
+  * 8-adjacent core cells into clusters, and report every
+  * sub-density cell as NOISE — the arbitrary-shape, noise-aware
+  * clustering k-means (q52/q106) cannot express, as one relational
+  * plan with no per-point neighborhood queries.
+  *
+  * Determinism: both engines evaluate the IDENTICAL double expression
+  * ((x − minx) · G) / (maxx − minx) before floor (same IEEE ops,
+  * same order — no drift), max-edge points clamp into the last cell,
+  * the density test is an integer cross-multiplication, and cluster
+  * ids are min-cell-id labels from [[graft.text.TextQueries
+  * .componentLabels]] — the oracle recomputes the closure with a
+  * recursive CTE (a different algorithm, the q106 stance).
+  *
+  * Scale shape: the corpus is touched by ONE map-side-combinable cell
+  * aggregate (after a 1-row min/max broadcast); everything downstream
+  * — core test, 8-neighbor adjacency self-join, label propagation,
+  * rollup — runs on ≤ G² = 1024 rows. Tightening the grid to G=1024
+  * leaves the corpus cost identical; only the cell frame grows.
+  * Edge-cell points clamp via least(); the density test is an integer
+  * cross-multiplication against the broadcast total.
+  */
+object GridDbscan {
+
+  val G = 32
+  val CoreMult = 4
+
+  val q195 = Q(
+    "q195_grid_dbscan",
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.load(s, dir, "embeddings")
+        .select($"vec_id",
+          element_at($"embedding", 1).cast("double").as("x"),
+          element_at($"embedding", 2).cast("double").as("y"))
+      val stats = e.agg(min($"x").as("minx"), max($"x").as("maxx"),
+        min($"y").as("miny"), max($"y").as("maxy"))
+      val celled = e.crossJoin(broadcast(stats))
+        .select($"vec_id",
+          least(floor(($"x" - $"minx") * G.toDouble / ($"maxx" - $"minx")),
+            lit(G - 1)).cast("int").as("gx"),
+          least(floor(($"y" - $"miny") * G.toDouble / ($"maxy" - $"miny")),
+            lit(G - 1)).cast("int").as("gy"))
+      val cells = graft.Barrier(celled.groupBy($"gx", $"gy")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cell", ($"gx" * G + $"gy").cast("long")))
+      val tot = cells.agg(sum($"n").as("nt"))
+      val core = cells.crossJoin(broadcast(tot))
+        .filter($"n" * (G * G) >= $"nt" * CoreMult)
+        .select($"cell", $"gx", $"gy", $"n")
+      val edges = core.as("a").join(core.as("b"),
+          abs($"a.gx" - $"b.gx") <= 1 && abs($"a.gy" - $"b.gy") <= 1 &&
+            $"a.cell" < $"b.cell")
+        .select($"a.cell".as("doc_a"), $"b.cell".as("doc_b"))
+      val labs = graft.text.TextQueries.componentLabels(edges)
+        .withColumnRenamed("node", "cell")
+      val clusters = core.join(labs, Seq("cell"), "left_outer")
+        .select(coalesce($"lab", $"cell").as("cluster_id"), $"n")
+        .groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_cells"), sum($"n").as("n_points"))
+      val noise = cells.crossJoin(broadcast(tot))
+        .filter($"n" * (G * G) < $"nt" * CoreMult)
+        .agg(count(lit(1)).as("n_cells"),
+          coalesce(sum($"n"), lit(0L)).as("n_points"))
+        .select(lit(-1L).as("cluster_id"), $"n_cells", $"n_points")
+      clusters.unionByName(noise)
+        .orderBy($"n_points".desc, $"cluster_id")
+    },
+    Some(s"""WITH RECURSIVE pts AS (
+      |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+      |         CAST(embedding[2] AS DOUBLE) AS y
+      |  FROM embeddings),
+      |stats AS (
+      |  SELECT MIN(x) AS minx, MAX(x) AS maxx,
+      |         MIN(y) AS miny, MAX(y) AS maxy FROM pts),
+      |celled AS (
+      |  SELECT LEAST(CAST(floor((x - minx) * ${G}.0 / (maxx - minx)) AS INT), ${G - 1}) AS gx,
+      |         LEAST(CAST(floor((y - miny) * ${G}.0 / (maxy - miny)) AS INT), ${G - 1}) AS gy
+      |  FROM pts, stats),
+      |cells AS (
+      |  SELECT gx, gy, CAST(gx * $G + gy AS BIGINT) AS cell, COUNT(*) AS n
+      |  FROM celled GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells),
+      |core AS (
+      |  SELECT cell, gx, gy, n FROM cells, tot
+      |  WHERE n * ${G * G} >= nt * $CoreMult),
+      |e AS (
+      |  SELECT a.cell AS ca, b.cell AS cb
+      |  FROM core a JOIN core b
+      |    ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+      |   AND a.cell < b.cell),
+      |sym AS (SELECT ca AS a, cb AS b FROM e UNION ALL SELECT cb, ca FROM e),
+      |closure(node, reach) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT c.node, s.b FROM closure c JOIN sym s ON s.a = c.reach),
+      |roots AS (SELECT node, MIN(reach) AS lab FROM closure GROUP BY node),
+      |clusters AS (
+      |  SELECT COALESCE(r.lab, c.cell) AS cluster_id,
+      |         COUNT(*) AS n_cells, CAST(SUM(c.n) AS BIGINT) AS n_points
+      |  FROM core c LEFT JOIN roots r ON r.node = c.cell
+      |  GROUP BY 1),
+      |noise AS (
+      |  SELECT CAST(-1 AS BIGINT) AS cluster_id, COUNT(*) AS n_cells,
+      |         CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_points
+      |  FROM cells, tot WHERE n * ${G * G} < nt * $CoreMult)
+      |SELECT * FROM clusters UNION ALL SELECT * FROM noise
+      |ORDER BY n_points DESC, cluster_id""".stripMargin),
+    doc = "similarity: grid-DBSCAN density clustering (core cells >= 4x uniform density, 8-adjacency components, noise ledger) vs a recursive-CTE oracle")
+
+  val all: Seq[Q] = Seq(q195)
+}
