@@ -62,6 +62,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - similarity.KnnAudit     q196  kNN majority-vote label-agreement audit
   *   - security.DpSensitivity  q197  DP L1-sensitivity noise calibration
   *   - similarity.Medoids      q198  exact PAM medoid election per cluster
+  *   - operators.StatTests     q199–q202  OLS trend, Mann-Whitney U, KS two-sample, ANOVA F
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -135,7 +136,8 @@ object SparkEntry {
     similarity.GridDbscan.all ++
     similarity.KnnAudit.all ++
     security.DpSensitivity.all ++
-    similarity.Medoids.all
+    similarity.Medoids.all ++
+    operators.StatTests.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 198 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 198)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 198)
+  test("registry has 202 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 202)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 202)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
