@@ -63,6 +63,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - security.DpSensitivity  q197  DP L1-sensitivity noise calibration
   *   - similarity.Medoids      q198  exact PAM medoid election per cluster
   *   - operators.StatTests     q199–q202  OLS trend, Mann-Whitney U, KS two-sample, ANOVA F
+  *   - text.NaiveBayes         q203  add-one multinomial NB lang classifier (confusion matrix)
+  *   - similarity.DimQa        q204  embedding dimension-correlation QA
+  *   - operators.KendallTau    q205  exact contingency-table Kendall tau-b
+  *   - operators.Hbos          q206  histogram-based multivariate anomaly top-20
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -137,7 +141,11 @@ object SparkEntry {
     similarity.KnnAudit.all ++
     security.DpSensitivity.all ++
     similarity.Medoids.all ++
-    operators.StatTests.all
+    operators.StatTests.all ++
+    text.NaiveBayes.all ++
+    similarity.DimQa.all ++
+    operators.KendallTau.all ++
+    operators.Hbos.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

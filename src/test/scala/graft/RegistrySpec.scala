@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 202 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 202)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 202)
+  test("registry has 206 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 206)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 206)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
