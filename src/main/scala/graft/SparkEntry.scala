@@ -67,6 +67,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - similarity.DimQa        q204  embedding dimension-correlation QA
   *   - operators.KendallTau    q205  exact contingency-table Kendall tau-b
   *   - operators.Hbos          q206  histogram-based multivariate anomaly top-20
+  *   - graph.KCore             q207  fixed-round k-core peel ladder
+  *   - operators.LeadLag       q208  revenue-vs-events lead-lag cross-correlation
+  *   - operators.TheilSen      q209  Theil-Sen robust daily-revenue trend
+  *   - operators.RobustMean    q210  exact trimmed/winsorized segment means
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -145,7 +149,11 @@ object SparkEntry {
     text.NaiveBayes.all ++
     similarity.DimQa.all ++
     operators.KendallTau.all ++
-    operators.Hbos.all
+    operators.Hbos.all ++
+    graph.KCore.all ++
+    operators.LeadLag.all ++
+    operators.TheilSen.all ++
+    operators.RobustMean.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).
