@@ -71,6 +71,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.LeadLag       q208  revenue-vs-events lead-lag cross-correlation
   *   - operators.TheilSen      q209  Theil-Sen robust daily-revenue trend
   *   - operators.RobustMean    q210  exact trimmed/winsorized segment means
+  *   - streaming.MarkovAttribution q211  Markov removal-effect channel attribution
+  *   - text.SketchAudit        q212  minhash signature accuracy vs exact Jaccard
+  *   - text.FightinWords       q213  log-odds-with-prior distinguishing tokens
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -153,7 +156,10 @@ object SparkEntry {
     graph.KCore.all ++
     operators.LeadLag.all ++
     operators.TheilSen.all ++
-    operators.RobustMean.all
+    operators.RobustMean.all ++
+    streaming.MarkovAttribution.all ++
+    text.SketchAudit.all ++
+    text.FightinWords.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 210 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 210)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 210)
+  test("registry has 213 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 213)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 213)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
