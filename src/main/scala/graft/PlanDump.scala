@@ -184,7 +184,45 @@ object PlanDump {
     "q193_weighted_median" ->
       "Weighted median: per-(group, value) weight collapse FIRST (map-side combinable), cumulative-weight window on the collapsed frame, min-value election per group — integer arithmetic, no percentile_approx.",
     "q194_ivfpq_ann" ->
-      "IVF-PQ: one broadcast crossJoin serves both centroid roles (cells + codebooks); the ADC scan is an equi-join on cell id over (vec_id, cell, 4 codes) rows — nprobe/ncells of the corpus, 4 bytes per vector; exact rerank fetches 10/query by key.")
+      "IVF-PQ: one broadcast crossJoin serves both centroid roles (cells + codebooks); the ADC scan is an equi-join on cell id over (vec_id, cell, 4 codes) rows — nprobe/ncells of the corpus, 4 bytes per vector; exact rerank fetches 10/query by key.",
+    "q195_grid_dbscan" ->
+      "Grid-DBSCAN: ONE map-side-combinable cell aggregate touches the corpus (after a 1-row min/max broadcast); core test, 8-neighbor self-join and componentLabels all run on <= G^2 = 1024 cells — the 4s wall is FIXED pointer-doubling iteration overhead, corpus-independent.",
+    "q196_knn_label_audit" ->
+      "kNN audit: q47's broadcast-probe contract — probes broadcast, corpus streams once past codegen'd cosine, per-probe top-5 via the rank window's per-partition WindowGroupLimit heaps; vote + accuracy rollup act on 5*|probes| rows.",
+    "q197_dp_sensitivity" ->
+      "DP sensitivity: customer dim broadcasts; two nested map-side-combinable aggregates (per-(cell, customer) then per-segment max) — nothing wider than the class frame shuffles; maxima are exact longs.",
+    "q198_cluster_medoids" ->
+      "Medoids: label-BLOCKED pair join (O(sum block^2), never corpus^2); pair sims quantize to longs BEFORE the sum so totals are shuffle-order-proof; election is a map-side-combinable struct-max.",
+    "q199_ols_trend" ->
+      "OLS trend: one broadcast dim join + ONE map-side-combinable five-moment aggregate (exact decimal sums); slope/intercept/R^2 are a 5-row epilogue. No second pass, no window.",
+    "q200_mann_whitney_u" ->
+      "Mann-Whitney: corpus collapses to the <=50-row quantity-domain frame map-side; the rank window runs on that bounded frame (2x-rank integers keep tied half-ranks exact); one 1-row epilogue.",
+    "q201_ks_two_sample" ->
+      "KS: fact-fact equi-join collapses to the delay-domain frame in the same aggregate; CDFs via one bounded-frame window; the max-gap election is a struct-max on exact integer numerators.",
+    "q202_anova_f" ->
+      "ANOVA: one broadcast dim join + one map-side-combinable group-moment aggregate (5 rows); the only cross-group double sum runs as an ORDERED prefix window over the 5-row frame so both engines associate identically.",
+    "q203_naive_bayes_lang" ->
+      "Naive Bayes: corpus tokenizes ONCE behind a Barrier; model is a V*K-row grid (broadcast-sized); scoring is one equi-join on token (constant K fanout) compressed by a (doc, class) aggregate + struct-min election; quantized integer surprisal, no ln().",
+    "q204_dim_correlation_qa" ->
+      "Dim QA: constant 2016-fanout in-row pair array compressed map-side to 2016 groups; 64-row marginal frame broadcasts back; top-10 is a TakeOrdered over 2016 rows. Nothing corpus-sized shuffles.",
+    "q205_kendall_tau_b" ->
+      "Kendall tau-b: one map-side aggregate onto the <=550-cell contingency table; C/D are a cells^2 self-join (~3e5 pairs, corpus-size-independent); every pair count rides decimal/HUGEINT (N^2 > int64 at 100 TB).",
+    "q206_hbos_anomaly" ->
+      "HBOS: four domain-bounded histograms (<=20+5+3+12 rows) broadcast back onto the scan — scoring is join-free per row; top-20 via TakeOrdered per-partition heaps, no global sort.",
+    "q207_kcore_peel" ->
+      "k-core ladder: co-purchase edges build once behind a Barrier; each of 6 FIXED peel rounds is one degree aggregate + semi-join wave, survivor and edge frames lineage-cut per round (q182 discipline) — wall cost is round-count overhead, corpus touched once.",
+    "q208_leadlag_xcorr" ->
+      "Lead-lag: one map-side hourly aggregate onto the calendar-bounded frame; 25-lag scan is a constant fanout of that frame joined hour-to-hour; final frame is 25 rows with exact decimal moments.",
+    "q209_theil_sen_trend" ->
+      "Theil-Sen: corpus collapses to the daily frame map-side; the D(D-1)/2 pair frame (~2.9M at a 2400-day span) is CALENDAR-bounded, corpus-independent; type-1 median via one bounded single-partition rank window.",
+    "q210_trimmed_winsorized_mean" ->
+      "Trimmed/winsorized: exact order statistics = one per-segment rank window (the q21 exactness-baseline stance; q92's histogram is the 100 TB swap); everything after the rank pass is map-side-combinable with exact decimal tail sums.",
+    "q211_markov_attribution" ->
+      "Markov attribution: corpus touched ONCE by a per-user window pass compressed to a <=36-row edge frame; 5 variants x 12 value-iteration rounds run on few-dozen-row frames, lineage-cut per round — integer ppb probabilities, wall cost is fixed round overhead.",
+    "q212_minhash_accuracy" ->
+      "Minhash audit: corpus tokenizes once behind a Barrier; signature pass is a constant 64-way in-row fanout compressed map-side to |sources|*64 MINs (minhash's map-side-combine is the point); exact-Jaccard side is the audit baseline the sketch replaces at scale. Spark 3.2s vs DuckDB 7.3s on the identical pipeline at sf0.1.",
+    "q213_fightin_words" ->
+      "Fightin' words: two map-side-combinable count aggregates onto the vocabulary-bounded frame; prior totals ride a 1-row broadcast; quantized-log2 ladder keeps deltas exact longs — output |V| rows.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
