@@ -74,6 +74,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - streaming.MarkovAttribution q211  Markov removal-effect channel attribution
   *   - text.SketchAudit        q212  minhash signature accuracy vs exact Jaccard
   *   - text.FightinWords       q213  log-odds-with-prior distinguishing tokens
+  *   - operators.Conformal     q214  split-conformal interval coverage audit
+  *   - operators.EbShrinkage   q215  empirical-Bayes shrunk rate leaderboard
+  *   - graph.LinkPrediction    q216  common-neighbor Jaccard link prediction
+  *   - operators.MantelHaenszel q217  CMH stratified pooled odds ratio
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -159,7 +163,11 @@ object SparkEntry {
     operators.RobustMean.all ++
     streaming.MarkovAttribution.all ++
     text.SketchAudit.all ++
-    text.FightinWords.all
+    text.FightinWords.all ++
+    operators.Conformal.all ++
+    operators.EbShrinkage.all ++
+    graph.LinkPrediction.all ++
+    operators.MantelHaenszel.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).
