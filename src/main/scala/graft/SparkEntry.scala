@@ -78,6 +78,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.EbShrinkage   q215  empirical-Bayes shrunk rate leaderboard
   *   - graph.LinkPrediction    q216  common-neighbor Jaccard link prediction
   *   - operators.MantelHaenszel q217  CMH stratified pooled odds ratio
+  *   - streaming.SequenceMining q218  3-event sequence patterns by lift
+  *   - operators.Jonckheere    q219  ordered-alternative trend test
+  *   - operators.AbcXyz        q220  ABC-XYZ inventory matrix
+  *   - operators.Elasticity    q221  log-log discount elasticity of demand
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -167,7 +171,11 @@ object SparkEntry {
     operators.Conformal.all ++
     operators.EbShrinkage.all ++
     graph.LinkPrediction.all ++
-    operators.MantelHaenszel.all
+    operators.MantelHaenszel.all ++
+    streaming.SequenceMining.all ++
+    operators.Jonckheere.all ++
+    operators.AbcXyz.all ++
+    operators.Elasticity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

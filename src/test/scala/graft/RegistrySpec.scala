@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 217 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 217)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 217)
+  test("registry has 221 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 221)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 221)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
