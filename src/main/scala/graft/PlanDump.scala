@@ -200,7 +200,7 @@ object PlanDump {
     "q201_ks_two_sample" ->
       "KS: fact-fact equi-join collapses to the delay-domain frame in the same aggregate; CDFs via one bounded-frame window; the max-gap election is a struct-max on exact integer numerators.",
     "q202_anova_f" ->
-      "ANOVA: one broadcast dim join + one map-side-combinable group-moment aggregate (5 rows); the only cross-group double sum runs as an ORDERED prefix window over the 5-row frame so both engines associate identically.",
+      "ANOVA: one broadcast dim join + one map-side-combinable group-moment aggregate (5 rows); the only cross-group double sum runs as an ordered LEFT-FOLD over the collected group frame (windowed SUM would inherit DuckDB's segment-tree association).",
     "q203_naive_bayes_lang" ->
       "Naive Bayes: corpus tokenizes ONCE behind a Barrier; model is a V*K-row grid (broadcast-sized); scoring is one equi-join on token (constant K fanout) compressed by a (doc, class) aggregate + struct-min election; quantized integer surprisal, no ln().",
     "q204_dim_correlation_qa" ->

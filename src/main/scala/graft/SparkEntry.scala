@@ -82,6 +82,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.Jonckheere    q219  ordered-alternative trend test
   *   - operators.AbcXyz        q220  ABC-XYZ inventory matrix
   *   - operators.Elasticity    q221  log-log discount elasticity of demand
+  *   - operators.LogRank       q222  two-group log-rank survival test
+  *   - operators.HodgesLehmann q223  pseudo-median of Walsh averages
+  *   - text.CaptureRecapture   q224  Chapman corpus-size estimate vs truth
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -175,7 +178,10 @@ object SparkEntry {
     streaming.SequenceMining.all ++
     operators.Jonckheere.all ++
     operators.AbcXyz.all ++
-    operators.Elasticity.all
+    operators.Elasticity.all ++
+    operators.LogRank.all ++
+    operators.HodgesLehmann.all ++
+    text.CaptureRecapture.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * Exactness: the 2×2 cells are exact longs from ONE conditional
   * aggregate; per-stratum OR numerators (a·d, b·c) are exact
   * decimal/HUGEINT products; the only cross-stratum double sums
-  * (Σ ad/n, Σ bc/n) run as ORDERED prefix windows over the 5-row
-  * stratum frame (the q202 stance — identical association order in
-  * both engines); every division is mirrored IEEE.
+  * (Σ ad/n, Σ bc/n) run as ordered LEFT-FOLDS over the collected
+  * stratum frame (the q202 stance — a windowed SUM would inherit
+  * DuckDB's segment-tree association order, the q222 lesson); every
+  * division is mirrored IEEE.
   *
   * Scale shape: one broadcast dim join + one map-side-combinable
   * aggregate to the |strata|-row frame; everything downstream acts
@@ -45,22 +46,22 @@ object MantelHaenszel {
           count_if(!$"exp" && $"out").as("c"),
           count_if(!$"exp" && !$"out").as("d"))
         .withColumn("n", $"a" + $"b" + $"c" + $"d")
-      val w = Window.orderBy($"seg")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = cells
+      val agg = cells
         .withColumn("adn", ($"a".cast("decimal(38,0)") * $"d").cast("double")
           / $"n".cast("double"))
         .withColumn("bcn", ($"b".cast("decimal(38,0)") * $"c").cast("double")
           / $"n".cast("double"))
-        .withColumn("cum_ad", sum($"adn").over(w))
-        .withColumn("cum_bc", sum($"bcn").over(w))
-        .withColumn("rn", row_number().over(Window.orderBy($"seg")))
-      val agg = cum.agg(count(lit(1)).as("k"),
-        sum($"a").as("ta"), sum($"b").as("tb"),
-        sum($"c").as("tc"), sum($"d").as("td"),
-        max(struct($"rn", $"cum_ad", $"cum_bc")).as("last"))
+        .agg(count(lit(1)).as("k"),
+          sum($"a").as("ta"), sum($"b").as("tb"),
+          sum($"c").as("tc"), sum($"d").as("td"),
+          collect_list(struct($"seg", $"adn".as("t"))).as("ads"),
+          collect_list(struct($"seg", $"bcn".as("t"))).as("bcs"))
+        .withColumn("sum_ad", expr("aggregate(sort_array(ads)," +
+          " cast(0 as double), (acc, x) -> acc + x.t)"))
+        .withColumn("sum_bc", expr("aggregate(sort_array(bcs)," +
+          " cast(0 as double), (acc, x) -> acc + x.t)"))
       agg.select($"k",
-          ($"last.cum_ad" / $"last.cum_bc").as("or_mh"),
+          ($"sum_ad" / $"sum_bc").as("or_mh"),
           (($"ta".cast("decimal(38,0)") * $"td").cast("double")
             / ($"tb".cast("decimal(38,0)") * $"tc").cast("double"))
             .as("or_crude"))
@@ -77,27 +78,17 @@ object MantelHaenszel {
       |                 >= $HighCents AS hi
       |        FROM customer JOIN orders ON c_custkey = o_custkey)
       |  GROUP BY 1),
-      |cum AS (
-      |  SELECT a, b, c, d,
-      |         SUM(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
-      |             / CAST(a + b + c + d AS DOUBLE))
-      |           OVER (ORDER BY seg
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ad,
-      |         SUM(CAST(CAST(b AS HUGEINT) * c AS DOUBLE)
-      |             / CAST(a + b + c + d AS DOUBLE))
-      |           OVER (ORDER BY seg
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bc,
-      |         ROW_NUMBER() OVER (ORDER BY seg) AS rn
-      |  FROM cells),
       |agg AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
       |         CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb,
       |         CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(d) AS BIGINT) AS td,
-      |         MAX(CASE WHEN rn = (SELECT COUNT(*) FROM cells)
-      |                  THEN cum_ad END) AS last_ad,
-      |         MAX(CASE WHEN rn = (SELECT COUNT(*) FROM cells)
-      |                  THEN cum_bc END) AS last_bc
-      |  FROM cum)
+      |         list_reduce(list(CAST(CAST(a AS HUGEINT) * d AS DOUBLE)
+      |             / CAST(a + b + c + d AS DOUBLE) ORDER BY seg),
+      |           (x, y) -> x + y) AS last_ad,
+      |         list_reduce(list(CAST(CAST(b AS HUGEINT) * c AS DOUBLE)
+      |             / CAST(a + b + c + d AS DOUBLE) ORDER BY seg),
+      |           (x, y) -> x + y) AS last_bc
+      |  FROM cells)
       |SELECT k, last_ad / last_bc AS or_mh,
       |       CAST(CAST(ta AS HUGEINT) * td AS DOUBLE)
       |         / CAST(CAST(tb AS HUGEINT) * tc AS DOUBLE) AS or_crude

@@ -238,8 +238,12 @@ object StatTests {
 
   /** q202 — one-way ANOVA F across the five market segments on order
     * cents. The only cross-group double sum (Σ S_g²/n_g) runs as an
-    * ordered prefix over the 5-row segment frame so both engines
-    * associate identically.
+    * ordered LEFT-FOLD over the collected k-row group frame
+    * (`aggregate(sort_array(...))` ↔ `list_reduce(list(... ORDER
+    * BY))`) so both engines associate identically — a windowed SUM
+    * would not: DuckDB evaluates window aggregates with a segment
+    * tree whose association order differs from left-to-right (the
+    * q222 lesson).
     */
   val q202 = Q(
     "q202_anova_f",
@@ -253,20 +257,19 @@ object StatTests {
         .agg(count(lit(1)).as("ng"),
           sum($"y".cast("decimal(38,0)")).as("sg"),
           sum(($"y" * $"y").cast("decimal(38,0)")).as("qg"))
-      val w = Window.orderBy($"c_mktsegment")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = grp.withColumn("term",
+      val agg = grp.withColumn("term",
           $"sg".cast("double") * $"sg".cast("double") / $"ng".cast("double"))
-        .withColumn("cumterm", sum($"term").over(w))
-        .withColumn("rn", row_number().over(Window.orderBy($"c_mktsegment")))
-      val agg = cum.agg(
-        count(lit(1)).as("k"), sum($"ng").as("n"),
-        sum($"sg").as("s"), sum($"qg").as("q"),
-        max(struct($"rn", $"cumterm")).as("last"))
+        .agg(count(lit(1)).as("k"), sum($"ng").as("n"),
+          sum($"sg").as("s"), sum($"qg").as("q"),
+          collect_list(struct($"c_mktsegment".as("g"), $"term".as("t")))
+            .as("ts"))
+        .withColumn("sterms", expr(
+          "aggregate(sort_array(ts), cast(0 as double)," +
+            " (acc, x) -> acc + x.t)"))
       agg.select($"k", $"n",
-          ($"last.cumterm" - $"s".cast("double") * $"s".cast("double")
+          ($"sterms" - $"s".cast("double") * $"s".cast("double")
             / $"n".cast("double")).as("ssb"),
-          ($"q".cast("double") - $"last.cumterm").as("ssw"))
+          ($"q".cast("double") - $"sterms").as("ssw"))
         .select($"k", $"n", $"ssb", $"ssw",
           (($"ssb" / ($"k" - 1L).cast("double"))
             / ($"ssw" / ($"n" - $"k").cast("double"))).as("f_stat"))
@@ -280,29 +283,23 @@ object StatTests {
       |             * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
       |                    AS BIGINT)) AS qg
       |  FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1),
-      |cum AS (
-      |  SELECT ng, sg, qg,
-      |         SUM(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
-      |             / CAST(ng AS DOUBLE)) OVER (ORDER BY c_mktsegment
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumterm,
-      |         ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS rn
-      |  FROM grp),
       |agg AS (
       |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(ng) AS BIGINT) AS n,
       |         SUM(sg) AS s, SUM(qg) AS q,
-      |         MAX(CASE WHEN rn = (SELECT COUNT(*) FROM grp)
-      |                  THEN cumterm END) AS lastterm
-      |  FROM cum),
-      |parts AS (
-      |  SELECT k, n,
-      |         lastterm - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-      |           / CAST(n AS DOUBLE) AS ssb,
-      |         CAST(q AS DOUBLE) - lastterm AS ssw
-      |  FROM agg)
-      |SELECT k, n, ssb, ssw,
-      |       (ssb / CAST(k - 1 AS DOUBLE))
-      |         / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
-      |FROM parts""".stripMargin),
+      |         list_reduce(
+      |           list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+      |                / CAST(ng AS DOUBLE) ORDER BY c_mktsegment),
+      |           (a, b) -> a + b) AS sterms
+      |  FROM grp)
+      |SELECT k, n,
+      |       sterms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |         / CAST(n AS DOUBLE) AS ssb,
+      |       CAST(q AS DOUBLE) - sterms AS ssw,
+      |       ((sterms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+      |           / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+      |       / ((CAST(q AS DOUBLE) - sterms) / CAST(n - k AS DOUBLE))
+      |         AS f_stat
+      |FROM agg""".stripMargin),
     doc = "stats: one-way ANOVA F across market segments on order cents (exact group moments, ordered-prefix cross-group epilogue)")
 
   val all: Seq[Q] = Seq(q199, q200, q201, q202)

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 221 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 221)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 221)
+  test("registry has 224 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 224)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 224)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
