@@ -85,6 +85,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.LogRank       q222  two-group log-rank survival test
   *   - operators.HodgesLehmann q223  pseudo-median of Walsh averages
   *   - text.CaptureRecapture   q224  Chapman corpus-size estimate vs truth
+  *   - text.GTest              q225  Dunning G-test collocations
+  *   - operators.GkLambda      q226  Goodman-Kruskal dependency strength
+  *   - operators.QqShift       q227  per-decile QQ distribution shift
+  *   - operators.DesignEffect  q228  Kish stratification design effect
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -181,7 +185,11 @@ object SparkEntry {
     operators.Elasticity.all ++
     operators.LogRank.all ++
     operators.HodgesLehmann.all ++
-    text.CaptureRecapture.all
+    text.CaptureRecapture.all ++
+    text.GTest.all ++
+    operators.GkLambda.all ++
+    operators.QqShift.all ++
+    operators.DesignEffect.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

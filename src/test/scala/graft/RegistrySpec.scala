@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 224 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 224)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 224)
+  test("registry has 228 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 228)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 228)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
