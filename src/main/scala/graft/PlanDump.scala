@@ -222,7 +222,37 @@ object PlanDump {
     "q212_minhash_accuracy" ->
       "Minhash audit: corpus tokenizes once behind a Barrier; signature pass is a constant 64-way in-row fanout compressed map-side to |sources|*64 MINs (minhash's map-side-combine is the point); exact-Jaccard side is the audit baseline the sketch replaces at scale. Spark 3.2s vs DuckDB 7.3s on the identical pipeline at sf0.1.",
     "q213_fightin_words" ->
-      "Fightin' words: two map-side-combinable count aggregates onto the vocabulary-bounded frame; prior totals ride a 1-row broadcast; quantized-log2 ladder keeps deltas exact longs — output |V| rows.")
+      "Fightin' words: two map-side-combinable count aggregates onto the vocabulary-bounded frame; prior totals ride a 1-row broadcast; quantized-log2 ladder keeps deltas exact longs — output |V| rows.",
+    "q214_conformal_coverage" ->
+      "Conformal: residuals ride exact scaled integers |n*y - S| so rank selection and coverage are integer-only; the rank pass is one per-segment window over the calibration half (q21 exactness-baseline stance); the test pass is map-side against a 5-row broadcast.",
+    "q215_eb_shrunk_rates" ->
+      "EB shrinkage: one map-side per-part aggregate; global prior is a 1-row broadcast; both rank windows run on the PART-bounded frame; integer-ppm rates (a*N products ride decimal -- N^2 > int64 at scale).",
+    "q216_link_prediction" ->
+      "Link prediction: wedge self-join on the shared endpoint (sum deg^2, AQE-skew-splittable equi-key), map-side (a,b,cn) compression, anti-join vs the edge list, vertex-bounded degree broadcast — per-pair neighbor SETS never materialize.",
+    "q217_cmh_odds_ratio" ->
+      "CMH: one broadcast dim join + one map-side-combinable aggregate to the |strata| frame; cross-stratum double sums are ordered LEFT-FOLDS over the collected 5-row frame (windowed SUM would inherit DuckDB's segment-tree association).",
+    "q218_event_trigrams" ->
+      "Trigram mining: one user-keyed window pass, map-side compression to the |types|^3-bounded pattern frame (<=125 rows); marginals broadcast back; lift ranks on bit-identical doubles.",
+    "q219_jonckheere_trend" ->
+      "Jonckheere: one map-side aggregate to the <=550-cell contingency table; ordered-pair cell join ~3e5 pairs corpus-independent; null moments are closed-form decimal/HUGEINT integers.",
+    "q220_abc_xyz_matrix" ->
+      "ABC-XYZ: (part, month) then part rollup, both map-side combinable; CV^2 and revenue-class tests are integer cross-multiplications (no division/sqrt); one part-bounded rank window; 9-row report.",
+    "q221_discount_elasticity" ->
+      "Elasticity: one map-side aggregate onto the 11-row discount frame; both logs ride the quantized-log2 ladder; the OLS epilogue is a 1-row select of exact decimal moments.",
+    "q222_logrank_test" ->
+      "Log-rank: q153's two subject-keyed aggregates, then everything on the calendar-bounded duration frame; E/V rational terms sum via ordered LEFT-FOLD (DuckDB windowed SUM is segment-tree associated — the drift this round's hash gate caught at ~1600 event times).",
+    "q223_hodges_lehmann" ->
+      "Hodges-Lehmann: O(N^2) Walsh pairs collapse onto the <=50-value domain (<=1275 cells, <=99 walsh2 groups); type-1 weighted median is integer selection; pair weights decimal/HUGEINT (N^2 > int64 at 100 TB).",
+    "q224_capture_recapture" ->
+      "Capture-recapture: one distinct-hash aggregate per capture (hashes shuffle, never text), overlap via the same groupBy, 1-row report; Chapman estimate in decimal/HUGEINT.",
+    "q225_gtest_collocations" ->
+      "G-test: one bigram explode compressed map-side to bigram-vocabulary counts; margins are two vocabulary-shaped joins (AQE-skew-splittable); quantized-log2 G with a runtime ceilingGuard on N; top-10 TakeOrdered.",
+    "q226_gk_lambda" ->
+      "GK lambda: six contingency aggregates, each bounded by its domain product (<=60 cells); maxima/sums on cell frames; one IEEE division per direction.",
+    "q227_qq_decile_shift" ->
+      "QQ shift: q201's delay-domain collapse; per-group CDFs via two bounded-frame windows; decile election is a 9-way constant fanout + min-aggregate — integer cross-multiplied type-1 quantiles, 9 rows out.",
+    "q228_design_effect" ->
+      "Design effect: one broadcast dim join + per-stratum moment aggregate; within-variance cross-group sum via ordered left-fold on the 5-row frame; mirrored IEEE ratios.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
