@@ -212,4 +212,40 @@ class PlanSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(yr"), scan)
     assert(scan.contains("(yr"), scan) // the =1995 predicate, pruned pre-scan
   }
+  test("q196 kNN audit: probes broadcast, top-5 via WindowGroupLimit heaps") {
+    val plan = planOf(q("q196_knn_label_audit"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "probe frame must broadcast, not shuffle: " + plan.take(1500))
+    assert(plan.contains("WindowGroupLimit"),
+      "per-probe top-k must run as per-partition heaps: " + plan.take(1500))
+  }
+
+  test("q206 HBOS scoring joins only broadcast histograms (no fact shuffle join)") {
+    val plan = planOf(q("q206_hbos_anomaly"))
+    val shuffleJoins = plan.sliding("SortMergeJoin".length)
+      .count(_ == "SortMergeJoin")
+    assert(shuffleJoins == 0,
+      s"all four histogram joins must broadcast; found $shuffleJoins SortMergeJoin: " + plan.take(2000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort: " + plan.take(1500))
+  }
+
+  test("q205 Kendall tau-b never shuffles the corpus past the cell aggregate") {
+    val df = q("q205_kendall_tau_b")
+    df.collect()
+    // the contingency collapse is the ONLY corpus-sized aggregate; the
+    // cell self-join runs on <= 550 rows, so the final plan's exchanges
+    // must all carry the tiny cell/tie frames (partial agg upstream).
+    val plan = planOf(df)
+    assert(plan.contains("partial"), "cell aggregate must map-side combine: " + plan.take(1500))
+  }
+
+  test("q199 OLS is one pass: no window, no second scan of orders") {
+    val plan = planOf(q("q199_ols_trend"))
+    assert(!plan.contains("Window"), "moment sums need no window: " + plan.take(1500))
+    val orderScans = plan.sliding("orders.parquet".length)
+      .count(_ == "orders.parquet")
+    assert(orderScans <= 1, s"orders scanned $orderScans times: " + plan.take(2000))
+  }
+
 }
