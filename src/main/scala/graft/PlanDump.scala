@@ -252,7 +252,13 @@ object PlanDump {
     "q227_qq_decile_shift" ->
       "QQ shift: q201's delay-domain collapse; per-group CDFs via two bounded-frame windows; decile election is a 9-way constant fanout + min-aggregate — integer cross-multiplied type-1 quantiles, 9 rows out.",
     "q228_design_effect" ->
-      "Design effect: one broadcast dim join + per-stratum moment aggregate; within-variance cross-group sum via ordered left-fold on the 5-row frame; mirrored IEEE ratios.")
+      "Design effect: one broadcast dim join + per-stratum moment aggregate; within-variance cross-group sum via ordered left-fold on the 5-row frame; mirrored IEEE ratios.",
+    "q229_kfold_slope_stability" ->
+      "k-fold OLS: ONE moment pass to the 5-row fold frame; out-of-fold fits by total-minus-fold subtraction (no per-fold rescans); 5-row epilogue.",
+    "q230_personalized_pagerank" ->
+      "PPR: q137's one-exchange edge frame (window out-weights) built once; each of 8 rounds is an equi-join + map-side aggregate on vertex-sized frames, cut per round; integer-ppb mass is bounded by 1e9 so per-node sums never overflow at any scale; top-10 TakeOrdered.",
+    "q231_littles_law" ->
+      "Little's law: one user-keyed window pass to session rows; the occupancy sweep compresses map-side onto the CALENDAR-bounded minute grid; report is 1 row with three independently-measured ratios.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

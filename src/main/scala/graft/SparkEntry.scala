@@ -89,6 +89,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.GkLambda      q226  Goodman-Kruskal dependency strength
   *   - operators.QqShift       q227  per-decile QQ distribution shift
   *   - operators.DesignEffect  q228  Kish stratification design effect
+  *   - operators.KFoldOls      q229  k-fold out-of-fold slope stability
+  *   - graph.Ppr               q230  personalized PageRank from the busiest part
+  *   - streaming.LittlesLaw    q231  Little's law concurrency audit
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -189,7 +192,10 @@ object SparkEntry {
     text.GTest.all ++
     operators.GkLambda.all ++
     operators.QqShift.all ++
-    operators.DesignEffect.all
+    operators.DesignEffect.all ++
+    operators.KFoldOls.all ++
+    graph.Ppr.all ++
+    streaming.LittlesLaw.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).
