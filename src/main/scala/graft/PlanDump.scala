@@ -258,7 +258,13 @@ object PlanDump {
     "q230_personalized_pagerank" ->
       "PPR: q137's one-exchange edge frame (window out-weights) built once; each of 8 rounds is an equi-join + map-side aggregate on vertex-sized frames, cut per round; integer-ppb mass is bounded by 1e9 so per-node sums never overflow at any scale; top-10 TakeOrdered.",
     "q231_littles_law" ->
-      "Little's law: one user-keyed window pass to session rows; the occupancy sweep compresses map-side onto the CALENDAR-bounded minute grid; report is 1 row with three independently-measured ratios.")
+      "Little's law: one user-keyed window pass to session rows; the occupancy sweep compresses map-side onto the CALENDAR-bounded minute grid; report is 1 row with three independently-measured ratios.",
+    "q232_holt_linear" ->
+      "Holt: corpus collapses map-side to (priority, day) cells; the serial recurrence runs as ONE ordered left-fold per priority over a calendar-bounded array — no per-iteration shuffles; 5-row report.",
+    "q233_cohens_kappa" ->
+      "Kappa: one map-side tokenize + integer-predicate pass, one map-side-combinable aggregate to |languages| rows; kappa is one IEEE division of exact contingency integers.",
+    "q234_isotonic_pava" ->
+      "Isotonic: ONE corpus aggregate to the 11-level frame; the minimax fit (ranges, nested min/max) is a constant-size epilogue — 66 range rows, no recursion, no corpus rescans.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

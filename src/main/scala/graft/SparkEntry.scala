@@ -92,6 +92,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.KFoldOls      q229  k-fold out-of-fold slope stability
   *   - graph.Ppr               q230  personalized PageRank from the busiest part
   *   - streaming.LittlesLaw    q231  Little's law concurrency audit
+  *   - operators.HoltTrend     q232  Holt linear-trend smoothing + forecast
+  *   - text.Kappa              q233  Cohen's kappa filter agreement
+  *   - operators.Isotonic      q234  isotonic (PAVA) monotone demand fit
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -195,7 +198,10 @@ object SparkEntry {
     operators.DesignEffect.all ++
     operators.KFoldOls.all ++
     graph.Ppr.all ++
-    streaming.LittlesLaw.all
+    streaming.LittlesLaw.all ++
+    operators.HoltTrend.all ++
+    text.Kappa.all ++
+    operators.Isotonic.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 231 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 231)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 231)
+  test("registry has 234 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 234)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 234)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
