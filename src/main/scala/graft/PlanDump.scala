@@ -264,7 +264,19 @@ object PlanDump {
     "q233_cohens_kappa" ->
       "Kappa: one map-side tokenize + integer-predicate pass, one map-side-combinable aggregate to |languages| rows; kappa is one IEEE division of exact contingency integers.",
     "q234_isotonic_pava" ->
-      "Isotonic: ONE corpus aggregate to the 11-level frame; the minimax fit (ranges, nested min/max) is a constant-size epilogue — 66 range rows, no recursion, no corpus rescans.")
+      "Isotonic: ONE corpus aggregate to the 11-level frame; the minimax fit (ranges, nested min/max) is a constant-size epilogue — 66 range rows, no recursion, no corpus rescans.",
+    "q235_durbin_watson" ->
+      "DW: corpus collapses map-side to calendar-bounded daily cells behind a Barrier; q199's exact-moment fit broadcasts back; the lag window + two ordered left-folds run on the span-days frame; 1 row out.",
+    "q236_seasonal_backtest" ->
+      "Backtest: daily cells behind a Barrier reused by the lag-7 self-equi-join AND the naive-scale lag window; integer metric sums are map-side-combinable, sMAPE is one ordered fold; 1 row out.",
+    "q237_friedman_test" ->
+      "Friedman: broadcast dim join + map-side aggregate to |months|x5 cells; rank windows run per month block on 5-row frames; chi-square is a 1-row epilogue broadcast back to the 5-row report.",
+    "q238_runs_test" ->
+      "Runs test: daily cells map-side; 1-row exact-moment fit broadcasts back; one lag window + one count aggregate on the span-days frame; 1 row out.",
+    "q239_cooks_distance" ->
+      "Cook's D: daily cells behind a Barrier reused by moments, residuals, and the ordered-fold SSE; per-day influence is pure map arithmetic on broadcast 1-row stats; top-10 via TakeOrdered.",
+    "q240_trade_reciprocity" ->
+      "Reciprocity: one corpus pass — two broadcast dim hops + the natural-key lineitem-orders equi-join — collapses map-side to the <=25x24 pair frame behind a Barrier; dyad mins and the 25-row report are epilogue.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

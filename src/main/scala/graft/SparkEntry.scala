@@ -95,6 +95,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.HoltTrend     q232  Holt linear-trend smoothing + forecast
   *   - text.Kappa              q233  Cohen's kappa filter agreement
   *   - operators.Isotonic      q234  isotonic (PAVA) monotone demand fit
+  *   - operators.DurbinWatson  q235  residual serial-correlation test
+  *   - operators.Backtest      q236  seasonal-naive forecast backtest
+  *   - operators.Friedman      q237  Friedman blocked rank test
+  *   - operators.RunsTest      q238  Wald-Wolfowitz residual runs test
+  *   - operators.CooksDistance q239  Cook's distance influence top-10
+  *   - graph.TradeFlows        q240  directed trade-flow reciprocity
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -201,7 +207,13 @@ object SparkEntry {
     streaming.LittlesLaw.all ++
     operators.HoltTrend.all ++
     text.Kappa.all ++
-    operators.Isotonic.all
+    operators.Isotonic.all ++
+    operators.DurbinWatson.all ++
+    operators.Backtest.all ++
+    operators.Friedman.all ++
+    operators.RunsTest.all ++
+    operators.CooksDistance.all ++
+    graph.TradeFlows.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 234 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 234)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 234)
+  test("registry has 240 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 240)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 240)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
