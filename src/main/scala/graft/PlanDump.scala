@@ -276,7 +276,25 @@ object PlanDump {
     "q239_cooks_distance" ->
       "Cook's D: daily cells behind a Barrier reused by moments, residuals, and the ordered-fold SSE; per-day influence is pure map arithmetic on broadcast 1-row stats; top-10 via TakeOrdered.",
     "q240_trade_reciprocity" ->
-      "Reciprocity: one corpus pass — two broadcast dim hops + the natural-key lineitem-orders equi-join — collapses map-side to the <=25x24 pair frame behind a Barrier; dyad mins and the 25-row report are epilogue.")
+      "Reciprocity: one corpus pass — two broadcast dim hops + the natural-key lineitem-orders equi-join — collapses map-side to the <=25x24 pair frame behind a Barrier; dyad mins and the 25-row report are epilogue.",
+    "q241_bradley_terry" ->
+      "Bradley-Terry: corpus-sized work is ONE aggregate to |months|x5 cells; the pairwise record and all 8 MM rounds run on <=20-row frames, each round lineage-cut; ordered folds keep float reductions engine-identical.",
+    "q242_zonemap_audit" ->
+      "Zone-map: both layouts collapse map-side to file-granularity (fid, n, min, max) stats; the 12-predicate probe is a broadcast cross join on that metadata frame — at 100 TB a metadata-only query after one stats pass.",
+    "q243_kneser_ney" ->
+      "KN: q116's shape — one explode compressed immediately to per-(doc,v,w) counts behind a Barrier with two consumers; model/ctx/cont/type frames are type-bounded; scoring join shuffles on the (v,w) type key; top-doc via max(struct).",
+    "q244_mann_kendall" ->
+      "MK: corpus collapses map-side to calendar-bounded daily cells; the pairwise self-join is bounded by the CALENDAR squared (~3M pairs at any corpus size); tie groups a second tiny aggregate; 1 row out.",
+    "q245_binary_segmentation" ->
+      "BinSeg: daily cells behind a Barrier; INTEGER prefix-sum window (segment-tree-safe, unlike doubles) + per-row IEEE score on the span-days frame; argmax via TakeOrdered(1).",
+    "q246_nelson_aalen" ->
+      "NA: q153's calendar-bounded event ledger; five horizon folds (ordered by duration) on that bounded frame; corpus-sized work is only the first/next-encounter groupBys; 5 rows out.",
+    "q247_join_skew_advisor" ->
+      "SkewAdvisor: ONE map-side-combinable aggregate to the partkey histogram behind a Barrier; totals are a 1-row broadcast cross join; top-10 via global sort on the already-tiny frame; the profiled join never runs.",
+    "q248_compaction_plan" ->
+      "Compaction: corpus collapses map-side to the (fid, sz) file ledger; the NFD fold is one ordered `aggregate` over that metadata-sized array (exact integer bin state); 1 row out.",
+    "q249_markov_entropy_rate" ->
+      "EntropyRate: q160's per-user lead window compressed map-side to the kxk transition matrix behind a Barrier; entropy sums in quantized log2 run on that k^2 frame; global rate is a 1-row broadcast.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

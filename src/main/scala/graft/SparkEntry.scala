@@ -101,6 +101,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.RunsTest      q238  Wald-Wolfowitz residual runs test
   *   - operators.CooksDistance q239  Cook's distance influence top-10
   *   - graph.TradeFlows        q240  directed trade-flow reciprocity
+  *   - operators.BradleyTerry  q241  pairwise-win strength ranking
+  *   - operators.ZoneMap       q242  min/max pruning layout audit
+  *   - text.KneserNey          q243  Kneser-Ney bigram LM gate
+  *   - operators.MannKendall   q244  monotone-trend significance test
+  *   - operators.BinarySeg     q245  mean-shift changepoint election
+  *   - operators.Survival      q246  Nelson-Aalen cumulative hazard
+  *   - operators.SkewAdvisor   q247  join-skew salt-factor planning
+  *   - operators.CompactionPlan q248 NFD small-file compaction plan
+  *   - streaming.EntropyRate   q249  Markov entropy-rate predictability
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -111,109 +120,122 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  val registry: Seq[Q] =
-    operators.CoreQueries.all ++
-    operators.AggQueries.all ++
-    functions.ScalarQueries.all ++
-    streaming.EventQueries.all ++
-    streaming.Seasonal.all ++
-    streaming.MarkovTransitions.all ++
-    text.ZipfTail.all ++
-    text.PackingCurve.all ++
-    streaming.Burstiness.all ++
-    text.TextQueries.all ++
-    text.Bpe.all ++
-    text.BloomPrune.all ++
-    text.HybridSearch.all ++
-    text.WeightedSample.all ++
-    similarity.VectorQueries.all ++
-    similarity.Mmr.all ++
-    multimodal.MultimodalQueries.all ++
-    operators.Search.all ++
-    operators.JoinEstimate.all ++
-    operators.DataLayout.all ++
-    operators.Skyline.all ++
-    operators.GoldenRecord.all ++
-    operators.SkewAudit.all ++
-    operators.Constraints.all ++
-    operators.AsofJoin.all ++
-    operators.HllSetOps.all ++
-    operators.Survival.all ++
-    operators.NameSimilarity.all ++
-    operators.BenfordAudit.all ++
-    operators.ColumnEntropy.all ++
-    operators.RobustOutliers.all ++
-    operators.ExpSmoothing.all ++
-    operators.StatsAudits.all ++
-    operators.CubeAgg.all ++
-    security.SecurityQueries.all ++
-    graph.GraphQueries.all ++
-    graph.Triangles.all ++
-    graph.AssocRules.all ++
-    graph.Assortativity.all ++
-    operators.Gini.all ++
-    operators.ControlChart.all ++
-    operators.Spearman.all ++
-    operators.AbcRfm.all ++
-    operators.Autocorr.all ++
-    text.Heaps.all ++
-    operators.FdMining.all ++
-    multimodal.ImageDedup.all ++
-    text.Homoglyph.all ++
-    graph.Hits.all ++
-    operators.LeadTime.all ++
-    operators.Hierarchy.all ++
-    graph.Bfs.all ++
-    text.QualityBuckets.all ++
-    similarity.Pq.all ++
-    operators.RollingDistinct.all ++
-    operators.Cusum.all ++
-    streaming.Attribution.all ++
-    operators.WeightedMedian.all ++
-    similarity.Ivfpq.all ++
-    similarity.GridDbscan.all ++
-    similarity.KnnAudit.all ++
-    security.DpSensitivity.all ++
-    similarity.Medoids.all ++
-    operators.StatTests.all ++
-    text.NaiveBayes.all ++
-    similarity.DimQa.all ++
-    operators.KendallTau.all ++
-    operators.Hbos.all ++
-    graph.KCore.all ++
-    operators.LeadLag.all ++
-    operators.TheilSen.all ++
-    operators.RobustMean.all ++
-    streaming.MarkovAttribution.all ++
-    text.SketchAudit.all ++
-    text.FightinWords.all ++
-    operators.Conformal.all ++
-    operators.EbShrinkage.all ++
-    graph.LinkPrediction.all ++
-    operators.MantelHaenszel.all ++
-    streaming.SequenceMining.all ++
-    operators.Jonckheere.all ++
-    operators.AbcXyz.all ++
-    operators.Elasticity.all ++
-    operators.LogRank.all ++
-    operators.HodgesLehmann.all ++
-    text.CaptureRecapture.all ++
-    text.GTest.all ++
-    operators.GkLambda.all ++
-    operators.QqShift.all ++
-    operators.DesignEffect.all ++
-    operators.KFoldOls.all ++
-    graph.Ppr.all ++
-    streaming.LittlesLaw.all ++
-    operators.HoltTrend.all ++
-    text.Kappa.all ++
-    operators.Isotonic.all ++
-    operators.DurbinWatson.all ++
-    operators.Backtest.all ++
-    operators.Friedman.all ++
-    operators.RunsTest.all ++
-    operators.CooksDistance.all ++
-    graph.TradeFlows.all
+  // A flat Seq(...).flatten, NOT a `++` chain: ~100 left-nested `++`
+  // applications overflow the scalac typer stack (StackOverflowError at
+  // compile time under the default -Xss); one shallow varargs apply stays
+  // O(1) deep no matter how many modules register.
+  val registry: Seq[Q] = Seq(
+    operators.CoreQueries.all,
+    operators.AggQueries.all,
+    functions.ScalarQueries.all,
+    streaming.EventQueries.all,
+    streaming.Seasonal.all,
+    streaming.MarkovTransitions.all,
+    text.ZipfTail.all,
+    text.PackingCurve.all,
+    streaming.Burstiness.all,
+    text.TextQueries.all,
+    text.Bpe.all,
+    text.BloomPrune.all,
+    text.HybridSearch.all,
+    text.WeightedSample.all,
+    similarity.VectorQueries.all,
+    similarity.Mmr.all,
+    multimodal.MultimodalQueries.all,
+    operators.Search.all,
+    operators.JoinEstimate.all,
+    operators.DataLayout.all,
+    operators.Skyline.all,
+    operators.GoldenRecord.all,
+    operators.SkewAudit.all,
+    operators.Constraints.all,
+    operators.AsofJoin.all,
+    operators.HllSetOps.all,
+    operators.Survival.all,
+    operators.NameSimilarity.all,
+    operators.BenfordAudit.all,
+    operators.ColumnEntropy.all,
+    operators.RobustOutliers.all,
+    operators.ExpSmoothing.all,
+    operators.StatsAudits.all,
+    operators.CubeAgg.all,
+    security.SecurityQueries.all,
+    graph.GraphQueries.all,
+    graph.Triangles.all,
+    graph.AssocRules.all,
+    graph.Assortativity.all,
+    operators.Gini.all,
+    operators.ControlChart.all,
+    operators.Spearman.all,
+    operators.AbcRfm.all,
+    operators.Autocorr.all,
+    text.Heaps.all,
+    operators.FdMining.all,
+    multimodal.ImageDedup.all,
+    text.Homoglyph.all,
+    graph.Hits.all,
+    operators.LeadTime.all,
+    operators.Hierarchy.all,
+    graph.Bfs.all,
+    text.QualityBuckets.all,
+    similarity.Pq.all,
+    operators.RollingDistinct.all,
+    operators.Cusum.all,
+    streaming.Attribution.all,
+    operators.WeightedMedian.all,
+    similarity.Ivfpq.all,
+    similarity.GridDbscan.all,
+    similarity.KnnAudit.all,
+    security.DpSensitivity.all,
+    similarity.Medoids.all,
+    operators.StatTests.all,
+    text.NaiveBayes.all,
+    similarity.DimQa.all,
+    operators.KendallTau.all,
+    operators.Hbos.all,
+    graph.KCore.all,
+    operators.LeadLag.all,
+    operators.TheilSen.all,
+    operators.RobustMean.all,
+    streaming.MarkovAttribution.all,
+    text.SketchAudit.all,
+    text.FightinWords.all,
+    operators.Conformal.all,
+    operators.EbShrinkage.all,
+    graph.LinkPrediction.all,
+    operators.MantelHaenszel.all,
+    streaming.SequenceMining.all,
+    operators.Jonckheere.all,
+    operators.AbcXyz.all,
+    operators.Elasticity.all,
+    operators.LogRank.all,
+    operators.HodgesLehmann.all,
+    text.CaptureRecapture.all,
+    text.GTest.all,
+    operators.GkLambda.all,
+    operators.QqShift.all,
+    operators.DesignEffect.all,
+    operators.KFoldOls.all,
+    graph.Ppr.all,
+    streaming.LittlesLaw.all,
+    operators.HoltTrend.all,
+    text.Kappa.all,
+    operators.Isotonic.all,
+    operators.DurbinWatson.all,
+    operators.Backtest.all,
+    operators.Friedman.all,
+    operators.RunsTest.all,
+    operators.CooksDistance.all,
+    graph.TradeFlows.all,
+    operators.BradleyTerry.all,
+    operators.ZoneMap.all,
+    text.KneserNey.all,
+    operators.MannKendall.all,
+    operators.BinarySeg.all,
+    operators.SkewAdvisor.all,
+    operators.CompactionPlan.all,
+    streaming.EntropyRate.all,
+  ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q01: window-based 30-day readmission rate (SURVEY.md §7.1 M1).
