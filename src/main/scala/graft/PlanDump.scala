@@ -294,7 +294,13 @@ object PlanDump {
     "q248_compaction_plan" ->
       "Compaction: corpus collapses map-side to the (fid, sz) file ledger; the NFD fold is one ordered `aggregate` over that metadata-sized array (exact integer bin state); 1 row out.",
     "q249_markov_entropy_rate" ->
-      "EntropyRate: q160's per-user lead window compressed map-side to the kxk transition matrix behind a Barrier; entropy sums in quantized log2 run on that k^2 frame; global rate is a 1-row broadcast.")
+      "EntropyRate: q160's per-user lead window compressed map-side to the kxk transition matrix behind a Barrier; entropy sums in quantized log2 run on that k^2 frame; global rate is a 1-row broadcast.",
+    "q250_mcnemar" ->
+      "McNemar: orders collapse map-side to per-customer year flags (one natural-key groupBy); the customer join is key-local; the paired 2x2 table is a 1-row aggregate with an IEEE epilogue.",
+    "q251_price_index" ->
+      "PriceIndex: ONE corpus shuffle to (part, year) cells behind a Barrier; base-vs-year matched join and the four ordered folds run on dimension-sized frames; 6 rows out.",
+    "q252_trade_modularity" ->
+      "Modularity: q240's flow collapse (two broadcast dim hops + the natural-key orders join) to the <=25x24 pair frame behind a Barrier; symmetrize/degree/internal masses and the 5-row report are constant-size epilogue.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -110,6 +110,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.SkewAdvisor   q247  join-skew salt-factor planning
   *   - operators.CompactionPlan q248 NFD small-file compaction plan
   *   - streaming.EntropyRate   q249  Markov entropy-rate predictability
+  *   - operators.McNemar       q250  paired year-over-year activity test
+  *   - operators.PriceIndex    q251  Laspeyres/Paasche/Fisher indexes
+  *   - graph.Modularity        q252  region-partition trade modularity
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -235,6 +238,9 @@ object SparkEntry {
     operators.SkewAdvisor.all,
     operators.CompactionPlan.all,
     streaming.EntropyRate.all,
+    operators.McNemar.all,
+    operators.PriceIndex.all,
+    graph.Modularity.all,
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
