@@ -300,7 +300,13 @@ object PlanDump {
     "q251_price_index" ->
       "PriceIndex: ONE corpus shuffle to (part, year) cells behind a Barrier; base-vs-year matched join and the four ordered folds run on dimension-sized frames; 6 rows out.",
     "q252_trade_modularity" ->
-      "Modularity: q240's flow collapse (two broadcast dim hops + the natural-key orders join) to the <=25x24 pair frame behind a Barrier; symmetrize/degree/internal masses and the 5-row report are constant-size epilogue.")
+      "Modularity: q240's flow collapse (two broadcast dim hops + the natural-key orders join) to the <=25x24 pair frame behind a Barrier; symmetrize/degree/internal masses and the 5-row report are constant-size epilogue.",
+    "q253_gains_lift" ->
+      "GainsLift: orders collapse map-side to per-customer (score, outcome); the NTILE sort runs on that dimension-sized frame only (DistributedRank is the 100 TB swap); decile/cumulative arithmetic on 10 rows.",
+    "q254_histogram_selectivity" ->
+      "HistSel: one pass to per-order cents behind a Barrier with two consumers (histogram + exact probe counts); the NTILE sort is the audit's deliberate exactness cost; estimates run on the 20-row stats frame x 8 probes.",
+    "q255_simpson_slopes" ->
+      "Simpson: ONE map-side-combinable moment aggregate over lineitem (broadcast supplier hop) to 25 rows behind a Barrier; pooled moments are an exact decimal re-aggregate; slopes/flags are epilogue.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -113,6 +113,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.McNemar       q250  paired year-over-year activity test
   *   - operators.PriceIndex    q251  Laspeyres/Paasche/Fisher indexes
   *   - graph.Modularity        q252  region-partition trade modularity
+  *   - operators.GainsLift     q253  decile gains/lift targeting table
+  *   - operators.HistogramEstimate q254 CBO selectivity-error audit
+  *   - operators.SimpsonParadox q255 pooled-vs-stratified slope reversals
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -241,6 +244,9 @@ object SparkEntry {
     operators.McNemar.all,
     operators.PriceIndex.all,
     graph.Modularity.all,
+    operators.GainsLift.all,
+    operators.HistogramEstimate.all,
+    operators.SimpsonParadox.all,
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 252 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 252)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 252)
+  test("registry has 255 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 255)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 255)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
