@@ -306,7 +306,11 @@ object PlanDump {
     "q254_histogram_selectivity" ->
       "HistSel: one pass to per-order cents behind a Barrier with two consumers (histogram + exact probe counts); the NTILE sort is the audit's deliberate exactness cost; estimates run on the 20-row stats frame x 8 probes.",
     "q255_simpson_slopes" ->
-      "Simpson: ONE map-side-combinable moment aggregate over lineitem (broadcast supplier hop) to 25 rows behind a Barrier; pooled moments are an exact decimal re-aggregate; slopes/flags are epilogue.")
+      "Simpson: ONE map-side-combinable moment aggregate over lineitem (broadcast supplier hop) to 25 rows behind a Barrier; pooled moments are an exact decimal re-aggregate; slopes/flags are epilogue.",
+    "q256_holt_winters" ->
+      "HW: corpus collapses map-side to <=|months| cells; the zero-filled grid, the rotated-seasonal fold, and the 12-row forecast are calendar-bounded epilogue on a 1-row array frame.",
+    "q257_croston_sba" ->
+      "Croston: the mod-997 filtered scan collapses map-side to <=|months| demand cells; exact gaps precompute before the two-state fold; 1 row out.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

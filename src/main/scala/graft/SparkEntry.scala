@@ -116,6 +116,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.GainsLift     q253  decile gains/lift targeting table
   *   - operators.HistogramEstimate q254 CBO selectivity-error audit
   *   - operators.SimpsonParadox q255 pooled-vs-stratified slope reversals
+  *   - operators.HoltWinters   q256  additive seasonal smoothing m=12
+  *   - operators.Croston       q257  intermittent-demand SBA forecast
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -247,6 +249,8 @@ object SparkEntry {
     operators.GainsLift.all,
     operators.HistogramEstimate.all,
     operators.SimpsonParadox.all,
+    operators.HoltWinters.all,
+    operators.Croston.all,
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
