@@ -118,6 +118,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.SimpsonParadox q255 pooled-vs-stratified slope reversals
   *   - operators.HoltWinters   q256  additive seasonal smoothing m=12
   *   - operators.Croston       q257  intermittent-demand SBA forecast
+  *   - text.LexicalStats       q258/q259 Yule's K + Flesch readability
+  *   - operators.EncodingAdvisor q260 RLE/dict encoding advisor
+  *   - similarity.CentroidShift q261 label-centroid cosine matrix
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -251,6 +254,9 @@ object SparkEntry {
     operators.SimpsonParadox.all,
     operators.HoltWinters.all,
     operators.Croston.all,
+    text.LexicalStats.all,
+    operators.EncodingAdvisor.all,
+    similarity.CentroidShift.all,
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

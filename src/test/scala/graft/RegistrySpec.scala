@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 257 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 257)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 257)
+  test("registry has 261 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 261)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 261)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
