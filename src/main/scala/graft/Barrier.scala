@@ -53,6 +53,21 @@ object Barrier {
   val ConfKey = "spark.graft.barrierStorage"
   val CheckpointDirKey = "spark.graft.checkpointDir"
 
+  /** Reliable checkpoints a [[CutChain]] keeps live (current round +
+    * one back). Iterative algorithms cut every round; each round
+    * leaves an `rdd-N` directory in the fault-tolerant store that the
+    * ContextCleaner only reclaims when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` AND the
+    * RDD is GC'd — a multi-hour 100 TB run would grow the checkpoint
+    * dir O(rounds). Two reclaim paths bound it: [[release]] deletes
+    * EVERY checkpoint this object wrote for the session (between
+    * queries), and single-frame iterations opt into [[chain]] for
+    * eager per-round rotation (once round N materializes, round
+    * N−CutCheckpointsKept's files go — a chain whose consumer reads
+    * deeper than one round back must not use rotation).
+    */
+  val CutCheckpointsKept = 2
+
   // WEAK keys: a session that was released (empty queue, no DataFrame
   // value referencing it) must be collectable — a strong-keyed map
   // would pin every per-job/per-batch SparkSession for the JVM
@@ -67,13 +82,58 @@ object Barrier {
       new java.util.WeakHashMap[
         org.apache.spark.sql.SparkSession, java.util.Queue[DataFrame]]())
 
+  // Every reliable-checkpoint path (`…/rdd-N` dir) this object creates
+  // — via apply(), cut(), or a CutChain — queues here for deletion at
+  // release() (the between-queries point where the caller asserts no
+  // frame is re-consumed). Same weak-key rationale as `registry`.
+  private val ckptPaths: java.util.Map[
+      org.apache.spark.sql.SparkSession, java.util.Queue[String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.SparkSession, java.util.Queue[String]]())
+
+  private def registerCkpt(
+      spark: org.apache.spark.sql.SparkSession, p: String): Unit = {
+    ckptPaths.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+      .add(p)
+    ()
+  }
+
+  /** The `rdd-N` checkpoint directory backing an (eagerly)
+    * checkpointed frame — found by walking the physical RDD DAG for
+    * the node with a checkpoint file. Public RDD API only.
+    */
+  private def checkpointPathOf(df: DataFrame): Option[String] = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Option[String] =
+      r.getCheckpointFile.orElse(r.dependencies.iterator
+        .map(d => walk(d.rdd)).collectFirst { case Some(p) => p })
+    walk(df.queryExecution.toRdd)
+  }
+
+  /** Best-effort recursive delete through the Hadoop FileSystem of the
+    * path (works for hdfs://, s3a://, file:// alike); a failed delete
+    * must never fail the job that has already moved past the round.
+    */
+  private def deleteCheckpoint(
+      spark: org.apache.spark.sql.SparkSession, p: String): Unit =
+    try {
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(path, true)
+      ()
+    } catch { case _: java.io.IOException => () }
+
   /** Barrier `df` per the session's configured strategy. */
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.get(ConfKey, "MEMORY_AND_DISK").trim.toUpperCase match {
       case "NONE" => df
       case "LOCAL_CHECKPOINT" => df.localCheckpoint()
-      case "RELIABLE_CHECKPOINT" => reliableCheckpoint(df)
+      case "RELIABLE_CHECKPOINT" =>
+        val cp = reliableCheckpoint(df)
+        checkpointPathOf(cp).foreach(registerCkpt(spark, _))
+        cp
       case level =>
         val p = df.persist(StorageLevel.fromString(level))
         registry.computeIfAbsent(spark,
@@ -99,9 +159,54 @@ object Barrier {
   def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ConfKey, "MEMORY_AND_DISK")
         .trim.toUpperCase match {
-      case "RELIABLE_CHECKPOINT" => reliableCheckpoint(df)
+      case "RELIABLE_CHECKPOINT" =>
+        val cp = reliableCheckpoint(df)
+        // NO cut-time rotation here: a query may hold several
+        // interleaved cut sequences whose older rounds are still
+        // consumed later (BFS unions every round's frontier; label
+        // propagation pins node/edge cuts across rounds) — deleting
+        // "the previous cut" globally is wrong. Files queue for
+        // deletion at release(); a single-frame iteration that wants
+        // bounded in-flight growth opts into [[chain]].
+        checkpointPathOf(cp).foreach(registerCkpt(df.sparkSession, _))
+        cp
       case _ => df.localCheckpoint()
     }
+
+  /** Per-round checkpoint rotation for ONE iterative frame sequence
+    * (the GraphX PeriodicCheckpointer pattern): under
+    * `RELIABLE_CHECKPOINT`, `chain().cut(round)` each round keeps the
+    * newest [[CutCheckpointsKept]] rounds' files and deletes older
+    * ones EAGERLY, so a thousand-round 100 TB job holds O(1)
+    * checkpoint storage instead of O(rounds)-until-release. Safe ONLY
+    * when the iteration reads at most `CutCheckpointsKept − 1` rounds
+    * back within this chain (every converted algorithm here reads one
+    * back) and nothing else references older rounds of THIS frame; an
+    * algorithm that accumulates rounds (BFS's visited union) must use
+    * plain [[cut]]. Under every other strategy `chain().cut` ≡
+    * [[cut]]. Rotated paths are also release()-registered — the
+    * double delete is an idempotent no-op.
+    */
+  final class CutChain private[Barrier] () {
+    private val live = new java.util.ArrayDeque[String]
+    def cut(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val out = Barrier.cut(df)
+      if (spark.conf.get(ConfKey, "MEMORY_AND_DISK")
+            .trim.toUpperCase == "RELIABLE_CHECKPOINT") {
+        checkpointPathOf(out).foreach { p =>
+          live.synchronized {
+            live.addLast(p)
+            while (live.size > CutCheckpointsKept)
+              deleteCheckpoint(spark, live.pollFirst())
+          }
+        }
+      }
+      out
+    }
+  }
+
+  def chain(): CutChain = new CutChain
 
   /** Eager fault-tolerant checkpoint; wires the SparkContext
     * checkpoint dir from `spark.graft.checkpointDir` on first use.
@@ -137,6 +242,15 @@ object Barrier {
     if (q != null) {
       var df = q.poll()
       while (df != null) { df.unpersist(blocking = false); df = q.poll() }
+    }
+    // reliable-checkpoint files follow the same contract: between
+    // queries no frame is re-consumed, so every checkpoint this object
+    // wrote for the session (apply barriers, cuts, chain survivors)
+    // can go.
+    val cq = ckptPaths.get(spark)
+    if (cq != null) {
+      var p = cq.poll()
+      while (p != null) { deleteCheckpoint(spark, p); p = cq.poll() }
     }
   }
 }

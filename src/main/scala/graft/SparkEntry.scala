@@ -121,6 +121,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - text.LexicalStats       q258/q259 Yule's K + Flesch readability
   *   - operators.EncodingAdvisor q260 RLE/dict encoding advisor
   *   - similarity.CentroidShift q261 label-centroid cosine matrix
+  *   - similarity.VectorIndexQueries q262 ANN served from the persisted IVF index
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -257,6 +258,7 @@ object SparkEntry {
     text.LexicalStats.all,
     operators.EncodingAdvisor.all,
     similarity.CentroidShift.all,
+    similarity.VectorIndexQueries.all,
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

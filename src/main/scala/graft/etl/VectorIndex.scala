@@ -1,0 +1,197 @@
+package graft.etl
+
+import graft.functions.{CosineSimilarity, TopIn, TopKAggregator}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+/** Persisted IVF vector index — the [[BandIndex]] stance applied to
+  * the ANN family (reference analog: the repeated similarity queries
+  * of `healthcare-api-main.py:236-265`, which re-hit the same
+  * precomputed store per request; the extension surface here is the
+  * embeddings table). q52/q126/q188/q194 train or derive their
+  * centroids PER QUERY — correct, but at 100 TB the corpus-sized
+  * assignment pass is the cost center, and it only changes when the
+  * corpus does. This index pays it once:
+  *
+  *   - '''build''': assign every vector to its max-cosine centroid
+  *     (one broadcast-scored pass + one narrow shuffle) and persist
+  *     TWO stores: `<path>/centroids` (k rows) and `<path>/postings`
+  *     parquet PARTITIONED BY the owning cell — the cell is a
+  *     directory, so a search's nprobe cells arrive as a
+  *     partition-PRUNED scan (the isin literal reaches the scan as a
+  *     partition filter; unprobed cells are never listed or read).
+  *   - '''search''': rank the probe batch's cells against the k-row
+  *     centroid table (broadcast), collect the ≤ |probes|·nprobe
+  *     needed cell ids (query batches are small — that is the premise
+  *     of serving from an index), scan ONLY those partitions, score
+  *     via the codegen'd [[CosineSimilarity]], and take top-k through
+  *     the bounded [[TopKAggregator]] — partial buffers carry ≤ k rows
+  *     per map partition, so the only Exchange in the plan moves
+  *     k·partitions·|probes| rows, never candidates. Zero corpus-side
+  *     shuffle, plan-asserted in `VectorIndexSpec`.
+  *   - '''append''' (replay-safe): assign the batch against the
+  *     PERSISTED centroids (cell ids stay stable — an append must
+  *     never move existing vectors), anti-join on vec_id against the
+  *     touched cells only, append the survivors. Re-running a
+  *     completed batch appends zero rows. (Mid-write crash fencing —
+  *     beacons, leases, generation swaps — is [[BandIndex]]'s
+  *     machinery; this index accepts the simpler contract that append
+  *     batches are serialized by the caller, documented here.)
+  *   - '''remove''' (takedown): the [[Erasure]] pattern — a semi-join
+  *     finds the affected cells, ONLY those partitions are rewritten
+  *     via dynamic partition overwrite, and a fully-emptied cell's
+  *     directory is deleted explicitly (dynamic overwrite only
+  *     replaces partitions present in the written data). Idempotent.
+  *
+  * Centroids are caller-supplied `(cid, vector)` pairs:
+  * [[graft.similarity.KMeans.train]] is the production trainer
+  * (bit-deterministic Lloyd's); the registry query supplies
+  * deterministic seed rows so its DuckDB oracle reproduces the
+  * assignment bit-for-bit (the q52 convention). Assignment scores
+  * round to 6dp with a cid tiebreak, search scores to 4dp with a
+  * vec_id tiebreak — the cross-engine rank-stability discipline.
+  */
+object VectorIndex {
+
+  private def centroidsDir(path: String) = s"$path/centroids"
+  private def postingsDir(path: String) = s"$path/postings"
+
+  /** Max-cosine cell per vector against driver-held centroids: one
+    * broadcast cross-score + a partially-aggregated argmax (each
+    * vector's k scored rows collapse map-side before the shuffle).
+    */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    CosineSimilarity.register(s)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("cscore", round(expr("cosine_sim(embedding, cvec)"), 6))
+      .groupBy($"vec_id")
+      .agg(first($"label").as("label"),
+        first($"embedding").as("embedding"),
+        min_by($"cid", struct(-$"cscore", $"cid")).as("cell"))
+      .select($"vec_id", $"label", $"embedding", $"cell")
+  }
+
+  private def loadCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(centroidsDir(path))
+
+  /** Build (or fully rebuild) the index at `path` from `emb`
+    * (vec_id, label, embedding) with the given centroids.
+    */
+  def build(spark: SparkSession, emb: DataFrame, path: String,
+            cents: Seq[(Int, Array[Float])]): Unit = {
+    require(cents.nonEmpty, "vector index needs at least one centroid")
+    require(cents.map(_._1).distinct.size == cents.size,
+      "duplicate centroid ids")
+    val centsDf = spark.createDataFrame(cents).toDF("cid", "cvec")
+    // k rows — one file, so every later read is one cheap open
+    centsDf.coalesce(1).write.mode("overwrite").parquet(centroidsDir(path))
+    assignCells(emb, centsDf)
+      .write.mode("overwrite").partitionBy("cell").parquet(postingsDir(path))
+  }
+
+  /** [[build]] with centroids trained by the production trainer. */
+  def buildTrained(spark: SparkSession, emb: DataFrame, path: String,
+                   k: Int, iters: Int): Unit =
+    build(spark, emb, path,
+      graft.similarity.KMeans.train(emb, k, iters).map(c => (c.cid, c.cvec)))
+
+  /** Serve a probe batch (query_id, qvec) from the persisted index:
+    * top-`topK` neighbors per probe among the probe's `nprobe`
+    * closest cells, as (query_id, neighbor_id, score, rank). A probe
+    * that IS an indexed vector never matches itself.
+    */
+  def search(spark: SparkSession, path: String, probes: DataFrame,
+             nprobe: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    require(nprobe >= 1 && topK >= 1, s"nprobe=$nprobe topK=$topK")
+    // probe-batch-sized frame, consumed twice (cell collect + join):
+    // localCheckpoint, not cache — no session-lifetime storage entry
+    val pc = probes.crossJoin(broadcast(loadCentroids(spark, path)))
+      .withColumn("cscore", round(expr("cosine_sim(qvec, cvec)"), 6))
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cscore".desc, $"cid")))
+      .filter($"r" <= nprobe)
+      .select($"cid".as("cell"), $"query_id", $"qvec")
+      .localCheckpoint()
+    // ≤ |probes|·nprobe ids — the partition-pruning literal (bounded
+    // by the probe batch, never the corpus)
+    val needed = pc.select($"cell").distinct().as[Int].collect().toSeq.sorted
+    val topk = udaf(new TopKAggregator(topK), Encoders.product[TopIn])
+    prunedPostings(spark, path, needed)
+      .join(broadcast(pc), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id",
+        round(expr("cosine_sim(embedding, qvec)"), 4).as("score"), $"vec_id")
+      .groupBy($"query_id")
+      .agg(topk($"score", $"vec_id").as("tk"))
+      .select($"query_id", posexplode($"tk.items"))
+      .select($"query_id", $"col.key".as("neighbor_id"),
+        $"col.value".as("score"), ($"pos" + 1).cast("int").as("rank"))
+  }
+
+  /** The partition-pruned postings scan — factored so the spec can
+    * assert pruning (only `cells` directories are read) on exactly the
+    * frame search consumes.
+    */
+  private[graft] def prunedPostings(spark: SparkSession, path: String,
+                                    cells: Seq[Int]): DataFrame =
+    spark.read.parquet(postingsDir(path))
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+
+  /** Append a batch (vec_id, label, embedding) against the persisted
+    * centroids; returns rows actually appended. Replay-safe at row
+    * granularity: vec_ids already present in their target cell are
+    * skipped, so re-running a completed (or half-completed) batch
+    * converges instead of duplicating.
+    */
+  def append(spark: SparkSession, path: String, batch: DataFrame): Long = {
+    import spark.implicits._
+    val assigned =
+      assignCells(batch, loadCentroids(spark, path)).localCheckpoint()
+    val cells = assigned.select($"cell").distinct().as[Int].collect().toSeq
+    if (cells.isEmpty) return 0L
+    // existing ids in the touched cells ONLY — batch-sized cost, the
+    // incremental-index premise (never a full-corpus read per batch)
+    val existing = prunedPostings(spark, path, cells).select($"vec_id")
+    val fresh = assigned.join(existing, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label", $"embedding", $"cell")
+      .localCheckpoint() // frozen: counted AND written below
+    val n = fresh.count()
+    if (n > 0)
+      fresh.write.mode("append").partitionBy("cell").parquet(postingsDir(path))
+    n
+  }
+
+  /** Takedown: erase `vecIds` from the postings, rewriting ONLY the
+    * cells that contain them ([[Erasure]]'s dynamic-partition-
+    * overwrite pattern, emptied-cell directories deleted explicitly).
+    * Returns rows erased; idempotent (a rerun finds nothing).
+    */
+  def remove(spark: SparkSession, path: String, vecIds: Seq[Long]): Long = {
+    import spark.implicits._
+    val posts = spark.read.parquet(postingsDir(path))
+    val ids = vecIds.map(java.lang.Long.valueOf)
+    val hitCells = posts.filter($"vec_id".isin(ids: _*))
+      .groupBy($"cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (hitCells.isEmpty) return 0L
+    // survivors materialized BEFORE the overwrite destroys its input
+    val survivors = prunedPostings(spark, path, hitCells.keys.toSeq)
+      .filter(!$"vec_id".isin(ids: _*))
+      .localCheckpoint()
+    val surviving = survivors.select($"cell").distinct().as[Int].collect().toSet
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(postingsDir(path))
+    val root = new org.apache.hadoop.fs.Path(postingsDir(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (hitCells.keySet -- surviving).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true)
+    }
+    hitCells.values.sum
+  }
+}

@@ -78,6 +78,9 @@ object GraphQueries {
     val nDf = verts.agg(count(lit(1)).as("nv"))
     val r0 = verts.select($"src".as("p")).crossJoin(broadcast(nDf))
       .select($"p", expr(s"$Scale div nv").as("r"))
+    // single-frame chain ⇒ rotated cuts: under RELIABLE_CHECKPOINT
+    // only the newest two rounds' checkpoint files stay on disk
+    val rounds = graft.Barrier.chain()
     (1 to iters).foldLeft(r0) { (r, _) =>
       // unqualified condition: "src"/"p" each exist on exactly one
       // side, sidestepping dataset-id ambiguity.
@@ -88,7 +91,7 @@ object GraphQueries {
       // rounds, pathological at 10+ (q182 measured 103 s uncut vs
       // 2.9 s checkpointed). The rank frame is vertex-sized, so the
       // checkpoint is cheap at any corpus scale.
-      graft.Barrier.cut(
+      rounds.cut(
         ew.join(r, $"src" === $"p")
           .select($"dst", expr("(r div wout) * w").as("contrib"))
           .groupBy($"dst").agg(sum($"contrib").as("m"))

@@ -46,6 +46,7 @@ object Ppr {
         .crossJoin(broadcast(seed))
         .select($"node",
           when($"node" === $"seed", lit(1000000000L)).otherwise(0L).as("p"))
+      val rounds = graft.Barrier.chain() // single-frame chain: rotate
       for (_ <- 1 to K) {
         val nxt = e.join(p.withColumnRenamed("node", "src"), "src")
           .groupBy($"dst".as("node"))
@@ -55,7 +56,7 @@ object Ppr {
           .select($"node",
             ($"m" + when($"node" === $"seed", lit(150000000L)).otherwise(0L))
               .as("p"))
-        p = graft.Barrier.cut(nxt)
+        p = rounds.cut(nxt)
       }
       p.orderBy($"p".desc, $"node").limit(10)
         .withColumn("rank",

@@ -56,6 +56,7 @@ object BradleyTerry {
         .agg(sum($"wij").as("wi"), sum($"nij").as("ncmp")))
       var p: DataFrame = pw.select($"i".as("seg")).distinct()
         .withColumn("p", lit(0.2d))
+      val rounds = graft.Barrier.chain() // single-frame chain: rotate
       for (_ <- 1 to K) {
         val den = pw
           .join(p.select($"seg".as("i"), $"p".as("pi")), "i")
@@ -69,7 +70,7 @@ object BradleyTerry {
         val tot = raw.agg(
           expr("aggregate(sort_array(collect_list(named_struct('seg', seg, 't', praw))), 0D, (acc, s) -> acc + s.t)")
             .as("tot"))
-        p = graft.Barrier.cut(raw.crossJoin(broadcast(tot))
+        p = rounds.cut(raw.crossJoin(broadcast(tot))
           .select($"seg", ($"praw" / $"tot").as("p")))
       }
       p.join(wins.select($"i".as("seg"), $"wi", $"ncmp"), "seg")

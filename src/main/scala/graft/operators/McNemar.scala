@@ -47,10 +47,13 @@ object McNemar {
           sum(when($"a" === 0 && $"b" === 0, 1L).otherwise(0L)).as("n_neither"))
         .select(lit(YearA).as("year_a"), lit(YearB).as("year_b"),
           $"n_both", $"n_y1_only", $"n_y2_only", $"n_neither",
+          // NULLIF the discordant denominators: zero discordant cells
+          // (tiny or year-sparse inputs) must yield NULL in BOTH
+          // engines, not a Spark-vs-DuckDB NaN/Inf coin flip.
           expr("(cast(abs(n_y1_only - n_y2_only) as double) - 1D) " +
             "* (cast(abs(n_y1_only - n_y2_only) as double) - 1D) " +
-            "/ cast(n_y1_only + n_y2_only as double)").as("chi2_cc"),
-          ($"n_y1_only".cast("double") / $"n_y2_only".cast("double"))
+            "/ cast(nullif(n_y1_only + n_y2_only, 0) as double)").as("chi2_cc"),
+          expr("cast(n_y1_only as double) / cast(nullif(n_y2_only, 0) as double)")
             .as("discordant_odds"))
     },
     Some(s"""WITH flags AS (
@@ -73,8 +76,8 @@ object McNemar {
       |       n_both, n_y1_only, n_y2_only, n_neither,
       |       (CAST(ABS(n_y1_only - n_y2_only) AS DOUBLE) - 1e0)
       |         * (CAST(ABS(n_y1_only - n_y2_only) AS DOUBLE) - 1e0)
-      |         / CAST(n_y1_only + n_y2_only AS DOUBLE) AS chi2_cc,
-      |       CAST(n_y1_only AS DOUBLE) / CAST(n_y2_only AS DOUBLE) AS discordant_odds
+      |         / CAST(NULLIF(n_y1_only + n_y2_only, 0) AS DOUBLE) AS chi2_cc,
+      |       CAST(n_y1_only AS DOUBLE) / CAST(NULLIF(n_y2_only, 0) AS DOUBLE) AS discordant_odds
       |FROM tab""".stripMargin),
     doc = "stats: McNemar continuity-corrected test of paired 1996-vs-1997 order activity per customer — exact 2x2 paired table, discordant-pair statistic in one IEEE expression")
 

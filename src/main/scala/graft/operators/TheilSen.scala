@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Theil-Sen robust trend (Theil 1950, Sen 1968) of daily order
@@ -22,9 +21,11 @@ import org.apache.spark.sql.functions._
   * Scale shape: the pair frame is CALENDAR-bounded — D(D−1)/2 pairs
   * for D distinct days (~2.9M at a 2400-day span), INDEPENDENT of
   * corpus size; the corpus itself is touched by one map-side
-  * combinable daily aggregate. The median rank runs as one
-  * single-partition window over that bounded pair frame — the same
-  * bounded-sort stance as q200/q201's domain windows.
+  * combinable daily aggregate. The median rank runs through
+  * [[DistributedRank.withRowNumber]] (range sort + per-partition
+  * offsets), never funneling the ~3M-row pair frame through the
+  * single task an unpartitioned window would — unlike q200/q201's
+  * ≤200-row domain windows, this frame is big enough to care.
   */
 object TheilSen {
 
@@ -43,8 +44,8 @@ object TheilSen {
             / ($"b.day" - $"a.day").cast("double")).as("slope"))
       val n = pairs.agg(count(lit(1)).as("n_pairs"),
         min($"da").as("first_day"), max($"db").as("last_day"))
-      val w = Window.orderBy($"slope", $"da", $"db")
-      pairs.withColumn("rn", row_number().over(w))
+      DistributedRank
+        .withRowNumber(pairs, Seq($"slope", $"da", $"db"), "rn")
         .crossJoin(broadcast(n))
         .filter($"rn" === expr("(n_pairs + 1) div 2"))
         .select($"n_pairs", $"first_day", $"last_day",

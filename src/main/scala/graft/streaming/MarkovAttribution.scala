@@ -81,6 +81,7 @@ object MarkovAttribution {
       var p: DataFrame = vedges.select($"variant", $"src".as("state"))
         .distinct().withColumn("p", lit(0L))
         .unionByName(absorbing)
+      val rounds = graft.Barrier.chain() // single-frame chain: rotate
       for (_ <- 1 to K) {
         val nxt = vedges
           .join(p.select($"variant", $"state".as("dst"), $"p"),
@@ -88,7 +89,7 @@ object MarkovAttribution {
           .groupBy($"variant", $"src".as("state"))
           .agg(expr("cast(sum(cast(w as decimal(38,0)) * p) div sum(w)" +
             " as bigint)").as("p"))
-        p = graft.Barrier.cut(nxt.unionByName(absorbing))
+        p = rounds.cut(nxt.unionByName(absorbing))
       }
       val starts2 = p.filter($"state" === "START")
         .select($"variant", $"p".as("conv_ppb"))

@@ -42,16 +42,22 @@ object SketchAudit {
         .filter(size($"tk") >= 8)
         .select($"source", explode(TextQueries.gramHashArr).as("gh"))
         .distinct())
-      // P-permutation signature: min over grams of md5("p:gh")
+      // P-permutation signature: min over grams of md5("p:gh").
+      // Rows-first fanout (explode the perm ids, ONE md5 per row) —
+      // packing all P md5 calls into a single transform() lambda
+      // compiles to one oversized generated method that bails out of
+      // JIT, costing ~10x on the first execution (round-7 driver bench
+      // recorded 38 s cold / 3.8 s warm). The gram string is projected
+      // once, before the fanout. Row volume and semantics identical;
+      // min stays map-side combinable after the generator.
       val sig = grams
-        .select($"source", explode(expr(
-          s"""transform(sequence(0, ${Perms - 1}),
-             |  p -> named_struct('p', p,
-             |    'h', cast(conv(substring(md5(concat(cast(p as string),
-             |           ':', cast(gh as string))), 1, 15), 16, 10) as bigint)))"""
-            .stripMargin)).as("e"))
-        .groupBy($"source", $"e.p".as("p"))
-        .agg(min($"e.h").as("mh"))
+        .select($"source", $"gh".cast("string").as("ghs"),
+          explode(expr(s"sequence(0, ${Perms - 1})")).as("p"))
+        .select($"source", $"p", expr(
+          "cast(conv(substring(md5(concat(cast(p as string), ':', ghs))," +
+            " 1, 15), 16, 10) as bigint)").as("h"))
+        .groupBy($"source", $"p")
+        .agg(min($"h").as("mh"))
       val est = sig.as("a").join(sig.as("b"),
           $"a.p" === $"b.p" && $"a.source" < $"b.source")
         .groupBy($"a.source".as("src_a"), $"b.source".as("src_b"))

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 261 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 261)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 261)
+  test("registry has 262 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 262)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 262)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
