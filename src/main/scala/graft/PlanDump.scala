@@ -6,9 +6,16 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Dev-only: dump annotated final physical plans for the headline
   * queries into PLANS.md (not part of the driver contract).
+  *
+  * Coverage contract (round 8): every registry query has an entry —
+  * [[PlanDumpCoverageSpec]] asserts annotations.keySet ==
+  * SparkEntry.queries.keySet so a new operator cannot land without its
+  * scale-mechanism note.
   */
 object PlanDump {
-  val annotations: Map[String, String] = Map(
+  val annotations: Map[String, String] = baseAnnotations ++ extraAnnotations
+
+  private def baseAnnotations: Map[String, String] = Map(
     "q152_triangle_census" ->
       "Degree-ordered orientation before wedge generation: hub vertices sit on the HIGH end of their edges and emit zero wedges, bounding the wedge join at O(m^1.5) under any skew; backbone (w>=2) + oriented edges each built once behind a Barrier and reused by the wedge and closing joins.",
     "q153_km_survival" ->
@@ -311,6 +318,236 @@ object PlanDump {
       "HW: corpus collapses map-side to <=|months| cells; the zero-filled grid, the rotated-seasonal fold, and the 12-row forecast are calendar-bounded epilogue on a 1-row array frame.",
     "q257_croston_sba" ->
       "Croston: the mod-997 filtered scan collapses map-side to <=|months| demand cells; exact gaps precompute before the two-state fold; 1 row out.")
+
+  /** Round-8 fill: scale-mechanism notes for every query the first 122
+    * plans left unannotated (the P/A/F/U basics plus the q128–q262
+    * gaps), completing the one-note-per-registry-entry contract.
+    */
+  private def extraAnnotations: Map[String, String] = Map(
+    "q03_eq_range_filter" ->
+      "All four predicates (eq, between, two date bounds) land in parquet PushedFilters; scan pruned to the 4 referenced columns; the count is a map-side-combinable aggregate — one narrow shuffle.",
+    "q04_inlist_filter" ->
+      "IN-lists push to the scan as In() filters; low-cardinality flag groupBy is map-side combined — linear scan, one tiny shuffle.",
+    "q05_like_prefix" ->
+      "Prefix LIKE pushes as StringStartsWith; the %infix% pattern evaluates inside the scan stage's codegen filter; per-type aggregate map-side combined.",
+    "q06_null_audit" ->
+      "nullif + every conditional NULL counter fuse into ONE map-side-combinable aggregate pass — no per-check scans.",
+    "q07_case_buckets" ->
+      "CASE ladder is a codegen'd projection feeding a map-side-combined bucket aggregate — one pass, shuffle carries |buckets| rows per partition.",
+    "q08_recode_default" ->
+      "Map-literal recode is a typedLit lookup inside whole-stage codegen (no join, no broadcast); coalesce supplies the default; one aggregate pass.",
+    "q09_mask_pii" ->
+      "sha2 + conditional masking are per-row codegen expressions; the key filter is in PushedFilters; no shuffle before the tiny output sort.",
+    "q10_left_join_abnormal" ->
+      "Abnormal side pre-aggregated to ONE row per orderkey before the left join — no row explosion; AQE broadcasts the shrunken build side when small.",
+    "q11_semi_join_exists" ->
+      "EXISTS compiles to LEFT SEMI: short-circuits on first match, never duplicates probe rows; the urgent filter is applied (and pushed) before the join.",
+    "q12_anti_join_orphans" ->
+      "NOT EXISTS compiles to LEFT ANTI; the orders side is projected to the join key alone before shuffling — narrowest possible build input.",
+    "q13_scalar_subquery_counts" ->
+      "Correlated scalar subquery decorrelated by construction: one per-key pre-aggregate + one equi-join — linear, shuffle-bounded, no per-row re-execution.",
+    "q14_latest_per_key" ->
+      "Latest-per-key via row_number over a per-key window: ONE shuffle on the key with a total order (date, key) tiebreak — no max+join-back double pass.",
+    "q15_theta_first_ship" ->
+      "Theta condition rewritten MIN-per-key + equi-join + post-filter — Catalyst never sees an inequality-only join, so no BroadcastNestedLoop.",
+    "q16_benchmark_join" ->
+      "Agg-to-agg benchmark join: both sides collapse to group-level frames BEFORE joining — the join touches |groups| rows however large the corpus.",
+    "q17_count_distinct" ->
+      "Exact COUNT(DISTINCT) plans Spark's Expand + two-phase aggregate; the documented 100 TB swap is the HLL sketch (q63) when 2% error is acceptable.",
+    "q18_conditional_agg" ->
+      "All SUM(CASE WHEN) counters fuse into ONE map-side-combinable aggregate — N metrics cost one scan, not N.",
+    "q19_having_floor" ->
+      "HAVING is a post-aggregation filter on the already-|groups|-sized frame — zero extra corpus work.",
+    "q20_monthly_buckets" ->
+      "date_format bucketing is per-row codegen; the group frame is calendar-bounded (|months| rows) so the shuffle stays tiny at any corpus size.",
+    "q21_percentiles" ->
+      "Exact per-group percentiles (sort-based aggregate) for the oracle; the documented 100 TB swap is percentile_approx — exact type-1 requires a per-group sort.",
+    "q22_agg_of_agg" ->
+      "Aggregate-of-aggregate: the second groupBy consumes the one-row-per-customer first aggregate (already shuffled on its key) — the big table is scanned once.",
+    "q23_pct_distribution" ->
+      "Percent-of-total via a window over the |segments|-row aggregate — the corpus contributes one map-side-combined pass; no second scan for the denominator.",
+    "q24_zscore_outliers" ->
+      "Moments computed in ONE aggregate and broadcast back as a 1-row crossJoin — no driver collect; decimal moments keep the z threshold engine-exact.",
+    "q25_correlation_matrix" ->
+      "All pairwise corr moments accumulate in one map-side-combinable aggregate pass; output is a single row.",
+    "q26_quality_score" ->
+      "Completeness/outlier/freshness metrics in a single aggregate row (no collect); IQR bounds computed inline; q67 is the one-pass UDAF twin.",
+    "q27_top_n" ->
+      "Global ORDER BY + LIMIT plans TakeOrderedAndProject — per-partition bounded heaps merged on the driver, no global sort.",
+    "q28_rate_ratios" ->
+      "Abnormal orderkeys distinct-projected to the bare key before the join; rates are NULLIF-guarded exact-decimal divisions.",
+    "q29_window_group_stats" ->
+      "Per-type window moments via the closed decimal formula — one shuffle on p_type; the stddev threshold is bit-identical across engines.",
+    "q30_union_all_qc" ->
+      "Per-table QC summaries are 1-row aggregates unionByName'd — three scans, three 1-row frames, no cross-table shuffle.",
+    "q31_date_arithmetic" ->
+      "Pure per-row date codegen against a fixed anchor; key filter pushed to the scan; zero shuffles.",
+    "q32_minute_diffs" ->
+      "Natural-key lineitem-orders join, then integer-exact minute diffs aggregated map-side — one join shuffle total.",
+    "q33_string_compose" ->
+      "concat/format/regexp are whole-stage-codegen per-row ops; key filter in PushedFilters; no shuffle.",
+    "q34_crypto_roundtrip" ->
+      "aes_encrypt/decrypt are codegen'd builtins running where the data lives; the roundtrip invariant is verified distributed (no key or plaintext movement).",
+    "q35_synthetic_patients" ->
+      "spark.range is evenly partitioned and every synthetic value is a pure function of the row id — embarrassingly parallel, no RNG state, no shuffle before the report aggregate.",
+    "q36_event_tumbling" ->
+      "Tumbling window() is a per-row bucket projection + map-side-combinable aggregate — one narrow shuffle on (bucket, type).",
+    "q37_event_sliding" ->
+      "Sliding window expands each event to its 4 overlapping buckets BEFORE the map-side combine — a bounded x4 fanout, not a join.",
+    "q38_event_json_extract" ->
+      "regexp_extract runs inside the scan stage; the k>50 filter prunes before the aggregate shuffle.",
+    "q39_event_alerts" ->
+      "event_type filter in PushedFilters; per-(user, hour) aggregate with a post-agg alert floor — alert frame is already tiny when it shuffles.",
+    "q40_dedup_exact" ->
+      "Exact dedup shuffles the 32-byte sha2(text) key, never the text; keep = min(doc_id) makes the survivor deterministic; ONE shuffle total.",
+    "q41_token_stats" ->
+      "Tokenize + size() are map-side per-row ops; the per-lang aggregate is map-side combined — token arrays never shuffle.",
+    "q42_text_quality" ->
+      "All quality features are per-row codegen; bucket thresholds are exact rationals (no float boundary drift); one narrow groupBy.",
+    "q43_lang_id" ->
+      "Stopword-hit language heuristic is per-row; the confusion matrix is a |langs|^2-bounded aggregate.",
+    "q44_fingerprint" ->
+      "Order-invariant fingerprint (md5 of sorted distinct tokens) computed map-side, then the q40 narrow-hash-key dedup shape.",
+    "q46_simhash" ->
+      "All 32 simhash bit votes computed as COLUMNS of one aggregate — token rows shuffle once on doc_id, no x32 bit-position explode.",
+    "q47_cosine_topk" ->
+      "Probes broadcast; codegen'd CosineSimilarity scores map-side; the only exchange is the final per-probe top-k (8x5 rows).",
+    "q48_ann_lsh" ->
+      "8-bit sign-LSH bucket turns scoring into an equi-join on the bucket key — ~1/256 of brute-force candidates, same TakeOrdered tail.",
+    "q50_multimodal_features" ->
+      "Binary payload decode + feature extraction run map-side in a typed mapPartitions (the mapInPandas batch shape); only per-source stats shuffle.",
+    "q51_ngram_jaccard" ->
+      "Inverted gram index + length filter prune candidates; exact Jaccard computed only for surviving pairs — no doc x doc product.",
+    "q52_ivf_ann" ->
+      "Centroids broadcast for assignment; nprobe cells bound the candidate scan; the candidate join is an equi-join on cell id.",
+    "q53_frame_sample" ->
+      "Frame sampling is one typed mapPartitions generator — iterator-to-iterator with codegen'd serialization, no driver involvement.",
+    "q54_event_sessions" ->
+      "Gap sessionization in ONE per-user window pass (lag -> gap flag -> cumulative session id); the mapGroupsWithState streaming twin is spec-asserted equal.",
+    "q55_bpe_tokens" ->
+      "GPT-2-style regex pre-tokenizer is per-row codegen (identical RE2 pattern both engines); per-lang aggregate map-side combined.",
+    "q57_rolling_window" ->
+      "Daily pre-aggregate FIRST (calendar-bounded frame), then the rolling frame runs over <=|days| rows per priority; decimal keeps frame sums associative.",
+    "q58_rollup_totals" ->
+      "ROLLUP plans one Expand + aggregate — the whole subtotal grid in a single pass; sentinel-coalesced keys sort identically in both engines.",
+    "q59_order_gaps" ->
+      "Per-customer lag window — one shuffle on custkey with total order (date, key) so date ties are deterministic.",
+    "q61_hash_split" ->
+      "Split assignment is a pure hash of the stable doc id — no RNG, no shuffle, stable under corpus growth; strata report is one narrow aggregate.",
+    "q62_ntile_quartiles" ->
+      "Ranking runs on the per-customer AGGREGATE (not raw orders) with an exact-decimal sort key; documented 100 TB swap: approxQuantile cut-points joined back instead of a global window.",
+    "q64_pivot" ->
+      "pivot with an explicit value list compiles to CASE-aggregates in ONE pass — no per-status scans; NULL cells coalesced to 0 for cross-engine parity.",
+    "q65_unpivot" ->
+      "Native unpivot is a single-scan Expand — 4 metric rows per input row with no join or union of scans.",
+    "q66_simhash_neardup" ->
+      "Bit votes as columns in one aggregate (no per-bit shuffle); banded fingerprint equi-join yields candidates; per-lang aggregate caps quadratic clique output.",
+    "q67_quality_onepass" ->
+      "Custom typed Aggregator computes every quality metric in ONE pass with combinable partial buffers — the UDAF twin of q26's composed built-ins.",
+    "q68_source_mixture" ->
+      "Mixture gate is a pure integer-ppm function of the stable doc id — reproducible across engines/runs, shuffle-free; only the ledger aggregate shuffles.",
+    "q70_intersect_except" ->
+      "INTERSECT/EXCEPT are set-semantic sugar over left-semi/anti joins on distincts — same shuffle cost as the explicit form, chosen for plan clarity.",
+    "q72_dedup_components" ->
+      "Connected components by label propagation over the near-dup pair graph; every round is one shuffle join + min-aggregate with a per-round lineage cut.",
+    "q73_event_funnel" ->
+      "Funnel via min-timestamp-per-stage in one aggregate + ordered recheck — events scanned once, shuffled once on user_id; no 3-way self-join.",
+    "q74_cohort_retention" ->
+      "Two shuffles total: per-customer first-order aggregate, then the cohort rollup; the join back rides the aggregate's own key (co-partitioned).",
+    "q75_fuzzy_linkage" ->
+      "Blocking key bounds pair generation (<=100 names/block); the Jaro-Winkler kernel is a codegen'd Catalyst expression — no UDF boundary in the pair loop.",
+    "q76_time_weighted_avg" ->
+      "LAG-to-next-event per-user window gives exact microsecond durations; the weighted sum accumulates in DECIMAL so shuffle order cannot perturb it.",
+    "q77_event_paths" ->
+      "Paths via sort_array(collect_list(struct)) — built inside the aggregate, no full-table window sort; collect_list's arrival nondeterminism neutralized by the struct sort.",
+    "q78_split_drift" ->
+      "Drift metric stays in integer cross-products until one final division; one scan, one narrow bin-id groupBy — no float accumulation ambiguity.",
+    "q80_metrics_builder" ->
+      "Parameterized builder compiles to the same pushed-filter + broadcast-dim physical plan as hand-written predicates — composability costs nothing at runtime.",
+    "q81_fernet_roundtrip" ->
+      "Token-exact Fernet with a keyed-PRF IV — per-row codegen, deterministic tokens, roundtrip verified distributed; no key material leaves the executors.",
+    "q82_access_audit" ->
+      "Audit join broadcasts while the policy side is small and falls back to a (user, patient) shuffle when not; flag logic is per-row codegen.",
+    "q84_training_order" ->
+      "Shard/order assignment is a pure hash of the stable doc id — both engines agree on every (shard, key) without materializing the permutation; membership pinned by an order-insensitive checksum.",
+    "q85_repetition_score" ->
+      "Pure map-side per-doc integer arithmetic + one narrow groupBy — no joins at any corpus size.",
+    "q86_sequence_packing" ->
+      "Pack offsets from ONE DistributedRank prefix-sum pass (not an unpartitioned window); everything downstream is map-side arithmetic + a tiny aggregate.",
+    "q87_batch_embed" ->
+      "Batched embedding 'inference' via grouped mapPartitions — iterator-to-iterator, batch-shaped buffers, no driver round-trip; ASCII-scoped for engine parity.",
+    "q128_image_decode" ->
+      "Bounded media sample rendered + decoded map-side with JDK ImageIO inside one mapPartitions stage; the only exchange is the final per-source aggregate — pixels never shuffle.",
+    "q132_k_anonymity" ->
+      "Quasi-identifier class sizes from one groupBy; k-anonymity stats are pure integers over the |classes|-sized frame.",
+    "q136_corpus_datasheet" ->
+      "Datasheet stats from one tokenize pass feeding map-side-combinable per-source aggregates; vocabulary numbers ride the existing dict frames — no extra corpus scans.",
+    "q138_frequent_pairs" ->
+      "Pairs generated per basket from the deduped item list (bounded by basket size squared), counted map-side; top-20 via TakeOrdered on the pair frame.",
+    "q142_silhouette" ->
+      "Simplified silhouette from centroid algebra: per-dimension explode -> two narrow aggregates (per vector, per label) with quantized-exact integers — nothing larger than rows x k shuffles; no all-pairs distances.",
+    "q144_mmr_diverse" ->
+      "MMR's sequential greedy loop runs K=5 bounded rounds; each round scores candidates against the selected set via broadcast (selected set is <=K rows) — corpus side streams map-side.",
+    "q147_skew_audit" ->
+      "One map-side-combinable per-key count behind a Barrier; stats ride a 1-row broadcast; the percentile aggregate runs on the per-KEY (vocabulary-sized) frame; top-5 via TakeOrdered.",
+    "q148_constraint_suite" ->
+      "Each constraint check is a 1-row violation-count aggregate (referential checks are anti-joins projected to bare keys); the suite unions |checks| single-row frames.",
+    "q149_weighted_sample" ->
+      "Weight-proportional sampling via deterministic cost keys (exponential-race analog in pure id-hash arithmetic) — selection is orderBy+limit on the cost key, reproducible across engines.",
+    "q150_asof_tolerance" ->
+      "As-of with staleness bound: union + running-last per-user window (linear, no range cross product); 'latest then null-if-stale' applied post-match; gap-sum insensitive to same-instant ties.",
+    "q151_hll_set_algebra" ->
+      "HLL registers built per side behind Barriers (map-side-combinable max-rho), set algebra via a full-outer join on the 2^p-bounded bucket frame — union/intersection cardinalities without re-scanning either corpus.",
+    "q154_assoc_rules" ->
+      "Rules derive from the frequent-pair frame (support-floored before any join); confidence/lift are integer-ppm divisions on the pair frame; top-15 via TakeOrdered.",
+    "q156_benford_audit" ->
+      "First digit extracted per-row from exact decimal cents; the digit histogram is a 9-row map-side-combined aggregate; conformance stats are epilogue on 9 rows.",
+    "q157_column_entropy" ->
+      "Per-column profiles are independent narrow groupBys on low-cardinality columns, unioned — each entropy sum runs on its |values|-sized frame.",
+    "q158_mad_outliers" ->
+      "Median and MAD from exact integer cents per group (type-1 selection on the group frame); the outlier rescan is one additional filtered pass with the 1-row-per-group stats broadcast back.",
+    "q159_ewma_revenue" ->
+      "Daily pre-aggregate first (calendar-bounded); the EWMA fold runs as a dyadic-kernel expression over the <=|days| frame per group — corpus contributes one map-side pass.",
+    "q160_markov_transitions" ->
+      "Directly-follows pairs from a per-user lead window (one shuffle on user_id) compressed map-side to the |types|^2 transition frame; outflow shares ride a broadcast join.",
+    "q163_mutual_information" ->
+      "Contingency cells from one groupBy (|a|x|b| bounded); marginals are re-aggregates of the cell frame; MI sums in quantized log arithmetic on the tiny frame.",
+    "q164_poisson_bootstrap" ->
+      "Replicate weights are a deterministic per-(row, b) hash — the B-way explode is a bounded fanout combined map-side; no resampling shuffle, no RNG state.",
+    "q165_cube_margins" ->
+      "CUBE plans one Expand + aggregate — all 2^k margins in a single pass; grouping_id disambiguates sentinel rows across engines.",
+    "q166_degree_assortativity" ->
+      "Backbone edges built once behind a Barrier; degrees from one union-aggregate; the assortativity moments accumulate in exact integers over the edge frame — one pass each.",
+    "q167_gini_concentration" ->
+      "Per-customer cents aggregate, then Gini via the rank-weighted sum identity over a DistributedRank-ranked frame — no quadratic pair sum.",
+    "q168_return_pchart" ->
+      "Monthly (n, returns) cells collapse map-side (calendar-bounded); control limits are per-row IEEE epilogue on the month frame.",
+    "q169_lorenz_deciles" ->
+      "Decile assignment by exact integer rank arithmetic on the per-customer aggregate; cumulative shares ride a 10-row window in integer ppm.",
+    "q173_event_burstiness" ->
+      "Inter-arrival gaps from a per-(type, user) lag window; sums and sum-of-squares accumulate in DECIMAL(38,0) (exact, associative); B is one IEEE expression over the exact sums — per-type frame out.",
+    "q177_heaps_curve" ->
+      "Vocabulary growth via per-token MIN-first-position (map-side combinable); the four crawl-order prefix ledgers are conditional aggregates against a broadcast threshold list — 4-row curve out.",
+    "q178_fd_mining" ->
+      "Each FD candidate audits via one (a -> count distinct b) groupBy on its own column pair; violation ledgers union to a |candidates|-row report.",
+    "q180_chi_square" ->
+      "Contingency cells from one groupBy; expected counts from broadcast marginals of the cell frame; the statistic is an exact-integer cross-product sum until one final division.",
+    "q181_homoglyph_audit" ->
+      "Mixed-script detection is per-row regex over tokens (map-side); the per-source ledger is one narrow combined aggregate.",
+    "q183_leadtime_sla" ->
+      "Lead times collapse map-side to the calendar-bounded (<= max-lead-days) per-priority histogram; the cumulative window and percentile selection run on that frame, never on line rows.",
+    "q258_yule_k" ->
+      "Frequency spectrum from one tokenize -> (source, tok) count; Yule's K folds the |spectrum|-sized frame with exact integers — length-invariant, two narrow shuffles total.",
+    "q259_flesch_reading_ease" ->
+      "Word/sentence/syllable proxies are per-row codegen; per-source means divide exact integer sums — one map-side-combined aggregate.",
+    "q260_encoding_advisor" ->
+      "Both candidate layouts collapse map-side to chunk-granularity (fid, runs, distinct) stats; RLE/dict advice is epilogue on the metadata-sized frame — at 100 TB a stats-pass-then-metadata query.",
+    "q261_centroid_cosine" ->
+      "ONE explode -> (label, dim) aggregate compresses the corpus to a 10x64 frame behind a Barrier; the label x label cosine matrix is epilogue on 100 cells with quantized-exact sums.",
+    "q263_curation_lineage" ->
+      "Lineage ledger: fingerprint dedup shuffles a 16-byte md5 key; rules gate is per-row codegen; selection is ONE DistributedRank prefix-sum pass; ledger writes are anti-joins/projections of already-computed frames (narrow rows); audit aggregates the bucket-partitioned ledger map-side; per-doc explain() is a partition-pruned single-bucket read.",
+    "q262_vector_index_search" ->
+      "Search served from the PERSISTED IVF index: partition-pruned postings scan (plan-asserted zero corpus-side Exchange), broadcast probe batch, single bounded top-k exchange — build cost amortized across queries.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

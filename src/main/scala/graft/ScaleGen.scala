@@ -83,6 +83,21 @@ object ScaleGen {
         col("l_linestatus"), col("l_shipdate"))
     }.reduce(_ unionByName _).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$destDir/lineitem.parquet")
+
+    // Events: per-copy user/event namespaces, SHARED timestamps — the
+    // per-calendar-instant event volume grows with the factor (the same
+    // stance as the fact tables), so session/transition/attribution
+    // structure replicates per copy instead of densifying.
+    val ev = Tables.load(spark, srcDir, "events")
+    val maxEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      ev.select((col("event_id") + lit(i * maxEv)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(i * maxUser)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$destDir/events.parquet")
     spark.stop()
   }
 }

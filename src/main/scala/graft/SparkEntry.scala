@@ -122,6 +122,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.EncodingAdvisor q260 RLE/dict encoding advisor
   *   - similarity.CentroidShift q261 label-centroid cosine matrix
   *   - similarity.VectorIndexQueries q262 ANN served from the persisted IVF index
+  *   - etl.LineageQueries      q263  curation lineage ledger audit (etl/Lineage)
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -259,6 +260,7 @@ object SparkEntry {
     operators.EncodingAdvisor.all,
     similarity.CentroidShift.all,
     similarity.VectorIndexQueries.all,
+    etl.LineageQueries.all,
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

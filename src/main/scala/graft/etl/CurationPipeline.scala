@@ -308,7 +308,9 @@ object CurationPipeline {
           trim: Option[Int] = None,
           perplexityGate: Option[Long] = None,
           noiseGate: Option[Long] = None,
-          decontaminate: Option[DecontaminationGate] = None)
+          decontaminate: Option[DecontaminationGate] = None,
+          lineageDir: Option[String] = None,
+          lineageRound: Long = 0L)
       : CurationReport = {
     import spark.implicits._
     if (!spark.catalog.tableExists(BandIndex.docsTable(indexName)))
@@ -410,10 +412,58 @@ object CurationPipeline {
       lines
     }
     val keptCount = gateIn.values.sum
+
+    // Lineage ledger (round-8 stretch): every decision event appends a
+    // (doc_id, stage, verdict, detail, round) row — each frame below is
+    // an anti-join/projection of frames the run already computed, so
+    // the ledger costs narrow shuffles only, never a fresh corpus scan.
+    lineageDir.foreach { ldir =>
+      // ingest dedup drops: crawled but not kept. Exact-dup drops get
+      // their survivor's id in `detail` via the text-hash join (narrow
+      // 32-byte keys); near-dup drops (no identical text survives) are
+      // labeled as such — their cluster membership lives in the index.
+      val crawled = spark.read.schema(graft.Tables.schemas("documents"))
+        .parquet(srcDir).select($"doc_id", $"source", sha2($"text", 256).as("h"))
+      val keptHashes = keptRaw
+        .groupBy(sha2($"text", 256).as("h")).agg(min($"doc_id").as("dup_of"))
+      val droppedAtIngest = crawled
+        .join(keptRaw.select($"doc_id".as("k_id")),
+          $"doc_id" === $"k_id", "left_anti")
+      Lineage.record(spark, ldir,
+        droppedAtIngest.join(keptHashes, Seq("h"), "left")
+          .withColumn("why", when($"dup_of".isNotNull,
+              concat(lit("exact_dup_of="), $"dup_of"))
+            .otherwise(lit("near_dup"))),
+        "ingest_dedup", "dropped", col("why"), lineageRound)
+      // per-gate drops: in-frame minus out-frame at each enabled
+      // boundary (the same frames the accounting differenced)
+      var prev: DataFrame = keptRaw
+      boundaries.foreach { case (gate, df) =>
+        val dropped = prev.select($"doc_id", $"source")
+          .join(df.select($"doc_id".as("k_id")), $"doc_id" === $"k_id", "left_anti")
+        Lineage.record(spark, ldir, dropped, gate, "dropped",
+          lit(gate + "_gate"), lineageRound)
+        prev = df
+      }
+    }
     // budget rides along as a column (selectByBudget attached it), so
     // the report needs NO second scoring scan of the corpus; text is
     // projected away BEFORE the checkpoint materializes anything
-    val selected = selectByBudget(kept, budgetNum, budgetDen, selectBy)
+    val selected0 = selectByBudget(kept, budgetNum, budgetDen, selectBy)
+    // with lineage on, pin the selection once so the ledger writes and
+    // the packing read the SAME execution (selection is deterministic,
+    // this is a cost cut, not a correctness need)
+    val selected =
+      if (lineageDir.isDefined) selected0.localCheckpoint() else selected0
+    lineageDir.foreach { ldir =>
+      Lineage.record(spark, ldir, selected.select($"doc_id", $"source"),
+        "select", "selected", lit("within_budget"), lineageRound)
+      Lineage.record(spark, ldir,
+        kept.select($"doc_id", $"source")
+          .join(selected.select($"doc_id".as("s_id")),
+            $"doc_id" === $"s_id", "left_anti"),
+        "select", "over_budget", lit("budget_exhausted"), lineageRound)
+    }
     val packed0 = chunk match {
       case Some((w, st)) =>
         // chunks of one doc are identical in every packed column, so

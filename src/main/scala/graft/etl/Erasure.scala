@@ -205,13 +205,28 @@ object Erasure {
   def erase(spark: SparkSession, corpusDir: String, indexName: String,
             indexPath: String, docIds: DataFrame, buckets: Int = 32,
             manifestDir: Option[String] = None,
-            leaseTtlMs: Long = BandIndex.DefaultLeaseTtlMs): EraseReport =
+            leaseTtlMs: Long = BandIndex.DefaultLeaseTtlMs,
+            lineageDir: Option[String] = None,
+            lineageRound: Long = 0L): EraseReport =
     BandIndex.withLease(spark, indexPath, "erase", leaseTtlMs) { fence =>
       val nCorpus = eraseFromCorpus(spark, corpusDir, docIds)
       val nManifest = manifestDir
         .map(eraseFromManifest(spark, _, docIds)).getOrElse(0L)
       val rewrote = BandIndex.removeUnderLease(
         spark, indexName, indexPath, docIds, buckets, fence)
+      // Lineage receipt (round-8 stretch): the ledger keeps WHY a doc
+      // is absent — the erased doc's text is gone from corpus, index
+      // and manifest, but the takedown itself must stay auditable.
+      // Idempotent at the semantic level: a replayed erase appends a
+      // second identical receipt, which changes no terminal state.
+      lineageDir.foreach { ldir =>
+        val withSource =
+          if (docIds.columns.contains("source")) docIds
+          else docIds.withColumn("source",
+            org.apache.spark.sql.functions.lit(""))
+        Lineage.record(spark, ldir, withSource, "erasure", "erased",
+          org.apache.spark.sql.functions.lit("takedown"), lineageRound)
+      }
       EraseReport(nCorpus, nManifest, rewrote)
     }
 }
