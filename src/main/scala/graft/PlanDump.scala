@@ -547,7 +547,31 @@ object PlanDump {
     "q263_curation_lineage" ->
       "Lineage ledger: fingerprint dedup shuffles a 16-byte md5 key; rules gate is per-row codegen; selection is ONE DistributedRank prefix-sum pass; ledger writes are anti-joins/projections of already-computed frames (narrow rows); audit aggregates the bucket-partitioned ledger map-side; per-doc explain() is a partition-pruned single-bucket read.",
     "q262_vector_index_search" ->
-      "Search served from the PERSISTED IVF index: partition-pruned postings scan (plan-asserted zero corpus-side Exchange), broadcast probe batch, single bounded top-k exchange — build cost amortized across queries.")
+      "Search served from the PERSISTED IVF index: partition-pruned postings scan (plan-asserted zero corpus-side Exchange), broadcast probe batch, single bounded top-k exchange — build cost amortized across queries.",
+    "q264_roc_auc" ->
+      "Exact tie-corrected AUC via the rank-sum identity: ONE map-side-combinable aggregate to the 11-level discount frame, rank window + epilogue on 11 rows — the corpus never sorts, ranks never shuffle.",
+    "q265_brier_decomposition" ->
+      "Train/eval level counts fall out of ONE conditional aggregate pass; the 1-row eval total broadcasts back to the 11-row level frame; Murphy terms fold in explicit level order (collect_list + sorted aggregate) — shuffle-order-immune, no corpus-side join.",
+    "q266_cuped_adjustment" ->
+      "Orders collapse map-side to per-(customer, year) cents on the natural key; customer dim broadcast; five decimal moment sums per segment then a 5-row closed-form epilogue — no corpus window, degenerate covariates NULLIF.",
+    "q267_welch_ttest" ->
+      "Six exact decimal sufficient statistics in ONE map-side-combinable conditional aggregate (no per-group shuffle at all); t and Welch-Satterthwaite df are a 1-row IEEE+sqrt epilogue.",
+    "q268_kruskal_wallis" ->
+      "Key join then ONE (group, value) map-side-combinable aggregate to a <=250-row frame; rank window, tie sums and the ordered cross-group fold all run on value-domain-bounded frames — the corpus never sorts.",
+    "q269_jarque_bera" ->
+      "One key join + one map-side-combinable aggregate of four exact power sums to a 5-row priority frame; central moments and JB are a closed-form double chain — no second corpus pass for the mean.",
+    "q270_fleiss_kappa" ->
+      "Pure map over the documents scan (integer cross-mult rating predicates, per-row codegen) into ONE 1-row aggregate of three exact long sums — no explode, no join, no window.",
+    "q271_cochran_armitage" ->
+      "ONE map-side-combinable aggregate compresses the scan to the 11-level dose frame; numerator/variance cores cleared of 1/N stay exact decimals; constant-size epilogue with one sqrt.",
+    "q272_newsvendor_stock" ->
+      "Part dim broadcast; ONE (brand, day) map-side-combinable aggregate; rank windows PARTITIONED BY BRAND over calendar-bounded frames — no global sort, no single-task window; quantile position is integer arithmetic.",
+    "q273_seasonal_decomposition" ->
+      "Corpus collapses to the |months| frame in ONE aggregate; MA-12/lag/lead windows run on that calendar-bounded frame (~84 rows, a century is 1200); detrend stays exact x24-scaled longs; 12-term normalization folds in month order.",
+    "q274_ljung_box" ->
+      "ONE day aggregate bounds everything after at |days| rows; the 7-lag stack compresses to a 7-row sufficient-statistic table; N2-cleared decimal cores make each rho one IEEE division; ordered 7-term fold.",
+    "q275_kmv_distinct" ->
+      "Audit-scale exact side (count_distinct + distinct TakeOrdered(k)) is the NDV-sized baseline the sketch replaces — the q212 stance; the certified estimator algebra serves a bounded associative min-k aggregate in production.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -123,6 +123,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - similarity.CentroidShift q261 label-centroid cosine matrix
   *   - similarity.VectorIndexQueries q262 ANN served from the persisted IVF index
   *   - etl.LineageQueries      q263  curation lineage ledger audit (etl/Lineage)
+  *   - operators.MlEval        q264/q265 exact ROC AUC + Brier Murphy decomposition
+  *   - operators.Cuped         q266  CUPED pre-period variance reduction
+  *   - operators.WelchT        q267  Welch unequal-variance t-test
+  *   - operators.KruskalWallis q268  tie-corrected k-group rank test
+  *   - operators.Normality     q269  Jarque-Bera skew/kurtosis normality audit
+  *   - text.FleissKappa        q270  multi-rater curation-gate agreement
+  *   - operators.CochranArmitage q271 dose-response trend of return rate
+  *   - operators.Newsvendor    q272  critical-fractile safety stock
+  *   - operators.Decompose     q273  classical additive seasonal decomposition
+  *   - operators.LjungBox      q274  7-lag portmanteau whiteness test
+  *   - operators.KmvSketch     q275  k-minimum-values NDV sketch audit
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -261,6 +272,17 @@ object SparkEntry {
     similarity.CentroidShift.all,
     similarity.VectorIndexQueries.all,
     etl.LineageQueries.all,
+    operators.MlEval.all,
+    operators.Cuped.all,
+    operators.WelchT.all,
+    operators.KruskalWallis.all,
+    operators.Normality.all,
+    text.FleissKappa.all,
+    operators.CochranArmitage.all,
+    operators.Newsvendor.all,
+    operators.Decompose.all,
+    operators.LjungBox.all,
+    operators.KmvSketch.all,
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 262 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 262)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 262)
+  test("registry has 275 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 275)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 275)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
