@@ -571,7 +571,23 @@ object PlanDump {
     "q274_ljung_box" ->
       "ONE day aggregate bounds everything after at |days| rows; the 7-lag stack compresses to a 7-row sufficient-statistic table; N2-cleared decimal cores make each rho one IEEE division; ordered 7-term fold.",
     "q275_kmv_distinct" ->
-      "Audit-scale exact side (count_distinct + distinct TakeOrdered(k)) is the NDV-sized baseline the sketch replaces — the q212 stance; the certified estimator algebra serves a bounded associative min-k aggregate in production.")
+      "Audit-scale exact side (count_distinct + distinct TakeOrdered(k)) is the NDV-sized baseline the sketch replaces — the q212 stance; the certified estimator algebra serves a bounded associative min-k aggregate in production.",
+    "q276_theta_forecast" ->
+      "Corpus collapses map-side to (priority, month) cells; rank window, exact decimal regression moments and the SES left-fold all run on the calendar-bounded per-priority month frame (~84 rows).",
+    "q277_rmst" ->
+      "Cohort collapses to the calendar-bounded event ledger; the KM-product/area two-state recurrence folds over that bounded frame (Spark ordered aggregate / DuckDB recursive CTE — list_reduce multi-field aliasing ruled out by the q232 finding); 1 row out.",
+    "q278_sbc_quadrant" ->
+      "Part dim broadcast; ONE (brand, day) map-side-combinable aggregate; all ADI/CV2 classification algebra on the 25-row brand frame with integer cross-multiplied cutoffs — no window, no corpus sort.",
+    "q279_clv_gupta_lehmann" ->
+      "Orders collapse map-side to the (customer, year) grid — the only corpus-sized aggregate; the year-shift retention semi-join runs at grid (dimension) scale; 5-row segment epilogue.",
+    "q280_anderson_darling" ->
+      "One key join + ONE (group, value) aggregate to the <=250-row grid; cumulative windows per group over the 50-value domain; exact decimal cores, <=250-term ordered fold — the corpus never sorts.",
+    "q281_breslow_day" ->
+      "q217's shape exactly: broadcast dim join, one conditional aggregate to the 5-stratum frame; quadratic-root fitted cells and the X2 fold are constant-size double work on 5 rows.",
+    "q282_greenwood_ci" ->
+      "Cohort collapses to the calendar-bounded event ledger; the 5-horizon broadcast grid joins that bounded frame; KM product and Greenwood sum are SINGLE-STATE ordered folds (list_reduce-safe); 5 rows out.",
+    "q283_decomposition_strength" ->
+      "q273's bounded shape: one corpus aggregate to the |months| frame, calendar-bounded MA/lag windows, then six <=72-term ordered folds and a 1-row variance epilogue.")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

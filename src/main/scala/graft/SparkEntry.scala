@@ -134,6 +134,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - operators.Decompose     q273  classical additive seasonal decomposition
   *   - operators.LjungBox      q274  7-lag portmanteau whiteness test
   *   - operators.KmvSketch     q275  k-minimum-values NDV sketch audit
+  *   - operators.ThetaForecast q276  M3-winning theta-method forecast
+  *   - operators.Rmst          q277  restricted mean survival time (KM area)
+  *   - operators.DemandClass   q278  Syntetos-Boylan forecastability quadrants
+  *   - operators.Clv           q279  Gupta-Lehmann geometric-retention CLV
+  *   - operators.AndersonDarling q280 k-sample A2kN tail-weighted ECDF test
+  *   - operators.BreslowDay    q281  odds-ratio homogeneity around CMH psi
+  *   - operators.Greenwood     q282  KM survival with Greenwood 95% bands
+  *   - operators.StlStrength   q283  trend/seasonal strength features
   *   - operators.JoinEstimate  q140  CMS inner-product join-size estimation
   *   - operators.DataLayout    q141  Morton z-order layout + z-cell profile
   *   - operators.Skyline       q143  grid-pruned Pareto frontier
@@ -283,6 +291,14 @@ object SparkEntry {
     operators.Decompose.all,
     operators.LjungBox.all,
     operators.KmvSketch.all,
+    operators.ThetaForecast.all,
+    operators.Rmst.all,
+    operators.DemandClass.all,
+    operators.Clv.all,
+    operators.AndersonDarling.all,
+    operators.BreslowDay.all,
+    operators.Greenwood.all,
+    operators.StlStrength.all,
   ).flatten
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

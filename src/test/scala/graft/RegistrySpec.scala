@@ -7,9 +7,9 @@ package graft
   */
 class RegistrySpec extends SparkSpec {
 
-  test("registry has 275 uniquely-named queries") {
-    assert(SparkEntry.registry.size == 275)
-    assert(SparkEntry.registry.map(_.name).distinct.size == 275)
+  test("registry has 283 uniquely-named queries") {
+    assert(SparkEntry.registry.size == 283)
+    assert(SparkEntry.registry.map(_.name).distinct.size == 283)
   }
 
   /** Queries the DuckDB oracle CANNOT express, each with the spec that
