@@ -58,18 +58,27 @@ object Bench {
     // the query's intrinsic steady-state cost. Cache cleared per run so
     // every sample recomputes all stages.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // A failed rep must NOT masquerade as a (fast) timing: a query that
+    // crashes on malformed input returns in milliseconds, and silently
+    // folding that into min-of-N reports a phantom speedup (caught in
+    // round 8: scaled-events reads failed and "benched" at 0.56 s).
+    // Failed reps are excluded from the stats and surfaced in an
+    // "errors" map; a query with zero successful reps reports -1.
+    val failures = scala.collection.mutable.LinkedHashMap[String, Int]()
     val results = selected.filter(qs.contains).map { name =>
-      val samples = (1 to reps).map { _ =>
+      val samples = (1 to reps).flatMap { _ =>
         // clearCache drops the data; release also empties the barrier
         // registry so driver-side references don't pile up over reps
         Barrier.release(spark)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { qs(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable =>
+          failures(name) = failures.getOrElse(name, 0) + 1; false
+        }
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
-      name -> samples.sorted
+      name -> (if (samples.nonEmpty) samples.sorted else Seq(-1.0))
     }
     // Self-describing variance: min (the intrinsic-cost estimate the
     // totals use), median and max per query, plus the rep count — a
@@ -82,7 +91,11 @@ object Bench {
     val maxJson = json(_.last)
     val total = results.map(_._2.head).sum
     val totalMed = results.map { case (_, s) => s(s.length / 2) }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"queries_max":$maxJson,"sf":"$sfDir"}"""
+    val errJson =
+      if (failures.isEmpty) ""
+      else failures.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","errors":{""", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"queries_max":$maxJson$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also write the JSON line to a file: the driver grepping it out of
     // sbt's log tail has failed to parse every round so far ("parsed":

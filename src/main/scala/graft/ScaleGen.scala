@@ -92,8 +92,13 @@ object ScaleGen {
     val maxEv = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     val maxUser = ev.agg(max(col("user_id"))).head().getLong(0) + 1
     (0 until factor).map { i =>
+      // ts must round-trip as RAW MICROS LONGS: Tables.load reads events.ts
+      // with an explicit LongType schema (+ the magnitude CASE), so writing
+      // the converted TimestampType here would produce a file every
+      // Tables.load consumer fails to read (INT96/INT64-timestamp vs
+      // bigint — caught in round 8 when scaled-events queries crashed).
       ev.select((col("event_id") + lit(i * maxEv)).as("event_id"),
-        col("ts"),
+        unix_micros(col("ts")).as("ts"),
         (col("user_id") + lit(i * maxUser)).as("user_id"),
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _).repartition(cpus.toInt)
