@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,8 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Algorithm: the classic MM iteration (Hunter 2004)
   * p'ᵢ = Wᵢ / Σ_{j≠i} nᵢⱼ/(pᵢ+pⱼ), normalized to Σp = 1, K = 8 fixed
-  * rounds (the q137/q230 fixed-iteration stance), each round's 5-row
-  * frame lineage-cut.
+  * rounds (the q137/q230 fixed-iteration stance) on the provably
+  * ≤ k(k−1)-row pairwise table — driver-side float algebra
+  * reproducing the plan's ordered folds (the bounded-driver-state
+  * precedent; see the inline note).
   *
   * Exactness: wins/comparisons are exact integers (cent-exact monthly
   * sums make ties measure-zero; a tie counts as a loss for both, the
@@ -52,32 +53,38 @@ object BradleyTerry {
         .join(full.as("b"), $"a.blk" === $"b.blk" && $"a.seg" =!= $"b.seg")
         .groupBy($"a.seg".as("i"), $"b.seg".as("j"))
         .agg(count(lit(1)).as("nij"), count_if($"a.y" > $"b.y").as("wij")))
-      val wins = graft.Barrier(pw.groupBy($"i")
-        .agg(sum($"wij").as("wi"), sum($"nij").as("ncmp")))
-      var p: DataFrame = pw.select($"i".as("seg")).distinct()
-        .withColumn("p", lit(0.2d))
-      val rounds = graft.Barrier.chain() // single-frame chain: rotate
+      // Corpus-sized work ends at the pairwise record above: pw is a
+      // PROVABLY ≤ k(k−1)-row table (k = 5 segments) no corpus can
+      // grow, so the K MM rounds are pure 5-row float algebra — the
+      // bounded-driver-state precedent (BPE argmax, q211's value
+      // iteration). Running them as 8 Spark jobs cost ~3 s of a 3.4 s
+      // query in per-round scheduling. The driver fold reproduces the
+      // plan's ordered reductions exactly: per-i denominators fold
+      // over j ASCENDING from 0.0 and the normalizer folds over seg
+      // ASCENDING (ASCII segment names ⇒ Scala and UTF8String orders
+      // agree); every op is the same IEEE double the codegen ran.
+      val pwRows = pw.select($"i", $"j", $"nij", $"wij").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val segs = pwRows.map(_._1).distinct.sorted
+      val winsM = pwRows.groupBy(_._1).map { case (i, g) =>
+        i -> (g.map(_._4).sum, g.map(_._3).sum) } // wi, ncmp
+      var pM: Map[String, Double] = segs.map(_ -> 0.2d).toMap
       for (_ <- 1 to K) {
-        val den = pw
-          .join(p.select($"seg".as("i"), $"p".as("pi")), "i")
-          .join(p.select($"seg".as("j"), $"p".as("pj")), "j")
-          .select($"i", $"j", ($"nij".cast("double") / ($"pi" + $"pj")).as("term"))
-          .groupBy($"i")
-          .agg(expr("aggregate(sort_array(collect_list(named_struct('j', j, 't', term))), 0D, (acc, s) -> acc + s.t)")
-            .as("sden"))
-        val raw = den.join(wins, "i")
-          .select($"i".as("seg"), ($"wi".cast("double") / $"sden").as("praw"))
-        val tot = raw.agg(
-          expr("aggregate(sort_array(collect_list(named_struct('seg', seg, 't', praw))), 0D, (acc, s) -> acc + s.t)")
-            .as("tot"))
-        p = rounds.cut(raw.crossJoin(broadcast(tot))
-          .select($"seg", ($"praw" / $"tot").as("p")))
+        val raw = segs.map { i =>
+          val sden = pwRows.filter(_._1 == i).sortBy(_._2)
+            .foldLeft(0.0d) { case (acc, (_, j, nij, _)) =>
+              acc + nij.toDouble / (pM(i) + pM(j)) }
+          i -> winsM(i)._1.toDouble / sden
+        }
+        val tot = raw.sortBy(_._1).foldLeft(0.0d)(_ + _._2)
+        pM = raw.map { case (s0, praw) => s0 -> praw / tot }.toMap
       }
-      p.join(wins.select($"i".as("seg"), $"wi", $"ncmp"), "seg")
-        .withColumn("pos",
-          row_number().over(Window.orderBy($"p".desc, $"seg")))
-        .select($"pos".as("rank"), $"seg".as("c_mktsegment"),
-          $"wi".as("wins"), $"ncmp".as("n_comparisons"), $"p".as("strength"))
+      val ranked = segs.map(s0 => (s0, winsM(s0)._1, winsM(s0)._2, pM(s0)))
+        .sortBy { case (s0, _, _, st) => (-st, s0) }
+        .zipWithIndex
+        .map { case ((s0, wi, ncmp, st), idx) => (idx + 1, s0, wi, ncmp, st) }
+      ranked.toSeq
+        .toDF("rank", "c_mktsegment", "wins", "n_comparisons", "strength")
         .orderBy($"rank")
     },
     Some {

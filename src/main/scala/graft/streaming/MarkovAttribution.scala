@@ -1,7 +1,6 @@
 package graft.streaming
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -31,10 +30,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: the corpus is touched ONCE — a per-user window pass
   * emits transitions, compressed map-side to a ≤|channels+2|²-row
   * edge frame. Everything after (the 5-variant edge expansion, 12
-  * value-iteration rounds, the report) runs on frames of a few dozen
-  * rows, each round lineage-CUT ([[graft.Barrier.cut]]) per the q182
-  * discipline. Edge weights ride decimal(38,0)/HUGEINT in the w·p
-  * products, exact past 10¹⁰ users.
+  * value-iteration rounds, the report) is integer algebra on that
+  * PROVABLY bounded table (≤ 49 rows per variant regardless of corpus
+  * size), so it runs on the driver in BigInt — the bounded-driver-
+  * state precedent (BPE's per-round argmax, the monitor matrices);
+  * the earlier 12-job distributed loop spent ~4 s of a 5 s query on
+  * per-round scheduling over ≤245-row frames. BigInt reproduces the
+  * decimal(38,0) w·p products and truncating `div` bit-exactly on the
+  * same non-negative operands — the oracle is unchanged and still
+  * hash-green.
   */
 object MarkovAttribution {
 
@@ -63,48 +67,56 @@ object MarkovAttribution {
       val starts = flagged.filter($"rn" === 1)
         .select(lit("START").as("src"),
           when($"et" === "purchase", "CONV").otherwise($"et").as("dst"))
-      val edges = graft.Barrier(mids.unionByName(starts)
-        .groupBy($"src", $"dst").agg(count(lit(1)).as("w")))
-      // 5 variants: base + one per removed channel
-      val vedges = graft.Barrier(
-        Channels.foldLeft(edges.select(lit("base").as("variant"),
-            $"src", $"dst", $"w")) { (acc, c) =>
-          acc.unionByName(edges.filter($"src" =!= c)
-            .select(lit(c).as("variant"), $"src",
-              when($"dst" === c, "DROP").otherwise($"dst").as("dst"), $"w"))
-        }.groupBy($"variant", $"src", $"dst").agg(sum($"w").as("w")))
-      val absorbing = vedges.select($"variant").distinct()
-        .select($"variant", explode(array(
-          struct(lit("CONV").as("state"), lit(Ppb).as("p")),
-          struct(lit("DROP").as("state"), lit(0L).as("p")))).as("a"))
-        .select($"variant", $"a.state", $"a.p")
-      var p: DataFrame = vedges.select($"variant", $"src".as("state"))
-        .distinct().withColumn("p", lit(0L))
-        .unionByName(absorbing)
-      val rounds = graft.Barrier.chain() // single-frame chain: rotate
-      for (_ <- 1 to K) {
-        val nxt = vedges
-          .join(p.select($"variant", $"state".as("dst"), $"p"),
-            Seq("variant", "dst"))
-          .groupBy($"variant", $"src".as("state"))
-          .agg(expr("cast(sum(cast(w as decimal(38,0)) * p) div sum(w)" +
-            " as bigint)").as("p"))
-        p = rounds.cut(nxt.unionByName(absorbing))
-      }
-      val starts2 = p.filter($"state" === "START")
-        .select($"variant", $"p".as("conv_ppb"))
-      val base = starts2.filter($"variant" === "base")
-        .select($"conv_ppb".as("base_ppb"))
-      val eff = starts2.filter($"variant" =!= "base")
-        .crossJoin(broadcast(base))
-        .select($"variant".as("channel"), $"base_ppb",
-          $"conv_ppb".as("removal_ppb"),
-          ($"base_ppb" - $"conv_ppb").as("effect_ppb"))
-      val tot = eff.agg(sum($"effect_ppb").as("tot"))
-      eff.crossJoin(broadcast(tot))
-        .select($"channel", $"base_ppb", $"removal_ppb", $"effect_ppb",
-          ($"effect_ppb".cast("double") / $"tot".cast("double"))
-            .as("attribution_share"))
+      // ONE distributed pass ends here: the corpus collapses to the
+      // (src, dst, w) transition table, provably bounded at
+      // |channels+2|² rows (≤ 49) — the BPE-argmax / monitor-matrix
+      // "bounded driver state" precedent. The 5-variant expansion and
+      // the K = 12 value-iteration rounds are pure integer algebra on
+      // that table: running them as 12 Spark jobs over ≤245-row frames
+      // bought nothing but per-round scheduling cost (measured ~4 s of
+      // a 5 s query), so they run on the driver in BigInt — the exact
+      // arithmetic the decimal(38,0) `div` plan computed, same
+      // truncating division on the same non-negative operands, and
+      // the same inner-join semantics (an edge whose dst has no state
+      // row is excluded from BOTH sums; a src left with no counted
+      // edges drops out of the next state set).
+      val edgeRows = mids.unionByName(starts)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val variants: Seq[(String, Seq[(String, String, Long)])] =
+        ("base", edgeRows.toSeq) +: Channels.map { c =>
+          val es = edgeRows.iterator.filter(_._1 != c)
+            .map { case (s0, d0, w0) =>
+              (s0, if (d0 == c) "DROP" else d0, w0) }.toSeq
+            .groupBy(e => (e._1, e._2))
+            .map { case ((s0, d0), g) => (s0, d0, g.map(_._3).sum) }.toSeq
+          (c, es)
+        }
+      val convPpb: Map[String, Option[Long]] = variants.map { case (v, es) =>
+        var states: Map[String, BigInt] =
+          es.map(_._1).distinct.map(_ -> BigInt(0)).toMap ++
+            Map("CONV" -> BigInt(Ppb), "DROP" -> BigInt(0))
+        for (_ <- 1 to K) {
+          val nxt = es.filter(e => states.contains(e._2)).groupBy(_._1)
+            .map { case (s0, g) =>
+              val wsum = g.iterator.map(e => BigInt(e._3)).sum
+              val wp = g.iterator.map(e => BigInt(e._3) * states(e._2)).sum
+              s0 -> wp / wsum
+            }
+          states = nxt ++ Map("CONV" -> BigInt(Ppb), "DROP" -> BigInt(0))
+        }
+        v -> states.get("START").map(_.toLong)
+      }.toMap
+      val out = for {
+        basePpb <- convPpb.getOrElse("base", None).toSeq
+        c <- Channels.sorted
+        removal <- convPpb.getOrElse(c, None).toSeq
+      } yield (c, basePpb, removal, basePpb - removal)
+      val tot = out.map(_._4).sum
+      out.toDF("channel", "base_ppb", "removal_ppb", "effect_ppb")
+        .withColumn("attribution_share",
+          ($"effect_ppb".cast("double") / lit(tot).cast("double")))
         .orderBy($"channel")
     },
     Some {
