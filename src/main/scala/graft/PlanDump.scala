@@ -225,7 +225,7 @@ object PlanDump {
     "q210_trimmed_winsorized_mean" ->
       "Trimmed/winsorized: exact order statistics = one per-segment rank window (the q21 exactness-baseline stance; q92's histogram is the 100 TB swap); everything after the rank pass is map-side-combinable with exact decimal tail sums.",
     "q211_markov_attribution" ->
-      "Markov attribution: corpus touched ONCE by a per-user window pass compressed to a <=36-row edge frame; 5 variants x 12 value-iteration rounds run on few-dozen-row frames, lineage-cut per round — integer ppb probabilities, wall cost is fixed round overhead.",
+      "Markov attribution: corpus touched ONCE by a per-user window pass compressed to a provably <=49-row edge frame; the 5-variant expansion and 12 value-iteration rounds are driver-side BigInt algebra on that bounded table (bit-exact mirror of the decimal div plan) — the 12-job distributed loop spent ~4s of 5s on round scheduling.",
     "q212_minhash_accuracy" ->
       "Minhash audit: corpus tokenizes once behind a Barrier; signature pass is a constant 64-way in-row fanout compressed map-side to |sources|*64 MINs (minhash's map-side-combine is the point); exact-Jaccard side is the audit baseline the sketch replaces at scale. Spark 3.2s vs DuckDB 7.3s on the identical pipeline at sf0.1.",
     "q213_fightin_words" ->
@@ -285,7 +285,7 @@ object PlanDump {
     "q240_trade_reciprocity" ->
       "Reciprocity: one corpus pass — two broadcast dim hops + the natural-key lineitem-orders equi-join — collapses map-side to the <=25x24 pair frame behind a Barrier; dyad mins and the 25-row report are epilogue.",
     "q241_bradley_terry" ->
-      "Bradley-Terry: corpus-sized work is ONE aggregate to |months|x5 cells; the pairwise record and all 8 MM rounds run on <=20-row frames, each round lineage-cut; ordered folds keep float reductions engine-identical.",
+      "Bradley-Terry: corpus-sized work is ONE aggregate to |months|x5 cells; the pairwise record is a within-block self-join on that bounded frame, and the 8 MM rounds are driver-side IEEE folds over the provably <=k(k-1)-row pair table, replicating the plan's ordered j/seg-ascending reductions exactly.",
     "q242_zonemap_audit" ->
       "Zone-map: both layouts collapse map-side to file-granularity (fid, n, min, max) stats; the 12-predicate probe is a broadcast cross join on that metadata frame — at 100 TB a metadata-only query after one stats pass.",
     "q243_kneser_ney" ->
