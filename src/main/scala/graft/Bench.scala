@@ -104,7 +104,7 @@ object Bench {
     // The default name is COMMITTED to git per round (the old default,
     // bench_out.json, was gitignored — the round-4 receipt asked for
     // the complete min/median/max maps in the tree).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_r07.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_r08.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
