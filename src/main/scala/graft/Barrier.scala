@@ -153,8 +153,26 @@ object Barrier {
     * consumer. So unlike [[apply]], `cut` ALWAYS checkpoints; the only
     * strategy question is WHERE the frozen blocks live:
     * `RELIABLE_CHECKPOINT` → fault-tolerant `df.checkpoint()` (a
-    * multi-hour run survives executor loss), anything else → eager
-    * `localCheckpoint()` (fastest; blocks die with their executor).
+    * multi-hour run survives executor loss), anything else → LAZY
+    * `localCheckpoint(eager = false)`: the logical plan is cut
+    * immediately (a LogicalRDD that also carries the physical
+    * partitioning/ordering), but block materialization rides the
+    * first consuming action instead of a dedicated count-style job
+    * per round. Measured round 9 on the iterative family at sf0.1
+    * (min-of-5): q182 6.2→5.1 s, q230 4.1→3.4 s, q207 4.9→4.2 s from
+    * the eagerness change alone — the per-round materialization job
+    * was pure scheduling overhead, every block gets written anyway by
+    * the next round's action. The full strategy matrix for the
+    * record: cache-without-cut measured q182 at 25.2 s (Catalyst/AQE
+    * re-analysis of round-deep plans — the original disease), eager
+    * localCheckpoint 6.2 s, lazy 5.1 s.
+    *
+    * LAZY means callers that mutate the cut frame's SOURCE after
+    * cutting (index generation swaps, in-place overwrites) must
+    * freeze explicitly with `df.localCheckpoint()` — see
+    * [[etl.MediaBandIndex.ingest]]; the etl index/erasure layer
+    * already uses raw eager localCheckpoint everywhere for exactly
+    * this reason.
     */
   def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ConfKey, "MEMORY_AND_DISK")
@@ -170,7 +188,7 @@ object Barrier {
         // bounded in-flight growth opts into [[chain]].
         checkpointPathOf(cp).foreach(registerCkpt(df.sparkSession, _))
         cp
-      case _ => df.localCheckpoint()
+      case _ => df.localCheckpoint(eager = false)
     }
 
   /** Per-round checkpoint rotation for ONE iterative frame sequence

@@ -89,8 +89,13 @@ object Bench {
     val qJson = json(_.head)
     val medJson = json(s => s(s.length / 2))
     val maxJson = json(_.last)
-    val total = results.map(_._2.head).sum
-    val totalMed = results.map { case (_, s) => s(s.length / 2) }.sum
+    // Totals sum only queries with ≥1 successful rep: the -1 failure
+    // sentinel stays visible in the per-query maps, but summing it
+    // would SHRINK the totals by ~1 s per failed query — a run with
+    // failures must never total faster than a clean one (ADVICE r8).
+    val ok = results.filter(_._2.head >= 0)
+    val total = ok.map(_._2.head).sum
+    val totalMed = ok.map { case (_, s) => s(s.length / 2) }.sum
     val errJson =
       if (failures.isEmpty) ""
       else failures.map { case (k, v) => "\"" + k + "\":" + v }
@@ -104,12 +109,40 @@ object Bench {
     // The default name is COMMITTED to git per round (the old default,
     // bench_out.json, was gitignored — the round-4 receipt asked for
     // the complete min/median/max maps in the tree).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_r08.json")
+    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", DefaultOut)
+    val outPath = resolveOutPath(requested)
+    if (outPath != requested)
+      System.err.println(
+        s"[bench] $requested exists — bench artifacts are append-only " +
+          s"(VERDICT r8: a focused re-run destroyed BENCH_full_r07); " +
+          s"writing $outPath instead")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outPath: $e")
     }
     spark.stop()
+  }
+
+  val DefaultOut = "BENCH_full_r09.json"
+
+  /** Append-only artifact naming: a bench run REFUSES to overwrite an
+    * existing record (round 7's full-registry artifact was destroyed
+    * by a later focused re-run using the same default name). If the
+    * requested path exists, the run lands next to it as
+    * `<stem>_2.<ext>`, `<stem>_3.<ext>`, … — the historical record
+    * stays, and the collision is loudly reported on stderr.
+    */
+  def resolveOutPath(requested: String): String = {
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    if (!exists(requested)) requested
+    else {
+      val (stem, ext) = requested.lastIndexOf('.') match {
+        case i if i > requested.lastIndexOf('/') =>
+          (requested.substring(0, i), requested.substring(i))
+        case _ => (requested, "")
+      }
+      Iterator.from(2).map(n => s"${stem}_$n$ext").find(!exists(_)).get
+    }
   }
 }

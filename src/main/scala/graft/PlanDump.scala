@@ -23,7 +23,7 @@ object PlanDump {
     "q155_confusable_names" ->
       "Quadratic Jaro-Winkler pass runs on the deduped NAME DICTIONARY (vocabulary-bounded), never the catalog; the kernel is a codegen'd Catalyst expression — no UDF serialization boundary in the pair loop.",
     "q182_hits_scores" ->
-      "Edge list Barrier'd once; each HITS half-step is one shuffle join + aggregate + 1-row normalization broadcast, localCheckpointed — iteration CUTS the logical plan (the componentLabels stance), or Catalyst/AQE re-analysis compounds across rounds (measured 103s uncut vs 2.9s).",
+      "Edge list built once, then lineage-cut TWICE pre-hashed by each join key (GraphX routing-table trade: storage x2, zero per-round edge movement — the cut LogicalRDD carries its partitioning, so each half-step exchanges only the tiny score frame; the one corpus shuffle per half-step is the score aggregate). Iteration CUTS the logical plan per half-step via LAZY localCheckpoint (cache-no-cut measured 25s, eager 6.2s, lazy+prepartition 3.7s at sf0.1).",
     "q170_spearman_ranks" ->
       "Per-part aggregate built ONCE behind a Barrier (the count_distinct expand is the expensive pass), then two DistributedRank range-sort passes and a part-key join — no one-task windows.",
     "q171_packing_curve" ->

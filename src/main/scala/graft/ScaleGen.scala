@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   * (q153/q159) must absorb.
   *
   * Usage: runMain graft.ScaleGen <srcSfDir> <destDir> <factor>
-  * (writes documents/orders/lineitem/customer parquet; queries over
-  * other tables are out of a scaled dir's scope.)
+  * (writes ALL ten tables since round 9 — a scaled dir serves the
+  * full registry, so the sf1 oracle gate can run every query:
+  * facts and documents/events/embeddings scale by copy with
+  * disjoint key namespaces, part/supplier scale with the same key
+  * stride as their fact columns, region/nation copy through fixed.)
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -54,10 +57,21 @@ object ScaleGen {
     val cust = Tables.load(spark, srcDir, "customer")
     val ord = Tables.load(spark, srcDir, "orders")
     val li = Tables.load(spark, srcDir, "lineitem")
+    val part = Tables.load(spark, srcDir, "part")
+    val supp = Tables.load(spark, srcDir, "supplier")
     val maxCust = cust.agg(max(col("c_custkey"))).head().getLong(0) + 1
     val maxOrd = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1
-    val maxPart = li.agg(max(col("l_partkey"))).head().getLong(0) + 1
-    val maxSupp = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1
+    // part/supplier keys are offset with the SAME stride on both the
+    // dimension and the fact side, so each copy's joins land inside
+    // the copy (the full-registry sf1 oracle joins lineitem⋈part and
+    // lineitem⋈supplier — a fact-only stride would orphan every
+    // scaled fact row).
+    val maxPart = math.max(
+      li.agg(max(col("l_partkey"))).head().getLong(0),
+      part.agg(max(col("p_partkey"))).head().getLong(0)) + 1
+    val maxSupp = math.max(
+      li.agg(max(col("l_suppkey"))).head().getLong(0),
+      supp.agg(max(col("s_suppkey"))).head().getLong(0)) + 1
 
     (0 until factor).map { i =>
       cust.select((col("c_custkey") + lit(i * maxCust)).as("c_custkey"),
@@ -83,6 +97,47 @@ object ScaleGen {
         col("l_linestatus"), col("l_shipdate"))
     }.reduce(_ unionByName _).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$destDir/lineitem.parquet")
+
+    // Dimension tables, so a scaled dir serves the FULL registry
+    // (VERDICT r9 item 2: oracle at sf1 for all queries, not just the
+    // heavy family). part/supplier scale with the per-copy key stride
+    // above; names get the copy prefix (no artificial cross-copy
+    // exact-match inflation) while the categorical columns
+    // (brand/type/size/nationkey/segment) stay SHARED — low-cardinality
+    // dims densify under scale in real corpora, and the group-by
+    // cardinality claims must absorb that, not dodge it.
+    (0 until factor).map { i =>
+      part.select((col("p_partkey") + lit(i * maxPart)).as("p_partkey"),
+        concat(lit(s"c${i}_"), col("p_name")).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$destDir/part.parquet")
+
+    (0 until factor).map { i =>
+      supp.select((col("s_suppkey") + lit(i * maxSupp)).as("s_suppkey"),
+        concat(lit(s"c${i}_"), col("s_name")).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$destDir/supplier.parquet")
+
+    // region/nation are FIXED-SIZE dims at every real scale factor
+    // (TPC-H keeps them constant from sf1 to sf100k) — copy through.
+    Tables.load(spark, srcDir, "region").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/region.parquet")
+    Tables.load(spark, srcDir, "nation").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/nation.parquet")
+
+    // Embeddings: per-copy vec_id stride, SHARED vectors and labels —
+    // the ANN/recall structure replicates per copy (each query point's
+    // neighbor set gains exact-duplicate members from other copies,
+    // which both engines tie-break identically by id), volume scales.
+    val emb = Tables.load(spark, srcDir, "embeddings")
+    val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    (0 until factor).map { i =>
+      emb.select((col("vec_id") + lit(i * maxVec)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
 
     // Events: per-copy user/event namespaces, SHARED timestamps — the
     // per-calendar-instant event volume grows with the factor (the same

@@ -746,7 +746,23 @@ object BandIndex {
     // maintenance guard: classifying against an index mid-generation-swap
     // (or mid-remove) would silently mis-flag; the lease root is derived
     // from the catalog since this entry point carries no path (resolved
-    // ONCE — it also locates the pinned params below)
+    // ONCE — it also locates the pinned params below).
+    //
+    // The guard is CHECK-TIME only — a classify already past it when
+    // maintenance acquires the lease races the generation sweep, and
+    // the round-9 soak (`BandIndexSoakSpec`) demonstrated the outcome:
+    // a LOUD FAILED_READ_FILE abort on the swept generation's files,
+    // which the at-least-once replay heals by re-classifying against
+    // the new generation. The window cannot be closed with an append
+    // beacon because the returned frame reads the live tables lazily
+    // at the CALLER's consumption point. It is semantically safe:
+    // compact swaps identical content (no skew possible, only the
+    // loud abort), and a remove-concurrent classify that reads a
+    // mixed view converges to POST-remove semantics — the exact layer
+    // is one table, and a near-candidate whose band row survived but
+    // whose token row is gone (or vice versa) fails verification and
+    // flags `kept`, which is the correct answer once the remove
+    // lands.
     val indexRoot = leaseRootOf(spark, name)
     indexRoot
       .foreach(assertNoMaintenance(spark, _, s"classify against band index '$name'"))

@@ -153,7 +153,13 @@ object MediaBandIndex {
     */
   def ingest(spark: SparkSession, batch: DataFrame, name: String,
              path: String, buckets: Int = 16): DataFrame = {
-    val flags = graft.Barrier.cut(dedupBatch(spark, batch, name))
+    // EAGER localCheckpoint, not Barrier.cut: since the round-9 lazy
+    // rewrite, cut() defers materialization to the first consumer —
+    // but `flags` reads the index tables that append() below mutates,
+    // so it must be FROZEN before the append lands or a late consumer
+    // would see the batch matching itself (every row `dup`). Same
+    // stance as [[BandIndex.ingest]].
+    val flags = dedupBatch(spark, batch, name).localCheckpoint()
     append(spark, BandIndex.keptOf(batch, flags), name, path, buckets)
     flags
   }

@@ -166,6 +166,134 @@ object VectorIndex {
     n
   }
 
+  /** Retrain the centroids from the index's CURRENT content and swap
+    * both stores to the new generation — the aging remedy
+    * [[recallAudit]] measures the need for (VERDICT r9 item 6).
+    * Append/remove cycles drift the stored distribution away from the
+    * build-time centroids; cells go unbalanced and recall@k from the
+    * index decays. A retrain must be ATOMIC across the two stores —
+    * new centroids over old postings mis-prune every search — so the
+    * swap runs under the [[BandIndex]] maintenance lease with the
+    * [[Lineage.compact]] marker protocol:
+    *
+    *  1. read+freeze the corpus from the live postings, train
+    *     ([[graft.similarity.KMeans]], bit-deterministic), write the
+    *     full new generation under `<path>/.gen/{centroids,postings}`,
+    *     verify the row count round-trips;
+    *  2. fence-check, land the `.retrain_commit` marker atomically;
+    *  3. per store: live → `.old`, `.gen` → live; then sweep `.old`,
+    *     the marker, `.gen`.
+    *
+    * Crash walk: before the marker → `.gen` is a stale snapshot, the
+    * next retrain discards it, live index untouched. After the marker
+    * → [[resumeRetrain]] (called at the top of every retrain, or
+    * directly) rolls the swap FORWARD — never backward, because the
+    * marker asserts the generation was complete and verified. Mid-
+    * swap rename windows leave a store under `.old`/`.gen` only;
+    * resume re-runs each rename idempotently (skip when the target
+    * already exists and the source is gone). Offline maintenance:
+    * appends/searches during the swap are outside the contract, the
+    * lease keeps writer APIs out.
+    */
+  def retrain(spark: SparkSession, path: String, k: Int, iters: Int,
+              leaseTtlMs: Long = BandIndex.DefaultLeaseTtlMs): Unit =
+    BandIndex.withLease(spark, path, "vector_retrain", leaseTtlMs) { fence =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      val marker = p(s"$path/.retrain_commit")
+      if (fs.exists(marker)) resumeRetrain(spark, path)
+      fs.delete(p(s"$path/.gen"), true)
+      // freeze the corpus BEFORE any writes: the swap replaces the
+      // very files this frame reads
+      val emb = spark.read.parquet(postingsDir(path))
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .localCheckpoint()
+      val n = emb.count()
+      val cents = graft.similarity.KMeans.train(emb, k, iters)
+        .map(c => (c.cid, c.cvec))
+      val centsDf = spark.createDataFrame(cents).toDF("cid", "cvec")
+      centsDf.coalesce(1).write.parquet(s"$path/.gen/centroids")
+      assignCells(emb, centsDf)
+        .write.partitionBy("cell").parquet(s"$path/.gen/postings")
+      val genN = spark.read.parquet(s"$path/.gen/postings").count()
+      require(genN == n,
+        s"retrain verify failed at $path: $genN generation rows vs $n " +
+          "live rows — aborting before the commit point")
+      BandIndex.verifyFence(spark, path, fence)
+      val tmp = p(s"$path/.retrain_commit.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(s"k=$k iters=$iters n=$n\n".getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, marker), s"could not land marker $marker")
+      resumeRetrain(spark, path)
+    }
+
+  /** Roll a marked retrain swap forward (idempotent, re-crash-safe).
+    * Public so an operator can heal an index whose retrain died after
+    * the commit marker without immediately running a new training
+    * pass.
+    */
+  def resumeRetrain(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val marker = p(s"$path/.retrain_commit")
+    if (!fs.exists(marker)) return
+    Seq("centroids", "postings").foreach { store =>
+      val live = p(s"$path/$store")
+      val gen = p(s"$path/.gen/$store")
+      val old = p(s"$path/.old/$store")
+      if (fs.exists(gen)) {
+        if (fs.exists(live)) {
+          fs.mkdirs(p(s"$path/.old"))
+          fs.delete(old, true) // a re-crashed attempt's leftover
+          require(fs.rename(live, old) || !fs.exists(live),
+            s"retrain swap: cannot retire $live")
+        }
+        require(fs.rename(gen, live),
+          s"retrain swap: cannot promote $gen")
+      } else require(fs.exists(live),
+        s"retrain resume: neither $gen nor $live exists")
+    }
+    fs.delete(p(s"$path/.old"), true)
+    fs.delete(marker, false)
+    fs.delete(p(s"$path/.gen"), true)
+    ()
+  }
+
+  /** Measured recall@k of [[search]] against an exact brute-force
+    * pass over the SAME postings content, per probe — the index-aging
+    * observable (run it after append/remove cycles; retrain when it
+    * sags). Exact side uses the identical scoring expression,
+    * rounding and (score desc, vec_id) tiebreak as the served side,
+    * so the only recall loss measurable is the nprobe cell miss —
+    * which is the quantity aging inflates. Returns
+    * (query_id, hits, recall) with recall = |ANN∩exact| / topK.
+    */
+  def recallAudit(spark: SparkSession, path: String, probes: DataFrame,
+                  nprobe: Int, topK: Int): DataFrame = {
+    import spark.implicits._
+    CosineSimilarity.register(spark)
+    val served = search(spark, path, probes, nprobe, topK)
+      .select($"query_id", $"neighbor_id")
+    val exact = spark.read.parquet(postingsDir(path))
+      .crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id",
+        round(expr("cosine_sim(embedding, qvec)"), 4).as("score"), $"vec_id")
+      .withColumn("r", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score".desc, $"vec_id")))
+      .filter($"r" <= topK)
+      .select($"query_id", $"vec_id".as("neighbor_id"))
+    exact.join(served.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"hit", lit(0))).cast("long").as("hits"))
+      .select($"query_id", $"hits",
+        ($"hits".cast("double") / topK).as("recall"))
+  }
+
   /** Takedown: erase `vecIds` from the postings, rewriting ONLY the
     * cells that contain them ([[Erasure]]'s dynamic-partition-
     * overwrite pattern, emptied-cell directories deleted explicitly).

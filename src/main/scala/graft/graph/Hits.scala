@@ -21,8 +21,18 @@ import org.apache.spark.sql.functions._
   * and identical.
   *
   * Scale shape: the edge list (distinct customer–part purchase
-  * pairs, weighted by order count) builds ONCE behind a Barrier;
-  * each of the 2·k half-steps is one shuffle join + one map-side
+  * pairs, weighted by order count) builds ONCE, then is lineage-cut
+  * TWICE — pre-hashed by each join key (`c`, then `p` derived from
+  * the first copy, never recomputing the base aggregate). This is
+  * the GraphX routing-table trade: edge storage ×2 so NO half-step
+  * ever moves the corpus-sized edge frame again — the LogicalRDD a
+  * cut produces carries its hash partitioning, so each half-step
+  * join exchanges only the tiny score frame, and the one remaining
+  * corpus-sized shuffle per half-step is the score aggregation
+  * itself. At 100 TB that is k edge shuffles instead of 2·k+2.
+  * (Locally it is also the difference between 321 and 109 tasks —
+  * q182 profiled 6.2→3.7 s, JobProfile receipts in PLANS.md.)
+  * Each half-step remains: one shuffle join + one map-side
   * combinable aggregate + a 1-row normalization broadcast. Top-10s
   * are TakeOrdered; row numbering is post-limit.
   */
@@ -49,7 +59,14 @@ object Hits {
       : (DataFrame, DataFrame) = {
     val s = edges0.sparkSession
     import s.implicits._
-    val e = graft.Barrier(edges0)
+    // Two key-partitioned lineage cuts of the edge list (class doc):
+    // `repartition($"c")` with no explicit count lets AQE size the
+    // partitions, and the cut's LogicalRDD preserves that hash
+    // partitioning, so the per-round joins never exchange the edge
+    // side. The second copy derives from the first — one extra
+    // shuffle, zero recomputation of the base join+aggregate.
+    val e = graft.Barrier.cut(edges0.repartition($"c"))
+    val eByP = graft.Barrier.cut(e.repartition($"p"))
     // rescale via decimal: raw half-step scores reach ~10¹⁵, and a
     // long product with the 10¹² scale would overflow; IntegralDivide
     // on decimals returns an exact long (positive ⇒ trunc ≡ floor).
@@ -76,7 +93,7 @@ object Hits {
       auths = normalize(
         e.join(hubs, "c").groupBy($"p").agg(sum($"w" * $"h").as("a")), "a")
       hubs = normalize(
-        e.join(auths, "p").groupBy($"c").agg(sum($"w" * $"a").as("h")), "h")
+        eByP.join(auths, "p").groupBy($"c").agg(sum($"w" * $"a").as("h")), "h")
     }
     (hubs, auths)
   }

@@ -63,8 +63,17 @@ object BradleyTerry {
       // over j ASCENDING from 0.0 and the normalizer folds over seg
       // ASCENDING (ASCII segment names ⇒ Scala and UTF8String orders
       // agree); every op is the same IEEE double the codegen ran.
-      val pwRows = pw.select($"i", $"j", $"nij", $"wij").collect()
+      // Guarded collect (the q211 fuse): k(k−1) ≤ 20 is a data-domain
+      // bound (|c_mktsegment| = 5), not structural — cap what the
+      // driver can receive and fail loudly past it.
+      val PairFuse = 512
+      val pwRows = pw.select($"i", $"j", $"nij", $"wij")
+        .limit(PairFuse + 1).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      require(pwRows.length <= PairFuse,
+        s"q241 pairwise frame exceeded $PairFuse rows — segment " +
+          "cardinality is outside the modeled domain; refusing the " +
+          "driver-side MM iteration on an unbounded pair table")
       val segs = pwRows.map(_._1).distinct.sorted
       val winsM = pwRows.groupBy(_._1).map { case (i, g) =>
         i -> (g.map(_._4).sum, g.map(_._3).sum) } // wi, ncmp

@@ -51,23 +51,38 @@ object Greenwood {
         .filter($"events" > 0 && $"dur" > 0)
         .select($"dur", $"at_risk".as("n"), $"events".as("d"))
       val grid = Seq(30L, 60L, 90L, 180L, 365L).toDF("horizon_days")
-      broadcast(grid).join(ledger, $"dur" <= $"horizon_days")
+      // LEFT join + guarded folds (ADVICE r8): a horizon with no event
+      // times must report S = 1 with zero variance instead of
+      // vanishing through an inner join, and a horizon where the
+      // curve hits zero (some nᵢ = dᵢ) must report variance 0, not
+      // NaN — the raw Greenwood term dᵢ/(nᵢ(nᵢ−dᵢ)) is +Inf there, so
+      // the (n−d) factor is NULLIF'd (NULL poisons the fold) and the
+      // epilogue COALESCEs: S is exactly 0 at such a horizon (the
+      // product carries an exact 0.0 factor), so var = se = 0 and the
+      // band collapses onto the curve. Identical guards on both
+      // engines' folds keep the hash gate byte-exact.
+      broadcast(grid).join(ledger, $"dur" <= $"horizon_days", "left_outer")
         .groupBy($"horizon_days")
-        .agg(count(lit(1)).as("n_event_times"),
-          sort_array(collect_list(struct($"dur", $"n", $"d"))).as("ser"))
+        .agg(count($"dur").as("n_event_times"),
+          sort_array(collect_list(
+            when($"dur".isNotNull, struct($"dur", $"n", $"d")))).as("ser"))
         .withColumn("s_t", expr(
-          "aggregate(slice(ser, 2, size(ser) - 1),"
+          "CASE WHEN size(ser) = 0 THEN 1D ELSE"
+            + " aggregate(slice(ser, 2, size(ser) - 1),"
             + " 1D - cast(ser[0].d as double) / cast(ser[0].n as double),"
-            + " (acc, x) -> acc * (1D - cast(x.d as double) / cast(x.n as double)))"))
+            + " (acc, x) -> acc * (1D - cast(x.d as double) / cast(x.n as double)))"
+            + " END"))
         .withColumn("gsum", expr(
-          "aggregate(slice(ser, 2, size(ser) - 1),"
+          "CASE WHEN size(ser) = 0 THEN 0D ELSE"
+            + " aggregate(slice(ser, 2, size(ser) - 1),"
             + " cast(ser[0].d as double) / (cast(ser[0].n as double)"
-            + " * (cast(ser[0].n as double) - cast(ser[0].d as double))),"
+            + " * nullif(cast(ser[0].n as double) - cast(ser[0].d as double), 0D)),"
             + " (acc, x) -> acc + cast(x.d as double) / (cast(x.n as double)"
-            + " * (cast(x.n as double) - cast(x.d as double))))"))
-        .withColumn("se", expr("s_t * sqrt(gsum)"))
+            + " * nullif(cast(x.n as double) - cast(x.d as double), 0D)))"
+            + " END"))
+        .withColumn("se", expr("coalesce(s_t * sqrt(gsum), 0D)"))
         .select($"horizon_days", $"n_event_times", $"s_t",
-          expr("s_t * s_t * gsum").as("greenwood_var"),
+          expr("coalesce(s_t * s_t * gsum, 0D)").as("greenwood_var"),
           expr("s_t - 1.96D * se").as("ci_lo"),
           expr("s_t + 1.96D * se").as("ci_hi"))
         .orderBy($"horizon_days")
@@ -95,18 +110,22 @@ object Greenwood {
       |steps AS (SELECT dur, n, d FROM ledger WHERE d > 0 AND dur > 0),
       |grid AS (SELECT * FROM (VALUES (30), (60), (90), (180), (365)) AS t(horizon_days)),
       |folded AS (
-      |  SELECT horizon_days, CAST(COUNT(*) AS BIGINT) AS n_event_times,
-      |         list_reduce(list(1e0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY dur),
-      |           (acc, x) -> acc * x) AS s_t,
-      |         list_reduce(list(CAST(d AS DOUBLE) / (CAST(n AS DOUBLE)
-      |             * (CAST(n AS DOUBLE) - CAST(d AS DOUBLE))) ORDER BY dur),
-      |           (acc, x) -> acc + x) AS gsum
-      |  FROM grid JOIN steps ON dur <= horizon_days
+      |  SELECT horizon_days, CAST(COUNT(dur) AS BIGINT) AS n_event_times,
+      |         CASE WHEN COUNT(dur) = 0 THEN 1e0 ELSE
+      |           list_reduce(list(1e0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY dur)
+      |               FILTER (dur IS NOT NULL),
+      |             (acc, x) -> acc * x) END AS s_t,
+      |         CASE WHEN COUNT(dur) = 0 THEN 0e0 ELSE
+      |           list_reduce(list(CAST(d AS DOUBLE) / (CAST(n AS DOUBLE)
+      |               * NULLIF(CAST(n AS DOUBLE) - CAST(d AS DOUBLE), 0e0)) ORDER BY dur)
+      |               FILTER (dur IS NOT NULL),
+      |             (acc, x) -> acc + x) END AS gsum
+      |  FROM grid LEFT JOIN steps ON dur <= horizon_days
       |  GROUP BY 1)
       |SELECT horizon_days, n_event_times, s_t,
-      |       s_t * s_t * gsum AS greenwood_var,
-      |       s_t - 1.96e0 * (s_t * sqrt(gsum)) AS ci_lo,
-      |       s_t + 1.96e0 * (s_t * sqrt(gsum)) AS ci_hi
+      |       COALESCE(s_t * s_t * gsum, 0e0) AS greenwood_var,
+      |       s_t - 1.96e0 * COALESCE(s_t * sqrt(gsum), 0e0) AS ci_lo,
+      |       s_t + 1.96e0 * COALESCE(s_t * sqrt(gsum), 0e0) AS ci_hi
       |FROM folded ORDER BY horizon_days""".stripMargin),
     doc = "survival: KM retention with Greenwood variance and plain 95% bands at 30/60/90/180/365 days — single-state ordered folds (product + sum) over the exact event ledger")
 

@@ -95,7 +95,7 @@ object MlEval {
     "q265_brier_decomposition",
     (s, dir) => {
       import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
+      val lvl0 = graft.Barrier(Tables.load(s, dir, "lineitem")
         .select(round($"l_discount" * 100).cast("int").as("d"),
           year($"l_shipdate").as("yr"),
           when($"l_returnflag" === "R", 1L).otherwise(0L).as("pos"))
@@ -104,8 +104,18 @@ object MlEval {
         .agg(count_if($"yr" === 1995).as("b"),
           sum(when($"yr" === 1995, $"pos").otherwise(0L)).as("a"),
           count_if($"yr" === 1996).as("nk"),
-          sum(when($"yr" === 1996, $"pos").otherwise(0L)).as("ok"))
-        .filter($"b" > 0 && $"nk" > 0)
+          sum(when($"yr" === 1996, $"pos").otherwise(0L)).as("ok")))
+      val li = lvl0.filter($"b" > 0 && $"nk" > 0)
+      // Coverage ledger (ADVICE r8): the b > 0 gate silently shrank
+      // the eval set — a 1996 discount level with no 1995 training
+      // rows was dropped and the reported Brier covered only the
+      // co-observed levels. The restriction is now IN the output:
+      // k_dropped / n_eval_dropped report how many eval levels/rows
+      // the score does NOT cover, so "brier over n_eval rows" is an
+      // auditable claim instead of a silent one.
+      val dropped = lvl0.agg(
+        count_if($"b" === 0 && $"nk" > 0).as("k_dropped"),
+        coalesce(sum(when($"b" === 0, $"nk")), lit(0L)).as("n_eval_dropped"))
       val tot = li.agg(sum($"nk").as("n_eval"), sum($"ok").as("o_eval"))
       val terms = li.crossJoin(broadcast(tot))
         .withColumn("rel_t", expr(
@@ -127,14 +137,15 @@ object MlEval {
         .withColumn("res_sum", expr(
           "aggregate(sort_array(ts), cast(0 as double), (acc, x) -> acc + x.res_t)"))
         .withColumn("obar", expr("cast(o_eval as double) / cast(n_eval as double)"))
-        .select($"k", $"n_eval",
+        .crossJoin(broadcast(dropped))
+        .select($"k", $"n_eval", $"k_dropped", $"n_eval_dropped",
           expr("rel_sum / cast(n_eval as double)").as("reliability"),
           expr("res_sum / cast(n_eval as double)").as("resolution"),
           expr("obar * (1D - obar)").as("uncertainty"),
           expr("rel_sum / cast(n_eval as double) - res_sum / cast(n_eval as double)"
             + " + obar * (1D - obar)").as("brier"))
     },
-    Some("""WITH lvl AS (
+    Some("""WITH lvl0 AS (
       |  SELECT CAST(round(l_discount * 100) AS INT) AS d,
       |         CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1995 THEN 1 ELSE 0 END) AS BIGINT) AS b,
       |         CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1995 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a,
@@ -142,8 +153,12 @@ object MlEval {
       |         CAST(SUM(CASE WHEN year(CAST(l_shipdate AS DATE)) = 1996 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ok
       |  FROM lineitem
       |  WHERE year(CAST(l_shipdate AS DATE)) IN (1995, 1996)
-      |  GROUP BY 1
-      |  HAVING b > 0 AND nk > 0),
+      |  GROUP BY 1),
+      |lvl AS (SELECT * FROM lvl0 WHERE b > 0 AND nk > 0),
+      |dropped AS (
+      |  SELECT CAST(COUNT(CASE WHEN b = 0 AND nk > 0 THEN 1 END) AS BIGINT) AS k_dropped,
+      |         CAST(COALESCE(SUM(CASE WHEN b = 0 THEN nk END), 0) AS BIGINT) AS n_eval_dropped
+      |  FROM lvl0),
       |tot AS (
       |  SELECT CAST(SUM(nk) AS BIGINT) AS n_eval, CAST(SUM(ok) AS BIGINT) AS o_eval FROM lvl),
       |terms AS (
@@ -166,14 +181,14 @@ object MlEval {
       |  SELECT k, n_eval, rel_sum, res_sum,
       |         CAST(o_eval AS DOUBLE) / CAST(n_eval AS DOUBLE) AS obar
       |  FROM agg)
-      |SELECT k, n_eval,
+      |SELECT k, n_eval, k_dropped, n_eval_dropped,
       |       rel_sum / CAST(n_eval AS DOUBLE) AS reliability,
       |       res_sum / CAST(n_eval AS DOUBLE) AS resolution,
       |       obar * (1e0 - obar) AS uncertainty,
       |       rel_sum / CAST(n_eval AS DOUBLE) - res_sum / CAST(n_eval AS DOUBLE)
       |         + obar * (1e0 - obar) AS brier
-      |FROM fin""".stripMargin),
-    doc = "ml-eval: out-of-time Brier score with Murphy reliability/resolution/uncertainty decomposition — 1995-fit level probabilities scored on 1996, ordered 11-term fold")
+      |FROM fin CROSS JOIN dropped""".stripMargin),
+    doc = "ml-eval: out-of-time Brier score with Murphy reliability/resolution/uncertainty decomposition — 1995-fit level probabilities scored on 1996, ordered 11-term fold; k_dropped/n_eval_dropped audit the eval rows excluded for lacking 1995 training data")
 
   val all: Seq[Q] = Seq(q264, q265)
 }

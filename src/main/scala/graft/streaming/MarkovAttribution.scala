@@ -80,10 +80,23 @@ object MarkovAttribution {
       // the same inner-join semantics (an edge whose dst has no state
       // row is excluded from BOTH sums; a src left with no counted
       // edges drops out of the next state set).
+      // Guarded collect (ADVICE r8): the ≤49-row bound is a DATA-DOMAIN
+      // assumption (|event_type| ≤ 5 in the generated corpus), not a
+      // structural guarantee — a malformed or high-cardinality
+      // event_type column would otherwise quietly pull |etypes|² rows
+      // onto the driver. limit(N+1) bounds what the driver can ever
+      // receive; crossing the fuse fails loudly with the fix
+      // (re-derive channels or pre-filter) instead of OOMing.
+      val EdgeFuse = 512
       val edgeRows = mids.unionByName(starts)
         .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+        .limit(EdgeFuse + 1)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(edgeRows.length <= EdgeFuse,
+        s"q211 transition frame exceeded $EdgeFuse rows — event_type " +
+          "cardinality is outside the modeled channel domain; refusing " +
+          "to run the driver-side value iteration on an unbounded matrix")
       val variants: Seq[(String, Seq[(String, String, Long)])] =
         ("base", edgeRows.toSeq) +: Channels.map { c =>
           val es = edgeRows.iterator.filter(_._1 != c)

@@ -6,7 +6,12 @@ parquet (written by graft.Verify) and run the oracle SQL in DuckDB over
 views of the same testdata parquet; sort columns by name, sort rows,
 compare values. Dev tool only — not part of the shipped library.
 
-Usage: check_oracle.py <sfDir> <verifyOutDir>
+Usage: check_oracle.py <sfDir> <verifyOutDir> [outJson]
+
+With outJson, also writes a CORRECTNESS-style JSON map
+{query: {"status": "pass"|"fail"|"skip", "rows": n, "detail": "..."}}
+— the committable artifact for off-driver gates (the sf1 oracle run,
+VERDICT r9 item 2).
 """
 import sys, json, math, glob
 import duckdb
@@ -39,7 +44,8 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, out_json=None):
+    results = {}
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -51,6 +57,8 @@ def main(sf_dir, out_dir):
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"SKIP {name}: no spark output")
+            results[name] = {"status": "skip", "rows": -1,
+                             "detail": "no spark output"}
             n_skip += 1
             continue
         try:
@@ -59,11 +67,15 @@ def main(sf_dir, out_dir):
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            results[name] = {"status": "fail", "rows": -1,
+                             "detail": f"oracle error: {str(e)[:200]}"}
             n_fail += 1
             continue
         gcols, wcols = sorted(got.columns), sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} vs {wcols}")
+            results[name] = {"status": "fail", "rows": -1,
+                             "detail": f"columns {gcols} vs {wcols}"}
             n_fail += 1
             continue
         gtypes = [canon_dtype(got[c].dtype) for c in gcols]
@@ -72,6 +84,8 @@ def main(sf_dir, out_dir):
             bad = [(c, a, b) for c, a, b in zip(gcols, gtypes, wtypes)
                    if a != b]
             print(f"FAIL {name}: dtype mismatch {bad}")
+            results[name] = {"status": "fail", "rows": -1,
+                             "detail": f"dtype mismatch {bad}"}
             n_fail += 1
             continue
         g = [tuple(norm(v) for v in row) for row in
@@ -81,18 +95,28 @@ def main(sf_dir, out_dir):
         g.sort(), w.sort()
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            results[name] = {"status": "fail", "rows": len(g),
+                             "detail": f"rows {len(g)} vs {len(w)}"}
             n_fail += 1
             continue
         if g != w:
             diffs = [(a, b) for a, b in zip(g, w) if a != b][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
+            results[name] = {"status": "fail", "rows": len(g),
+                             "detail": f"value mismatch: {str(diffs)[:300]}"}
             n_fail += 1
             continue
         print(f"PASS {name} ({len(g)} rows)")
+        results[name] = {"status": "pass", "rows": len(g), "detail": ""}
         n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_skip} skip ==")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump({"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail,
+                       "skip": n_skip, "queries": results}, f, indent=1)
     return 1 if (n_fail or n_skip) else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
