@@ -49,8 +49,19 @@ object SpillCheck {
       // map-typed output columns participate in the content hash
       .config("spark.sql.legacy.allowHashOnMapType", "true")
     val spark = (if (mode == "force") {
-      b // starve the operators into their spill paths, observably
-        .config("spark.memory.fraction", "0.2")
+      // Starve the operators into their spill paths, observably.
+      // These are the committed knobs of the recorded sf1 run
+      // (SCALING.md §spill): 0.2/65536 at -Xmx4g spills GBs on the
+      // sort/join-heavy family with results hash-identical; the
+      // tighter variant tried (fraction 0.15, thresholds 16384,
+      // objectHashAggregate fallback 512) crosses the cliff from
+      // spill to OOM at 32 threads × 4 GiB — per-task execution
+      // memory drops below one in-flight aggregation buffer, which
+      // no spill threshold can save. That boundary is the measured
+      // answer to "how starved can an executor be": spill absorbs
+      // pressure until ~25 MB/task of pool, then sizing, not
+      // spilling, is the fix.
+      b.config("spark.memory.fraction", "0.2")
         .config("spark.shuffle.spill.numElementsForceSpillThreshold", "65536")
         .config("spark.sql.windowExec.buffer.spill.threshold", "65536")
         .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "65536")
@@ -84,10 +95,14 @@ object SpillCheck {
           // Commutative content hash: SUM of per-row xxhash64 is
           // partition-order-invariant, so a spill-induced ordering
           // change cannot flip it while any VALUE change will
-          // (modulo 2⁻⁶⁴ collisions — fine for a gate).
+          // (modulo 2⁻⁶⁴ collisions — fine for a gate). Summed as
+          // decimal(38,0): a long sum overflows under ANSI after a
+          // few billion-magnitude hashes, and multiplicity matters
+          // (bit_xor would cancel duplicate rows).
           val row = df.agg(
             count(lit(1)).as("n"),
-            sum(xxhash64(struct(df.columns.map(col): _*))).as("h")).head()
+            sum(xxhash64(struct(df.columns.map(col): _*))
+              .cast("decimal(38,0)")).as("h")).head()
           val wall = (System.nanoTime() - t0) / 1e9
           Thread.sleep(500) // drain task-end events before reading
           Map("rows" -> row.getLong(0).toString,

@@ -48,7 +48,12 @@ object AbcRfm {
         .agg(count(lit(1)).as("n_parts"), sum($"cents").as("class_cents"),
           max($"tot").as("tot"))
         .select($"abc_class", $"n_parts",
-          expr("(class_cents * 1000000) div tot").as("revenue_share_ppm"))
+          // decimal ppm product: class_cents·10⁶ crosses 2⁶³ at ~$92B
+          // of class revenue — sf1 already holds ~$230B (caught by the
+          // round-9 sf1 oracle run; the class-boundary rule above
+          // stays small-multiplier long math)
+          expr("(cast(class_cents as decimal(38,0)) * 1000000) div tot")
+            .as("revenue_share_ppm"))
         .orderBy($"abc_class")
     },
     Some("""WITH per AS (
@@ -68,7 +73,7 @@ object AbcRfm {
       |         cents, tot
       |  FROM ranked, t)
       |SELECT abc_class, COUNT(*) AS n_parts,
-      |       (CAST(SUM(cents) AS BIGINT) * 1000000) // MAX(tot) AS revenue_share_ppm
+      |       CAST((CAST(SUM(cents) AS HUGEINT) * 1000000) // MAX(tot) AS BIGINT) AS revenue_share_ppm
       |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin),
     doc = "merch: ABC/Pareto revenue classification — division-free class boundaries over a distributed prefix sum")
 

@@ -43,9 +43,12 @@ object LjungBox {
       val lagged = x.select(
         Seq($"day", $"x") ++
           (1 to MaxLag).map(k => lag($"x", k).over(ord).as(s"xl$k")): _*)
+      // cast BEFORE the square: x·x as long overflows once daily cent
+      // diffs pass ~3·10⁹ (bit at sf1 — the DuckDB side always
+      // multiplied in HUGEINT, so this was a silent parity hazard)
       val glob = x.agg(count(lit(1)).as("n"),
         sum($"x".cast("decimal(38,0)")).as("sx"),
-        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"))
+        sum($"x".cast("decimal(38,0)") * $"x").as("sxx"))
       val pairs = lagged.select($"x", explode(array(
           (1 to MaxLag).map(k =>
             struct(lit(k).as("k"), col(s"xl$k").as("xl"))): _*)).as("z"))

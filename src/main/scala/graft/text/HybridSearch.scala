@@ -38,8 +38,12 @@ object HybridSearch {
     (s, dir) => {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
+      // df = 0 (a query term absent from the whole corpus — real on
+      // sharded/namespaced corpora, caught by the round-9 sf1 oracle
+      // run) must contribute 0, not divide by zero; tf is 0 for every
+      // doc then, so COALESCE(tf·idf, 0) is the exact semantics.
       val tfidfScore = Terms.indices
-        .map(i => s"tf_$i * (n_docs * 1000000L div df_$i)")
+        .map(i => s"coalesce(tf_$i * (n_docs * 1000000L div nullif(df_$i, 0L)), 0L)")
         .mkString(" + ")
       val base = graft.Barrier(Bm25.scoredBase(docs, Terms)
         .withColumn("tfidf_q", expr(tfidfScore)))
@@ -76,7 +80,7 @@ object HybridSearch {
         s"CAST(COUNT(CASE WHEN tf_$i > 0 THEN 1 END) AS BIGINT) AS df_$i"
       }.mkString(",\n      |         ")
       val tfidf = Terms.indices
-        .map(i => s"tf_$i * (n_docs * 1000000 // df_$i)")
+        .map(i => s"COALESCE(tf_$i * (n_docs * 1000000 // NULLIF(df_$i, 0)), 0)")
         .mkString(" + ")
       s"""WITH tk AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

@@ -13,7 +13,7 @@ With outJson, also writes a CORRECTNESS-style JSON map
 — the committable artifact for off-driver gates (the sf1 oracle run,
 VERDICT r9 item 2).
 """
-import sys, json, math, glob
+import os, sys, json, math, glob
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -48,8 +48,18 @@ def main(sf_dir, out_dir, out_json=None):
     results = {}
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # large-SF runs: spill to a real directory (DuckDB defaults to a
+    # CWD-relative .tmp) and keep the spill bounded — an sf1 oracle
+    # with a pathological plan must fail loudly, not fill the disk
+    con.execute("SET temp_directory='/tmp/duckdb_oracle_tmp'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; ScaleGen dirs hold
+        # Spark-written part files — glob those
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
