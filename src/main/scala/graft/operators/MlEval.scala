@@ -95,7 +95,12 @@ object MlEval {
     "q265_brier_decomposition",
     (s, dir) => {
       import s.implicits._
-      val lvl0 = graft.Barrier(Tables.load(s, dir, "lineitem")
+      // no Barrier: the level aggregate appears on both sides of the
+      // tot broadcast with an IDENTICAL exchange subtree, so
+      // ReuseExchange dedups the corpus scan for free — a persist here
+      // costs a cache-build job the A/B gate priced at ~1.27× of this
+      // sub-second query (the r8 shape, restored)
+      val lvl0 = (Tables.load(s, dir, "lineitem")
         .select(round($"l_discount" * 100).cast("int").as("d"),
           year($"l_shipdate").as("yr"),
           when($"l_returnflag" === "R", 1L).otherwise(0L).as("pos"))
@@ -112,11 +117,16 @@ object MlEval {
       // co-observed levels. The restriction is now IN the output:
       // k_dropped / n_eval_dropped report how many eval levels/rows
       // the score does NOT cover, so "brier over n_eval rows" is an
-      // auditable claim instead of a silent one.
-      val dropped = lvl0.agg(
+      // auditable claim instead of a silent one. The coverage totals
+      // ride the SAME 1-row aggregate/broadcast as n_eval/o_eval —
+      // the first cut gave them their own aggregate + crossJoin and
+      // the A/B gate priced that extra tiny job at 1.27× the query.
+      val kept = $"b" > 0 && $"nk" > 0
+      val tot = lvl0.agg(
+        sum(when(kept, $"nk")).as("n_eval"),
+        sum(when(kept, $"ok")).as("o_eval"),
         count_if($"b" === 0 && $"nk" > 0).as("k_dropped"),
         coalesce(sum(when($"b" === 0, $"nk")), lit(0L)).as("n_eval_dropped"))
-      val tot = li.agg(sum($"nk").as("n_eval"), sum($"ok").as("o_eval"))
       val terms = li.crossJoin(broadcast(tot))
         .withColumn("rel_t", expr(
           "cast(nk as double) * (cast(a as double) / cast(b as double)" +
@@ -131,13 +141,14 @@ object MlEval {
       terms
         .agg(count(lit(1)).as("k"),
           first($"n_eval").as("n_eval"), first($"o_eval").as("o_eval"),
+          first($"k_dropped").as("k_dropped"),
+          first($"n_eval_dropped").as("n_eval_dropped"),
           collect_list(struct($"d", $"rel_t", $"res_t")).as("ts"))
         .withColumn("rel_sum", expr(
           "aggregate(sort_array(ts), cast(0 as double), (acc, x) -> acc + x.rel_t)"))
         .withColumn("res_sum", expr(
           "aggregate(sort_array(ts), cast(0 as double), (acc, x) -> acc + x.res_t)"))
         .withColumn("obar", expr("cast(o_eval as double) / cast(n_eval as double)"))
-        .crossJoin(broadcast(dropped))
         .select($"k", $"n_eval", $"k_dropped", $"n_eval_dropped",
           expr("rel_sum / cast(n_eval as double)").as("reliability"),
           expr("res_sum / cast(n_eval as double)").as("resolution"),
