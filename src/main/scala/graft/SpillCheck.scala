@@ -46,8 +46,10 @@ object SpillCheck {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // map-typed output columns participate in the content hash
-      .config("spark.sql.legacy.allowHashOnMapType", "true")
+      // map-typed output columns participate in the content hash via
+      // ContentHash.canonical (entry-sorted) — NOT the legacy
+      // allowHashOnMapType flag, whose hash depends on entry order
+      // that Spark does not canonicalize (ADVICE r9)
     val spark = (if (mode == "force") {
       // Starve the operators into their spill paths, observably.
       // These are the committed knobs of the recorded sf1 run
@@ -92,21 +94,12 @@ object SpillCheck {
       val res =
         try {
           val df = qs(name)(spark, sfDir)
-          // Commutative content hash: SUM of per-row xxhash64 is
-          // partition-order-invariant, so a spill-induced ordering
-          // change cannot flip it while any VALUE change will
-          // (modulo 2⁻⁶⁴ collisions — fine for a gate). Summed as
-          // decimal(38,0): a long sum overflows under ANSI after a
-          // few billion-magnitude hashes, and multiplicity matters
-          // (bit_xor would cancel duplicate rows).
-          val row = df.agg(
-            count(lit(1)).as("n"),
-            sum(xxhash64(struct(df.columns.map(col): _*))
-              .cast("decimal(38,0)")).as("h")).head()
+          // Commutative, map-canonical content hash — see ContentHash.
+          val (nRows, hash) = ContentHash.rowsAndHash(df)
           val wall = (System.nanoTime() - t0) / 1e9
           Thread.sleep(500) // drain task-end events before reading
-          Map("rows" -> row.getLong(0).toString,
-            "hash" -> Option(row.get(1)).map(_.toString).getOrElse("null"),
+          Map("rows" -> nRows.toString,
+            "hash" -> hash,
             "wall_sec" -> f"${wall}%.3f",
             "mem_spilled" -> memSpilled.get.toString,
             "disk_spilled" -> diskSpilled.get.toString,

@@ -181,7 +181,13 @@ object Lineage {
 
   private[etl] def compactUnderLease(spark: SparkSession, lineageDir: String,
                                      maxFilesPerBucket: Int,
-                                     fence: String): Boolean = {
+                                     fence: String,
+                                     // test-only injection point: fires
+                                     // between the file-list snapshot and
+                                     // the rewrite, where a guard-raced
+                                     // record() could land files
+                                     afterListing: () => Unit = () => ())
+      : Boolean = {
     val root = new org.apache.hadoop.fs.Path(lineageDir)
     val fs = fsOf(spark, root)
     val genRoot = new org.apache.hadoop.fs.Path(lineageDir, ".gen")
@@ -199,11 +205,23 @@ object Lineage {
       .map(st => st.getPath -> dataFiles(fs, st.getPath))
       .filter(_._2.size > maxFilesPerBucket)
     if (pressed.isEmpty) return false
+    afterListing()
 
     // one job rewrites all pressed buckets; basePath keeps doc_bucket
-    // as a partition column so the .gen layout mirrors the live one
+    // as a partition column so the .gen layout mirrors the live one.
+    // CRITICAL: the read is pinned to the exact FILE list `pressed`
+    // captured, not the bucket directories — a directory read would
+    // take a second, later listing, and a record() that slipped its
+    // check-time assertNoMaintenance guard just before the lease
+    // landed could commit files between the two listings: folded into
+    // .gen but absent from the delete list → silent row duplication
+    // after the commit (and the genN==oldN verify, reading the same
+    // later listing, could not see it). Pinning files makes
+    // delete-list == rewrite-source by construction; a late append's
+    // files are simply left live, untouched, for the next compaction.
+    val snapshot = pressed.flatMap(_._2)
     val src = spark.read.option("basePath", lineageDir)
-      .parquet(pressed.map(_._1.toString): _*)
+      .parquet(snapshot.map(_.toString): _*)
     src.repartition(col("doc_bucket"))
       .write.mode("overwrite").partitionBy("doc_bucket")
       .parquet(genRoot.toString)
@@ -221,7 +239,7 @@ object Lineage {
     val tmpMarker = new org.apache.hadoop.fs.Path(
       lineageDir, ".compact_commit.tmp")
     val outS = fs.create(tmpMarker, true)
-    try outS.write(pressed.flatMap(_._2.map(_.toString))
+    try outS.write(snapshot.map(_.toString)
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally outS.close()
     require(fs.rename(tmpMarker, marker),

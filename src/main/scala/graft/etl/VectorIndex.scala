@@ -202,7 +202,7 @@ object VectorIndex {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def p(s: String) = new org.apache.hadoop.fs.Path(s)
       val marker = p(s"$path/.retrain_commit")
-      if (fs.exists(marker)) resumeRetrain(spark, path)
+      if (fs.exists(marker)) resumeRetrainUnderLease(spark, path)
       fs.delete(p(s"$path/.gen"), true)
       // freeze the corpus BEFORE any writes: the swap replaces the
       // very files this frame reads
@@ -226,15 +226,28 @@ object VectorIndex {
       try out.write(s"k=$k iters=$iters n=$n\n".getBytes("UTF-8"))
       finally out.close()
       require(fs.rename(tmp, marker), s"could not land marker $marker")
-      resumeRetrain(spark, path)
+      resumeRetrainUnderLease(spark, path)
     }
 
   /** Roll a marked retrain swap forward (idempotent, re-crash-safe).
     * Public so an operator can heal an index whose retrain died after
     * the commit marker without immediately running a new training
-    * pass.
+    * pass. ADVICE r9: the heal itself runs UNDER the maintenance
+    * lease — a crashed retrain leaves its lease on file, so this
+    * acquisition goes through the stale-takeover path (and throws
+    * while the original holder is still live, which is exactly right:
+    * two processes renaming the same store dirs would interleave).
+    * On success the lease is released, unblocking writer APIs — the
+    * behavior the heal doc promises.
     */
-  def resumeRetrain(spark: SparkSession, path: String): Unit = {
+  def resumeRetrain(spark: SparkSession, path: String,
+                    leaseTtlMs: Long = BandIndex.DefaultLeaseTtlMs): Unit =
+    BandIndex.withLease(spark, path, "vector_retrain", leaseTtlMs) { _ =>
+      resumeRetrainUnderLease(spark, path)
+    }
+
+  private[etl] def resumeRetrainUnderLease(spark: SparkSession,
+                                           path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def p(s: String) = new org.apache.hadoop.fs.Path(s)

@@ -63,6 +63,45 @@ class LineageCompactionSpec extends SparkSpec {
     assert(ids(ldir).size === before.size + 1)
   }
 
+  test("a record that lands between snapshot and rewrite is not duplicated") {
+    // ADVICE r9 (medium): a record() that passed its check-time
+    // assertNoMaintenance guard just before the lease landed can commit
+    // files after compact's file listing. The fix pins the rewrite to
+    // the exact listed files, so delete-list == rewrite-source: the
+    // straggler's rows must survive exactly once (left live, untouched),
+    // never folded into .gen AND kept.
+    val ldir = Files.createTempDirectory("lin-race").resolve("l").toString
+    seedLedger(ldir, 4)
+    val before = ids(ldir)
+    val fence = BandIndex.acquireLease(spark, ldir, "lineage_compact", 60000L)
+    var stragglerLanded = false
+    assert(Lineage.compactUnderLease(spark, ldir, maxFilesPerBucket = 2, fence,
+      afterListing = () => {
+        // simulate the guard-raced record: same row shape record()
+        // writes, landed directly (its guard check happened pre-lease)
+        Seq((5L, "s1", "rules", "kept", "straggler", 99L, 5L))
+          .toDF("doc_id", "source", "stage", "verdict", "detail",
+            "round", "doc_bucket")
+          .write.mode("append").partitionBy("doc_bucket").parquet(ldir)
+        stragglerLanded = true
+      }))
+    BandIndex.releaseLease(spark, ldir, fence)
+    assert(stragglerLanded)
+    val after = ids(ldir)
+    assert(after.size === before.size + 1,
+      s"straggler must survive exactly once: ${after.size} vs ${before.size}+1")
+    assert(after.count(_._4 == "straggler") === 1,
+      "the raced record's row must appear exactly once, not duplicated")
+    assert(after.filterNot(_._4 == "straggler") === before,
+      "all pre-compaction rows content-identical")
+    // the straggler's file is still live (it was never in the delete
+    // list), so a follow-up compaction folds it in cleanly
+    assert(fileCount(ldir, 5L) === 2) // compacted file + straggler file
+    assert(Lineage.compact(spark, ldir, maxFilesPerBucket = 1))
+    assert(ids(ldir) === after)
+    assert(fileCount(ldir, 5L) === 1)
+  }
+
   test("record fails fast while the maintenance lease is held, resumes after") {
     val ldir = Files.createTempDirectory("lin-lease").resolve("l").toString
     seedLedger(ldir, 2)

@@ -126,4 +126,44 @@ class VectorIndexAgingSpec extends SparkSpec {
       .collect()
     assert(full.forall(_.getDouble(2) === 1.0))
   }
+
+  test("resumeRetrain heals UNDER the lease: takes over a crashed " +
+       "holder's stale lease, releases it, refuses a live one") {
+    // ADVICE r9: the public heal used to swap dirs without the lease —
+    // an operator heal racing a stale-takeover retrain could interleave
+    // renames, and the crashed holder's lease stayed on file blocking
+    // writers even after the heal. Now the heal IS a lease operation.
+    val path = java.nio.file.Files
+      .createTempDirectory("vaging-lease").toString + "/idx"
+    VectorIndex.build(spark, emb, path, seeds)
+    spark.read.parquet(s"$path/centroids").coalesce(1)
+      .write.parquet(s"$path/.gen/centroids")
+    spark.read.parquet(s"$path/postings")
+      .write.partitionBy("cell").parquet(s"$path/.gen/postings")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/.retrain_commit"),
+      "k=4 iters=4 n=500\n".getBytes("UTF-8"))
+
+    // a LIVE holder's lease blocks the heal (two processes renaming
+    // the same store dirs would interleave)
+    val live = BandIndex.acquireLease(spark, path, "vector_retrain", 60000L)
+    intercept[BandIndex.ConcurrentMaintenanceException] {
+      VectorIndex.resumeRetrain(spark, path)
+    }
+    BandIndex.releaseLease(spark, path, live)
+
+    // the crashed holder's STALE lease: heal takes it over and, on
+    // success, releases it — writers are unblocked afterwards
+    BandIndex.acquireLease(spark, path, "vector_retrain", 1L)
+    Thread.sleep(5) // past the 1 ms ttl: the holder is provably dead
+    VectorIndex.resumeRetrain(spark, path)
+    assert(BandIndex.readLease(spark, path).isEmpty,
+      "heal must release the lease it took over")
+    assert(!new java.io.File(s"$path/.retrain_commit").exists())
+    assert(spark.read.parquet(s"$path/postings").count() === 500L)
+    // writer APIs are genuinely unblocked: an append goes through
+    VectorIndex.append(spark, path,
+      emb.limit(3).withColumn("vec_id", col("vec_id") + 10000L))
+    assert(spark.read.parquet(s"$path/postings").count() === 503L)
+  }
 }

@@ -84,7 +84,7 @@ def main(sf_dir, out_dir, out_json=None):
         if "=" in kv:
             k, v = kv.split("=", 1)
             exempt[k.strip()] = v.strip()
-    n_pass = n_fail = n_skip = n_exempt = 0
+    n_pass = n_fail = n_skip = n_exempt = n_timeout = 0
     for name in sorted(oracle):
         sql = oracle[name]
         if name in exempt:
@@ -100,40 +100,64 @@ def main(sf_dir, out_dir, out_json=None):
                              "detail": "no spark output"}
             n_skip += 1
             continue
+        # The engine-output read is NOT under the oracle timeout — a
+        # slow parquet read must not be misreported as an oracle hang.
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: engine output unreadable: {str(e)[:200]}")
+            results[name] = {"status": "fail", "rows": -1,
+                             "detail": f"engine output unreadable: "
+                             f"{str(e)[:200]}"}
+            n_fail += 1
+            continue
         # Per-query oracle timeout (ORACLE_TIMEOUT_SEC, 0 = off): some
         # oracle FORMULATIONS are quadratic at large SF even where the
         # engine side is bucketed/pruned — a hung DuckDB query must
-        # become a recorded, reasoned entry, not a stalled gate.
+        # become a recorded, reasoned entry, not a stalled gate. A
+        # timeout is its own counter AND reddens the exit code unless
+        # ORACLE_TIMEOUT_OK=1 (a timed-out query was never verified;
+        # only an operator-documented ORACLE_EXEMPT is a reasoned
+        # exemption). The timer spans ONLY the oracle execute, and the
+        # interrupt is guarded by a per-query done flag so a timer that
+        # fires between query completion and cancel() cannot spuriously
+        # interrupt the NEXT query.
         tmo = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0)
         timer = None
         timed_out = [False]
+        tstate = threading.Lock()
+        done = [False]
         if tmo > 0:
             def _interrupt():
-                timed_out[0] = True
+                with tstate:
+                    if done[0]:
+                        return
+                    timed_out[0] = True
                 con.interrupt()
             timer = threading.Timer(tmo, _interrupt)
             timer.start()
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchdf()
             want = con.execute(sql).fetchdf()
         except Exception as e:
-            if timer:
-                timer.cancel()
             if timed_out[0]:
                 print(f"TIMEOUT {name}: oracle exceeded {tmo:.0f}s")
                 results[name] = {"status": "oracle_timeout", "rows": -1,
                                  "detail": f"DuckDB oracle exceeded {tmo:.0f}s"
-                                 " at this SF; engine output exists"}
-                n_exempt += 1
+                                 " at this SF; engine output exists but is"
+                                 " UNVERIFIED by this run"}
+                n_timeout += 1
                 continue
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             results[name] = {"status": "fail", "rows": -1,
                              "detail": f"oracle error: {str(e)[:200]}"}
             n_fail += 1
             continue
-        if timer:
-            timer.cancel()
+        finally:
+            with tstate:
+                done[0] = True
+            if timer:
+                timer.cancel()
         gcols, wcols = sorted(got.columns), sorted(want.columns)
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} vs {wcols}")
@@ -172,14 +196,19 @@ def main(sf_dir, out_dir, out_json=None):
         print(f"PASS {name} ({len(g)} rows)")
         results[name] = {"status": "pass", "rows": len(g), "detail": ""}
         n_pass += 1
-    tail = f", {n_exempt} exempt" if n_exempt else ""
+    tail = (f", {n_exempt} exempt" if n_exempt else "") + \
+           (f", {n_timeout} timeout" if n_timeout else "")
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_skip} skip{tail} ==")
     if out_json:
         with open(out_json, "w") as f:
             json.dump({"sf_dir": sf_dir, "pass": n_pass, "fail": n_fail,
                        "skip": n_skip, "exempt": n_exempt,
-                       "queries": results}, f, indent=1)
-    return 1 if (n_fail or n_skip) else 0
+                       "timeout": n_timeout, "queries": results}, f, indent=1)
+    # exit policy (explicit): fail/skip always red; a timeout is red
+    # too unless the caller opted in with ORACLE_TIMEOUT_OK=1, because
+    # a timed-out query's output was never verified.
+    timeout_red = n_timeout and not os.environ.get("ORACLE_TIMEOUT_OK")
+    return 1 if (n_fail or n_skip or timeout_red) else 0
 
 
 if __name__ == "__main__":

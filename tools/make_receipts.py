@@ -48,12 +48,28 @@ def main():
                  f"all_passed={all_passed} — refusing to stamp a receipt")
 
     olog = open(oracle_log, errors="replace").read()
-    om = re.search(r"== (\d+) pass, (\d+) fail, (\d+) skip ==", olog)
+    # check_oracle.py appends optional ", N exempt" / ", N timeout"
+    # tails whenever ORACLE_EXEMPT or ORACLE_TIMEOUT_SEC produced
+    # entries (ADVICE r9: the old regex rejected exactly those runs).
+    om = re.search(r"== (\d+) pass, (\d+) fail, (\d+) skip"
+                   r"(?:, (\d+) exempt)?(?:, (\d+) timeout)? ==", olog)
     if not om:
         sys.exit(f"no oracle summary found in {oracle_log}")
-    opass, ofail, oskip = map(int, om.groups())
-    if ofail or oskip:
-        sys.exit(f"oracle gate RED: {opass} pass {ofail} fail {oskip} skip")
+    opass, ofail, oskip = map(int, om.groups()[:3])
+    oexempt = int(om.group(4) or 0)
+    otimeout = int(om.group(5) or 0)
+    # Stamping policy (explicit): fail/skip/timeout refuse — those
+    # queries were never verified at this run. Operator-documented
+    # exemptions ALLOW stamping, but the emitted block names each one
+    # with its recorded reason so the receipt cannot silently launder
+    # an exemption into a pass.
+    if ofail or oskip or otimeout:
+        sys.exit(f"oracle gate RED: {opass} pass {ofail} fail {oskip} skip"
+                 f" {otimeout} timeout — refusing to stamp")
+    exempt_lines = re.findall(r"^EXEMPT (\S+): (.*)$", olog, re.M)
+    if len(exempt_lines) != oexempt:
+        sys.exit(f"oracle log inconsistent: summary says {oexempt} exempt"
+                 f" but {len(exempt_lines)} EXEMPT lines found")
 
     lines = [
         f"Gates measured at `{head}`"
@@ -66,7 +82,11 @@ def main():
         f" {canceled}, ignored {ignored}, pending {pending};"
         f" \"All tests passed.\").",
         f"- DuckDB-oracle compare: **{opass} pass, {ofail} fail,"
-        f" {oskip} skip** (`tools/check_oracle.py`).",
+        f" {oskip} skip"
+        + (f", {oexempt} exempt" if oexempt else "")
+        + "** (`tools/check_oracle.py`)."
+        + ("".join(f"\n  - EXEMPT `{q}`: {why}" for q, why in exempt_lines)
+           if exempt_lines else ""),
     ]
     if bench_json:
         b = json.load(open(bench_json))
