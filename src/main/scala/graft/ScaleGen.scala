@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only (like [[PlanDump]]): materialize an N× scale-up of a
@@ -21,16 +21,28 @@ import org.apache.spark.sql.functions._
   * factor, which is exactly what the calendar-bounded-frame claims
   * (q153/q159) must absorb.
   *
-  * Usage: runMain graft.ScaleGen <srcSfDir> <destDir> <factor>
+  * Usage: runMain graft.ScaleGen <srcSfDir> <destDir> <factor> [zipf]
   * (writes ALL ten tables since round 9 — a scaled dir serves the
   * full registry, so the sf1 oracle gate can run every query:
   * facts and documents/events/embeddings scale by copy with
   * disjoint key namespaces, part/supplier scale with the same key
   * stride as their fact columns, region/nation copy through fixed.)
+  *
+  * The optional `zipf` mode (VERDICT r9 item 4) re-draws `o_custkey`
+  * from a Zipf(s≈1) law over the SCALED customer key space instead of
+  * replicating the source's uniform-stride distribution — every other
+  * column and table is identical to the plain mode. The draw is
+  * deterministic (inverse-CDF on a hash of the scaled order key:
+  * rank = ⌊N^u⌋, u = xxhash64(o_orderkey)/2⁶⁴), so the same dir
+  * regenerates bit-identically and the DuckDB oracle sees the same
+  * parquet. At factor 10 the head customer takes ~6% of all orders
+  * (~90k rows vs a uniform 10) — the power-law shape the AQE
+  * skew-split machinery has to absorb (see ClusterCheck/SkewCheck).
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, destDir, factorS) = args
+    val (srcDir, destDir, factorS) = (args(0), args(1), args(2))
+    val zipfOrders = args.length > 3 && args(3) == "zipf"
     val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -40,6 +52,14 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, destDir, factor, zipfOrders)
+    spark.stop()
+  }
+
+  /** The generator body, session-injected so specs can drive it. */
+  def run(spark: SparkSession, srcDir: String, destDir: String,
+          factor: Int, zipfOrders: Boolean = false): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val docs = Tables.load(spark, srcDir, "documents")
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
     val copies = (0 until factor).map { i =>
@@ -80,9 +100,26 @@ object ScaleGen {
     }.reduce(_ unionByName _).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$destDir/customer.parquet")
 
+    // zipf mode only redraws the FK; key namespaces and every other
+    // column stay exactly as in the plain mode. The scaled custkey
+    // space is dense [0, factor·maxCust) by construction (source keys
+    // are dense [0, maxCust) and copies stride by maxCust), so the
+    // Zipf rank maps onto it directly: rank-1 IS a live customer key.
+    val nCustScaled = factor * maxCust
+    def zipfCust(scaledOrderKey: Column): Column = {
+      // u ∈ [0,1) from the order key hash; rank = ⌊N^u⌋ clamped to
+      // [1,N] gives P(rank ≤ r) = ln r / ln N — the Zipf(s=1) CDF
+      val u = (pmod(xxhash64(scaledOrderKey), lit(1L << 40)).cast("double")
+        / lit((1L << 40).toDouble))
+      val rank = least(greatest(
+        floor(pow(lit(nCustScaled.toDouble), u)), lit(1L)), lit(nCustScaled))
+      (rank - 1).cast("long")
+    }
     (0 until factor).map { i =>
-      ord.select((col("o_orderkey") + lit(i * maxOrd)).as("o_orderkey"),
-        (col("o_custkey") + lit(i * maxCust)).as("o_custkey"),
+      val scaledKey = (col("o_orderkey") + lit(i * maxOrd)).as("o_orderkey")
+      ord.select(scaledKey,
+        (if (zipfOrders) zipfCust(col("o_orderkey") + lit(i * maxOrd))
+         else col("o_custkey") + lit(i * maxCust)).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
     }.reduce(_ unionByName _).repartition(cpus.toInt)
@@ -127,15 +164,37 @@ object ScaleGen {
     Tables.load(spark, srcDir, "nation").coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/nation.parquet")
 
-    // Embeddings: per-copy vec_id stride, SHARED vectors and labels —
-    // the ANN/recall structure replicates per copy (each query point's
-    // neighbor set gains exact-duplicate members from other copies,
-    // which both engines tie-break identically by id), volume scales.
+    // Embeddings: per-copy vec_id stride, DE-SHARED vectors (VERDICT
+    // r9 item 3). Copying vectors verbatim gave every point factor-1
+    // exact duplicates in other copies, which (a) densified the
+    // near-dup structure unrealistically and (b) blew up the q49/q106
+    // all-pairs oracle formulations at sf1. Each copy i>0 instead gets
+    // a per-copy SIGNED COORDINATE PERMUTATION — an orthogonal
+    // transform, so it preserves every vector's norm and every
+    // WITHIN-copy angle exactly (the planted near-dup pairs replicate
+    // per copy, same stance as the token-namespace prefix on
+    // documents), while a vector and its cross-copy image are as far
+    // apart as two random d=64 directions (E[cos]=0, σ≈1/√d) — no
+    // cross-copy near-dups, realistic pair counts. Deterministic: the
+    // permutation/signs derive from a fixed seed + copy index.
+    // Multiplication by ±1 is exact in float, so only coordinate
+    // ORDER changes — per-vector content is a bit-exact reshuffle.
     val emb = Tables.load(spark, srcDir, "embeddings")
     val maxVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     (0 until factor).map { i =>
+      val vec: Column =
+        if (i == 0) col("embedding")
+        else {
+          val rnd = new scala.util.Random(0x5CA1E + i)
+          val perm = rnd.shuffle((0 until dim).toVector)
+          val signs = Vector.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+          array((0 until dim).map(j =>
+            (col("embedding").getItem(perm(j)) * lit(signs(j)))
+              .cast("float")): _*)
+        }
       emb.select((col("vec_id") + lit(i * maxVec)).as("vec_id"),
-        col("embedding"), col("label"))
+        vec.as("embedding"), col("label"))
     }.reduce(_ unionByName _).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$destDir/embeddings.parquet")
 
@@ -158,6 +217,5 @@ object ScaleGen {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$destDir/events.parquet")
-    spark.stop()
   }
 }
