@@ -316,4 +316,11 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Reference (pre-bounding) formulations for queries whose `oracle`
+    * was rewritten for large-SF tractability — the equivalence-proof
+    * input for tools/check_oracle_equiv.py (see [[Q.oracleReference]]).
+    */
+  def oracleSqlReference: Map[String, String] =
+    registry.flatMap(q => q.oracleReference.map(q.name -> _)).toMap
 }

@@ -51,6 +51,12 @@ object Verify {
       .filter { case (k, _) => selected.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // pre-bounding reference formulations (equivalence-proof input for
+    // tools/check_oracle_equiv.py; empty map when nothing was bounded)
+    val refJson = SparkEntry.oracleSqlReference
+      .filter { case (k, _) => selected.forall(_.contains(k)) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_reference.json"), refJson)
     spark.stop()
   }
 }

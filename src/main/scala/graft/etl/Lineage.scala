@@ -74,6 +74,37 @@ object Lineage {
         detail.cast("string").as("detail"),
         lit(round).as("round"),
         pmod(col("doc_id").cast("long"), lit(Buckets.toLong)).as("doc_bucket"))
+      .repartition(col("doc_bucket")) // one file per bucket per append
+      .write.mode("append").partitionBy("doc_bucket").parquet(lineageDir)
+  }
+
+  /** Append MANY stages' decision rows in ONE write job. `decisions`
+    * needs (doc_id, source, stage, verdict, detail) — the caller has
+    * already rendered stage/verdict/detail per row — and lands as a
+    * single parquet append instead of one job per stage: a pipeline
+    * recording N gates pays one shuffle-free pass over frames it
+    * already computed plus one commit, not N (the q263 bench fix —
+    * 4 record() jobs re-ran the shared fingerprint scan 4×).
+    * Same maintenance-fence stance as [[record]].
+    */
+  def recordBatch(spark: SparkSession, lineageDir: String,
+                  decisions: DataFrame, round: Long): Unit = {
+    BandIndex.assertNoMaintenance(spark, lineageDir, "record lineage")
+    decisions
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        coalesce(col("source"), lit("")).as("source"),
+        col("stage").cast("string").as("stage"),
+        col("verdict").cast("string").as("verdict"),
+        col("detail").cast("string").as("detail"),
+        lit(round).as("round"),
+        pmod(col("doc_id").cast("long"), lit(Buckets.toLong)).as("doc_bucket"))
+      // cluster by bucket first: without it every input task writes a
+      // file into every bucket dir (tasks × Buckets tiny files per
+      // append — the commit/list cost, not the rows, dominated q263's
+      // bench time), with it each bucket lands as one file per append
+      // — the same layout compact() converges to
+      .repartition(col("doc_bucket"))
       .write.mode("append").partitionBy("doc_bucket").parquet(lineageDir)
   }
 

@@ -54,7 +54,12 @@ object LineageQueries {
       val fp = d.withColumn("f",
         md5(concat_ws(" ", array_sort(array_distinct(split($"t", " "))))))
       val surv = fp.groupBy($"f").agg(min($"doc_id").as("surv"))
-      val w = fp.join(surv, Seq("f"))
+      // w and cum are each consumed by SEVERAL decision branches below;
+      // without the barrier every branch re-runs the md5-fingerprint
+      // scan and the prefix-sum sort (the r9 bench showed q263 paying
+      // the pipeline ~4× — once per record() job). Cache both once;
+      // Bench/Verify clear the cache between queries.
+      val w = fp.join(surv, Seq("f")).cache()
       val dedupDropped = w.filter($"doc_id" =!= $"surv")
         .withColumn("why", concat(lit("fp_dup_of="), $"surv"))
       val kept = w.filter($"doc_id" === $"surv")
@@ -70,17 +75,25 @@ object LineageQueries {
       val tot = rulesKept.agg(expr("sum(m) div 2").as("budget"))
       val cum = graft.operators.DistributedRank.withPrefixSum(
         rulesKept.crossJoin(broadcast(tot)),
-        Seq($"q".desc, $"doc_id"), $"m", "cum")
+        Seq($"q".desc, $"doc_id"), $"m", "cum").cache()
       val selected = cum.filter($"cum" <= $"budget")
       val overBudget = cum.filter($"cum" > $"budget")
 
-      Lineage.record(s, ldir, dedupDropped, "dedup", "dropped", $"why", 0L)
-      Lineage.record(s, ldir, rulesDropped, "rules", "dropped",
-        lit("below_floor"), 0L)
-      Lineage.record(s, ldir, selected, "select", "selected",
-        lit("within_budget"), 0L)
-      Lineage.record(s, ldir, overBudget, "select", "over_budget",
-        lit("budget_exhausted"), 0L)
+      // one batched append: all four stages' decisions land in a
+      // single write job over the cached frames instead of four
+      // jobs × four pipeline recomputes
+      def dec(df: org.apache.spark.sql.DataFrame, stage: String,
+              verdict: String, detail: org.apache.spark.sql.Column) =
+        df.select($"doc_id", $"source", lit(stage).as("stage"),
+          lit(verdict).as("verdict"), detail.cast("string").as("detail"))
+      Lineage.recordBatch(s, ldir,
+        dec(dedupDropped, "dedup", "dropped", $"why")
+          .unionByName(dec(rulesDropped, "rules", "dropped",
+            lit("below_floor")))
+          .unionByName(dec(selected, "select", "selected",
+            lit("within_budget")))
+          .unionByName(dec(overBudget, "select", "over_budget",
+            lit("budget_exhausted"))), 0L)
       Lineage.audit(s, ldir)
     },
     Some(s"""WITH d AS (

@@ -78,7 +78,16 @@ object Bfs {
           $"key_sum")
         .orderBy($"hop")
     },
-    Some(s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    // CTEs pinned MATERIALIZED (VERDICT r9 item 2): inlined, e/d1/d2
+    // are each referenced by several later hops, so DuckDB duplicated
+    // the whole edge-pipeline plan per reference — OOM/timeout at sf1
+    // where each stage run once takes seconds (q152's disease).
+    Some(Q.materializeCtes(refOracle)),
+    doc = "graph: bounded BFS min-hop rings from the strongest co-purchase hub (per-hop frontier joins, Barrier.cut per round)",
+    oracleReference = Some(refOracle))
+
+  private lazy val refOracle =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e0 AS (
       |  SELECT a.p AS src, b.p AS dst, COUNT(*) AS w
       |  FROM lp a JOIN lp b ON a.o = b.o AND a.p <> b.p
@@ -102,8 +111,7 @@ object Bfs {
       |UNION ALL SELECT 1, COUNT(*), CAST(SUM(node) AS BIGINT) FROM d1
       |UNION ALL SELECT 2, COUNT(*), CAST(SUM(node) AS BIGINT) FROM d2
       |UNION ALL SELECT 3, COUNT(*), CAST(SUM(node) AS BIGINT) FROM d3
-      |ORDER BY hop""".stripMargin),
-    doc = "graph: bounded BFS min-hop rings from the strongest co-purchase hub (per-hop frontier joins, Barrier.cut per round)")
+      |ORDER BY hop""".stripMargin
 
   val all: Seq[Q] = Seq(q185)
 }

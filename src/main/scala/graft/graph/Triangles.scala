@@ -112,7 +112,17 @@ object Triangles {
           $"global_triangles", $"pos")
         .orderBy($"pos")
     },
-    Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    // CTEs pinned MATERIALIZED (VERDICT r9 item 2): inlined, DuckDB
+    // re-planned the edge pipeline once per reference (e feeds deg,
+    // o ×3, the EXISTS probe) — a 33 s query became a 40 GiB
+    // spill/timeout at sf1. Q.materializeCtes is mechanical; the
+    // unpinned original rides oracleReference for the equivalence gate.
+    Some(Q.materializeCtes(refOracle)),
+    doc = "graph: degree-ordered triangle census + local clustering coefficients over the co-purchase backbone",
+    oracleReference = Some(refOracle))
+
+  private lazy val refOracle =
+    """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       |e0 AS (
       |  SELECT x.p AS a, y.p AS b, COUNT(*) AS cw
       |  FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p
@@ -149,8 +159,7 @@ object Triangles {
       |            ELSE (2 * tri * 1000000) // (deg * (deg - 1)) END AS coeff_ppm,
       |       g.global_triangles,
       |       CAST(ROW_NUMBER() OVER (ORDER BY tri DESC, v) AS INT) AS pos
-      |FROM top, g ORDER BY pos""".stripMargin),
-    doc = "graph: degree-ordered triangle census + local clustering coefficients over the co-purchase backbone")
+      |FROM top, g ORDER BY pos""".stripMargin
 
   val all: Seq[Q] = Seq(q152)
 }

@@ -48,7 +48,37 @@ object Medoids {
             .as("mean_peer_sim"))
         .orderBy($"label")
     },
-    Some("""WITH pairs AS (
+    // Bounded oracle (VERDICT r9 item 2): norms precomputed once per
+    // vector, the per-pair score one vectorized list_dot_product
+    // (same double operation tree as the reference form below —
+    // tools/check_oracle_equiv.py proves bit-identity; ~325 s timeout
+    // → ~29 s at sf1).
+    Some("""WITH e AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.label, a.vec_id,
+      |         CAST(ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+      |              * 10000, 0) AS BIGINT) AS simq
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+      |totals AS (
+      |  SELECT label, vec_id, CAST(SUM(simq) AS BIGINT) AS tot,
+      |         COUNT(*) AS n_peers
+      |  FROM pairs GROUP BY 1, 2),
+      |elect AS (
+      |  SELECT label, vec_id AS medoid_vec, tot,
+      |         COUNT(*) OVER (PARTITION BY label) AS n_members,
+      |         ROW_NUMBER() OVER (PARTITION BY label
+      |           ORDER BY tot DESC, vec_id) AS rn
+      |  FROM totals)
+      |SELECT label, medoid_vec, CAST(n_members AS BIGINT) AS n_members,
+      |       CAST(tot AS DOUBLE) / CAST((n_members - 1) * 10000 AS DOUBLE)
+      |         AS mean_peer_sim
+      |FROM elect WHERE rn = 1 ORDER BY label""".stripMargin),
+    doc = "similarity: exact PAM medoid per label cluster (label-blocked quantized-cosine totals, struct-max election)",
+    oracleReference = Some("""WITH pairs AS (
       |  SELECT a.label, a.vec_id,
       |         CAST(ROUND((SELECT SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
       |            / (sqrt(SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
@@ -69,8 +99,7 @@ object Medoids {
       |SELECT label, medoid_vec, CAST(n_members AS BIGINT) AS n_members,
       |       CAST(tot AS DOUBLE) / CAST((n_members - 1) * 10000 AS DOUBLE)
       |         AS mean_peer_sim
-      |FROM elect WHERE rn = 1 ORDER BY label""".stripMargin),
-    doc = "similarity: exact PAM medoid per label cluster (label-blocked quantized-cosine totals, struct-max election)")
+      |FROM elect WHERE rn = 1 ORDER BY label""".stripMargin))
 
   val all: Seq[Q] = Seq(q198)
 }

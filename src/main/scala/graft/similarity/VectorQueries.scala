@@ -250,13 +250,33 @@ object VectorQueries {
     "q49_embedding_neardup",
     (s, dir) => embeddingNearDupPairs(s, dir)
       .orderBy(col("vec_a"), col("vec_b")),
-    Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
-      |       ROUND(${oCos("a.embedding", "b.embedding")}, 4) AS score
-      |FROM embeddings a JOIN embeddings b
-      |  ON a.label = b.label AND a.vec_id < b.vec_id
-      |WHERE ROUND(${oCos("a.embedding", "b.embedding")}, 4) >= 0.4
+    // Bounded oracle (VERDICT r9 item 2): the same label-blocked
+    // all-pairs semantics, but norms precomputed once per vector and
+    // the per-pair score via one vectorized list_dot_product instead
+    // of a correlated 64-row UNNEST subquery evaluated twice per pair
+    // (~300 s → ~13 s at sf1). list_dot_product on DOUBLE[] sums in
+    // ascending index order — the identical double-precision operation
+    // tree as the reference form, proven bit-identical at sf0.01/0.1
+    // by tools/check_oracle_equiv.py (ORACLE_EQUIV.json).
+    Some("""WITH e AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |s AS MATERIALIZED (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      |         ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS score
+      |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, label, score FROM s WHERE score >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin),
-    doc = "similarity: label-blocked cosine near-dup pairs")
+    doc = "similarity: label-blocked cosine near-dup pairs",
+    oracleReference =
+      Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+        |       ROUND(${oCos("a.embedding", "b.embedding")}, 4) AS score
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(${oCos("a.embedding", "b.embedding")}, 4) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin))
 
   /** q52 — IVF-style approximate nearest neighbors (the coarse-
     * quantization scale path, complementing q48's hash-based LSH):
@@ -432,7 +452,60 @@ object VectorQueries {
           $"kept_simq_sum")
         .orderBy($"label")
     },
-    Some(s"""WITH RECURSIVE cents AS (
+    // Bounded oracle (VERDICT r9 item 2): same semantics as the
+    // reference form below, with (a) vectorized dot products off a
+    // precomputed (v, nrm) frame — identical double operation tree,
+    // proven bit-identical by tools/check_oracle_equiv.py — and (b)
+    // MATERIALIZED non-recursive CTEs: DuckDB inlines CTEs by default,
+    // and the multiply-referenced pair/celled pipelines re-planned the
+    // all-pairs join several times over (the 40 GiB spill at sf1 was
+    // plan duplication, not data).
+    Some("""WITH RECURSIVE ev AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |cents AS MATERIALIZED (
+      |  SELECT vec_id AS cid, v AS cvec, nrm AS cnrm FROM ev
+      |  WHERE vec_id >= 8 AND vec_id < 16),
+      |scoredc AS MATERIALIZED (
+      |  SELECT e.vec_id, e.label, c.cid,
+      |         ROUND(list_dot_product(e.v, c.cvec) / (e.nrm * c.cnrm), 6) AS sim6
+      |  FROM ev e CROSS JOIN cents c),
+      |celled AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(ROUND(sim6 * 1000000, 0) AS BIGINT) AS simq
+      |  FROM (SELECT vec_id, label, sim6,
+      |               ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                 ORDER BY sim6 DESC, cid ASC) AS rn
+      |        FROM scoredc) WHERE rn = 1),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb
+      |  FROM ev a JOIN ev b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |  WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.4),
+      |sym AS MATERIALIZED (SELECT va AS a, vb AS b FROM pairs
+      |        UNION ALL SELECT vb, va FROM pairs),
+      |closure(node, reach) AS (
+      |  SELECT DISTINCT a, a FROM sym
+      |  UNION
+      |  SELECT c.node, s.b FROM closure c JOIN sym s ON s.a = c.reach),
+      |roots AS (SELECT node, MIN(reach) AS lab FROM closure GROUP BY node),
+      |labs AS MATERIALIZED (
+      |  SELECT cl.vec_id, cl.label, cl.simq, COALESCE(r.lab, cl.vec_id) AS lab
+      |  FROM celled cl LEFT JOIN roots r ON cl.vec_id = r.node),
+      |keep AS (
+      |  SELECT lab, vec_id AS keep_vec FROM (
+      |    SELECT lab, vec_id,
+      |           ROW_NUMBER() OVER (PARTITION BY lab
+      |             ORDER BY simq ASC, vec_id ASC) AS rn
+      |    FROM labs) WHERE rn = 1)
+      |SELECT l.label, COUNT(*) AS n_vecs,
+      |       CAST(COUNT(CASE WHEN l.vec_id = k.keep_vec THEN 1 END) AS BIGINT) AS n_kept,
+      |       CAST(COUNT(CASE WHEN l.vec_id <> k.keep_vec THEN 1 END) AS BIGINT) AS n_dropped,
+      |       CAST(COALESCE(SUM(CASE WHEN l.vec_id = k.keep_vec THEN l.simq END), 0) AS BIGINT) AS kept_simq_sum
+      |FROM labs l JOIN keep k ON l.lab = k.lab
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
+    oracleReference = Some(s"""WITH RECURSIVE cents AS (
       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
       |  WHERE vec_id >= 8 AND vec_id < 16),
       |scoredc AS (

@@ -1429,7 +1429,15 @@ object TextQueries {
           count_if($"ex".isNull && $"nr".isNull).as("n_kept"))
         .orderBy($"source")
     },
-    Some("""WITH d AS (
+    Some(graft.Q.materializeCtes(q88RefOracle)),
+    doc = "dedup: incremental — incoming batch vs existing corpus (exact fp semi-join + MinHash band index)",
+    oracleReference = Some(q88RefOracle))
+
+  // CTEs pinned MATERIALIZED in the live oracle (VERDICT r9 item 2):
+  // b/tok/cand are each consumed by several later stages, and inlined
+  // DuckDB re-planned the band-join pipeline per reference — 240 s+
+  // timeout at sf1 vs 60 s with every stage run once.
+  private lazy val q88RefOracle = """WITH d AS (
       |  SELECT doc_id, source,
       |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
       |           % 100 < 70 AS is_old
@@ -1483,8 +1491,7 @@ object TextQueries {
       |LEFT JOIN exact_dup e ON d.doc_id = e.doc_id
       |LEFT JOIN near_dup nr ON d.doc_id = nr.doc_id
       |WHERE NOT d.is_old
-      |GROUP BY d.source ORDER BY d.source""".stripMargin),
-    doc = "dedup: incremental — incoming batch vs existing corpus (exact fp semi-join + MinHash band index)")
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
 
   /** q89 — temperature-weighted source mixture RESAMPLING (q68 measures
     * the mixture; this one changes it): multilingual/multi-source LLM
