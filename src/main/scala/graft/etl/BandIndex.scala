@@ -382,8 +382,8 @@ object BandIndex {
     * duration stays fenced — only a genuinely crashed appender's
     * beacon goes stale, after [[BeaconTtlMs]] without a heartbeat.
     */
-  private def withAppendBeacon[T](spark: SparkSession, path: String)
-                                 (body: => T): T = {
+  private[etl] def withAppendBeacon[T](spark: SparkSession, path: String)
+                                      (body: => T): T = {
     val p = new org.apache.hadoop.fs.Path(path,
       BeaconPrefix + java.util.UUID.randomUUID().toString.take(12))
     val fs = fsOf(spark, p)
@@ -871,13 +871,40 @@ object BandIndex {
       spark.sessionState.catalog
         .getTableMetadata(TableIdentifier(table)).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    var n = 0L
-    val it = fs.listFiles(loc, true)
-    while (it.hasNext) {
-      val f = it.next().getPath.getName
-      if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+    def walk(): Long = {
+      var n = 0L
+      val it = fs.listFiles(loc, true)
+      while (it.hasNext) {
+        val f = it.next().getPath.getName
+        if (!f.startsWith("_") && !f.startsWith(".")) n += 1
+      }
+      n
     }
-    n
+    // A recursive walk racing an in-flight append is benign: a
+    // `_temporary` dir can vanish between list and stat (HDFS throws
+    // FileNotFound; RawLocalFileSystem's permission shell-out throws
+    // RuntimeException(ExitCodeException "No such file")). This is a
+    // pressure PROBE — retry the walk instead of failing the
+    // maintenance scheduler (tri-store soak, round 10).
+    def vanished(e: Throwable): Boolean = {
+      var c = e
+      while (c != null) {
+        if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+        if (Option(c.getMessage).exists(m =>
+          m.contains("No such file or directory"))) return true
+        c = c.getCause
+      }
+      false
+    }
+    var attempts = 0
+    while (true) {
+      try return walk()
+      catch {
+        case e: Exception if vanished(e) && attempts < 3 =>
+          attempts += 1; Thread.sleep(50)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Rewrite every index table into one fresh generation — identical

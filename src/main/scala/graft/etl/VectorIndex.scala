@@ -150,6 +150,19 @@ object VectorIndex {
     */
   def append(spark: SparkSession, path: String, batch: DataFrame): Long = {
     import spark.implicits._
+    // Round-10 fix (found building the tri-store soak): append had NO
+    // maintenance guard while retrain's commit RETIRES the whole live
+    // postings directory — an append racing the swap writes files
+    // that leave with `.old`, silent loss (and unlike Lineage's
+    // file-listed delete, the swap removes everything, so "left live
+    // for the next compaction" does not apply). Two-part close, the
+    // exact BandIndex.append protocol: fail fast while a lease is on
+    // file, and hold an APPEND BEACON across the write — acquireLease
+    // waits for in-flight beacons to drain before maintenance reads
+    // or moves anything, so a write that slipped past the guard
+    // finishes before the swap starts.
+    BandIndex.assertNoMaintenance(spark, path, "append vectors")
+    BandIndex.withAppendBeacon(spark, path) {
     val assigned =
       assignCells(batch, loadCentroids(spark, path)).localCheckpoint()
     val cells = assigned.select($"cell").distinct().as[Int].collect().toSeq
@@ -164,6 +177,7 @@ object VectorIndex {
     if (n > 0)
       fresh.write.mode("append").partitionBy("cell").parquet(postingsDir(path))
     n
+    }
   }
 
   /** Retrain the centroids from the index's CURRENT content and swap
@@ -312,7 +326,21 @@ object VectorIndex {
     * overwrite pattern, emptied-cell directories deleted explicitly).
     * Returns rows erased; idempotent (a rerun finds nothing).
     */
-  def remove(spark: SparkSession, path: String, vecIds: Seq[Long]): Long = {
+  def remove(spark: SparkSession, path: String, vecIds: Seq[Long]): Long =
+    // generation-rewriting maintenance, so it takes the lease itself
+    // (the BandIndex.remove stance, round-10 tri-store-soak close):
+    // a concurrent append row landing in a hit cell between the
+    // survivor materialization and the dynamic overwrite would be
+    // silently dropped; under the lease the appender fail-fasts
+    // instead, and acquireLease has already drained in-flight append
+    // beacons before this body runs.
+    BandIndex.withLease(spark, path, "vector_remove",
+        BandIndex.DefaultLeaseTtlMs) { _ =>
+      removeUnderLease(spark, path, vecIds)
+    }
+
+  private def removeUnderLease(spark: SparkSession, path: String,
+                               vecIds: Seq[Long]): Long = {
     import spark.implicits._
     val posts = spark.read.parquet(postingsDir(path))
     val ids = vecIds.map(java.lang.Long.valueOf)
