@@ -545,7 +545,7 @@ object PlanDump {
     "q261_centroid_cosine" ->
       "ONE explode -> (label, dim) aggregate compresses the corpus to a 10x64 frame behind a Barrier; the label x label cosine matrix is epilogue on 100 cells with quantized-exact sums.",
     "q263_curation_lineage" ->
-      "Lineage ledger: fingerprint dedup shuffles a 16-byte md5 key; rules gate is per-row codegen; selection is ONE DistributedRank prefix-sum pass; ledger writes are anti-joins/projections of already-computed frames (narrow rows); audit aggregates the bucket-partitioned ledger map-side; per-doc explain() is a partition-pruned single-bucket read.",
+      "Lineage ledger: fingerprint dedup shuffles a 16-byte md5 key; rules gate is per-row codegen; selection is ONE DistributedRank prefix-sum pass; all four stages' decisions land in ONE batched append (recordBatch) over two cached frames — one write job, rows clustered by bucket so each append is one file per bucket, not tasks×buckets; audit aggregates the bucket-partitioned ledger map-side; per-doc explain() is a partition-pruned single-bucket read.",
     "q262_vector_index_search" ->
       "Search served from the PERSISTED IVF index: partition-pruned postings scan (plan-asserted zero corpus-side Exchange), broadcast probe batch, single bounded top-k exchange — build cost amortized across queries.",
     "q264_roc_auc" ->

@@ -1,0 +1,267 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BinaryComparison, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias, Filter => LFilter, Join => LJoin}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The explain-advisor (VERDICT r9 item 8 — stretch): compose the
+  * repo's own planner-input sketches — q140's CMS join-size estimate
+  * and q254's equi-depth-histogram selectivity — into ONE call that,
+  * given a registered query name, EXECUTES the query and reports
+  * estimated vs actual rows per plan site, from the same sketches a
+  * self-tuning layer would consult before choosing broadcast vs
+  * shuffle vs skew mitigation:
+  *
+  *  - '''join sites''': every single-key equi-join in the optimized
+  *    logical plan gets a CMS inner-product size estimate, with the
+  *    key-count frames computed over each SIDE'S OWN logical subtree
+  *    (filters and upstream joins applied — the distribution the join
+  *    actually sees); the ACTUAL is the executed physical join's
+  *    `numOutputRows` metric — real execution, not a recount. For
+  *    INNER joins the estimate is one-sided (CMS cross-terms only
+  *    add), so est ≥ actual always; outer joins are reported with
+  *    `one_sided=false` (the outer side adds unmatched rows the
+  *    matched-pair estimate does not model).
+  *  - '''filter sites''': every `col ⋈ literal` range conjunct on a
+  *    resolvable numeric base column gets a 20-bucket equi-depth
+  *    histogram estimate (the q254 interpolation); the actual is the
+  *    exact base-side recount.
+  *  - '''shuffle context''': the executed plan's exchange count and
+  *    total shuffle records — the denominaton a tuner would weigh
+  *    join-order alternatives against.
+  *
+  * Scope (stated, not silent): attributes must trace to a base
+  * parquet relation through Project/Filter/SubqueryAlias/Join chains;
+  * joins of derived aggregates and computed keys are skipped — those
+  * sites report nothing rather than a wrong number. A filter that
+  * cannot be re-parsed against a fresh scan is DROPPED from the
+  * estimate's key frame, which only raises a one-sided estimate.
+  *
+  * Scale shape: estimates run on vocabulary-sized key-count frames
+  * (map-side combined) and fixed d×w sketch cells; the histogram's
+  * one ordered pass is per advised column. The advised query runs
+  * once, with its own plan — the advisor adds narrow side passes.
+  */
+object ExplainAdvisor {
+
+  final case class Advice(kind: String, site: String, estimated: Long,
+                          actual: Long, errPpm: Long, oneSided: Boolean)
+
+  private val D = 4
+  /** Wide enough that FK-join collision inflation (ΣaΣb/w) stays a
+    * fraction of real join sizes at the tested SFs; still 4·65536
+    * cells — fixed cost at any corpus volume.
+    */
+  private val W = 65536
+
+  // ---- logical-side resolution --------------------------------------
+
+  /** Trace `a` down to (baseTable, column, pathFilters). */
+  private def resolve(p: LogicalPlan, a: Attribute,
+                      filters: List[Expression] = Nil)
+      : Option[(String, String, List[Expression])] = p match {
+    case lr: LogicalRelation =>
+      if (!lr.output.exists(_.exprId == a.exprId)) None
+      else tableOf(lr).map(t => (t, a.name, filters))
+    case Project(list, child) =>
+      list.find(_.exprId == a.exprId).flatMap {
+        case ar: AttributeReference => resolve(child, ar, filters)
+        case Alias(ar: AttributeReference, _) => resolve(child, ar, filters)
+        case _ => None // computed column — out of model
+      }
+    case LFilter(cond, child) => resolve(child, a, cond :: filters)
+    case SubqueryAlias(_, child) => resolve(child, a, filters)
+    case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+      // a grouping key's exprId WOULD trace through, but the join
+      // then runs against DISTINCT keys — a base key-count frame
+      // mis-models it wildly. Refuse rather than guess.
+      None
+    case j: LJoin =>
+      if (j.left.outputSet.contains(a)) resolve(j.left, a, filters)
+      else if (j.right.outputSet.contains(a)) resolve(j.right, a, filters)
+      else None
+    case other if other.children.size == 1 =>
+      resolve(other.children.head, a, filters)
+    case _ => None
+  }
+
+  private def tableOf(lr: LogicalRelation): Option[String] =
+    lr.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption.map(_.getName)
+          .map(_.stripSuffix(".parquet"))
+      case _ => None
+    }
+
+  private def equiPairs(cond: Expression)
+      : Seq[(AttributeReference, AttributeReference)] = cond match {
+    case And(l, r) => equiPairs(l) ++ equiPairs(r)
+    case EqualTo(a: AttributeReference, b: AttributeReference) => Seq((a, b))
+    case _ => Seq.empty
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  // ---- physical-side actuals ----------------------------------------
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: inner.flatMap(flatten)
+  }
+
+  private def keyNames(es: Seq[Expression]): Set[String] =
+    es.flatMap(_.collect { case ar: AttributeReference => ar.name }).toSet
+
+  // ---- the q254 histogram, generalized to one (value) column --------
+
+  /** Estimated row count for `vals.v <op> t` from a 20-bucket
+    * equi-depth histogram over `vals` ((ok: long, v: double) columns).
+    */
+  private def histEstimate(vals: DataFrame, op: String, t: Double): Double = {
+    val hist = vals
+      .withColumn("bid", ntile(20).over(Window.orderBy(col("v"), col("ok"))))
+      .groupBy(col("bid"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"),
+        max(col("v")).as("mx"))
+      .collect()
+    val le = hist.map { r =>
+      val (n, mn, mx) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      if (mx <= t) n.toDouble
+      else if (mn > t) 0d
+      else if (mx == mn) n.toDouble
+      else n.toDouble * (t - mn) / (mx - mn)
+    }.sum
+    val total = hist.map(_.getLong(1)).sum.toDouble
+    op match {
+      case "<=" => le
+      case "<"  => le // continuous model: P(v = t) ≈ bucket-interpolated 0
+      case ">=" => total - le
+      case ">"  => total - le
+    }
+  }
+
+  // ---- the advisor ---------------------------------------------------
+
+  def advise(spark: SparkSession, dir: String,
+             query: (SparkSession, String) => DataFrame): Seq[Advice] = {
+    val df = query(spark, dir)
+    // collect() executes THIS QueryExecution's plan (foreach/rdd paths
+    // build a separate deserializing QueryExecution whose metrics the
+    // plan read below would never see)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan
+    val physical = flatten(df.queryExecution.executedPlan)
+
+    val physJoins: Seq[(Set[String], Long)] = physical.collect {
+      case j: SortMergeJoinExec =>
+        (keyNames(j.leftKeys ++ j.rightKeys), j.metrics("numOutputRows").value)
+      case j: BroadcastHashJoinExec =>
+        (keyNames(j.leftKeys ++ j.rightKeys), j.metrics("numOutputRows").value)
+      case j: ShuffledHashJoinExec =>
+        (keyNames(j.leftKeys ++ j.rightKeys), j.metrics("numOutputRows").value)
+    }
+
+    // Per join site: CMS key-count frames over each SIDE'S OWN logical
+    // subtree (filters and upstream joins applied — the distribution
+    // the join actually sees), via one narrow groupBy(key) pass per
+    // side. That pass is the advisor's cost — the sketching scan a
+    // planner's stats collection pays — and stays far cheaper than the
+    // query (two columns, map-side combine, column pruning pushed into
+    // the side's plan by Catalyst).
+    val joinAdvice = optimized.collect {
+      case j @ LJoin(_, _, jt, Some(cond), _) =>
+        equiPairs(cond).take(1).map { case (la0, ra0) =>
+          val (la, ra) =
+            if (j.left.outputSet.contains(la0)) (la0, ra0) else (ra0, la0)
+          def sideFrame(side: LogicalPlan, key: Attribute): DataFrame =
+            org.apache.spark.sql.graftshim.InternalRowBridge
+              .ofRows(spark, side)
+              .groupBy(org.apache.spark.sql.graftshim.InternalRowBridge
+                .column(key).cast("string").as("t"))
+              .agg(count(lit(1)).as("cnt"))
+          val est = JoinEstimate.estimate(
+            sideFrame(j.left, la), sideFrame(j.right, ra), D, W)
+            .head().getLong(0)
+          val names = Set(la.name, ra.name)
+          // the same logical join can appear in several physical
+          // incarnations (AQE re-plans leave zero-metric copies;
+          // reused subtrees duplicate nodes) — the one that ran is
+          // the one with rows
+          val matches = physJoins.filter(_._1 == names).map(_._2)
+          val actual = if (matches.isEmpty) -1L else matches.max
+          val err =
+            if (actual > 0) (est - actual) * 1000000L / actual else -1L
+          // one-sided only for INNER joins: CMS estimates the matched
+          // pair count; an outer join's output adds unmatched rows the
+          // sketch does not model
+          Advice("join", s"${la.name} = ${ra.name} [$jt]", est, actual,
+            err, oneSided = jt == Inner)
+        }
+    }.flatten
+
+    val filterAdvice = optimized.collect {
+      case LFilter(cond, child) =>
+        conjuncts(cond).flatMap {
+          case cmp: BinaryComparison =>
+            val numeric = Set[org.apache.spark.sql.types.DataType](
+              org.apache.spark.sql.types.LongType,
+              org.apache.spark.sql.types.IntegerType,
+              org.apache.spark.sql.types.DoubleType,
+              org.apache.spark.sql.types.FloatType)
+            (cmp.left, cmp.right) match {
+              case (ar: AttributeReference, Literal(v, _))
+                  if v != null && numeric.contains(ar.dataType) =>
+                resolve(child, ar).flatMap { case (t, c, _) =>
+                  val tl = v.toString.toDouble
+                  val op = cmp match {
+                    case _: LessThanOrEqual => "<="
+                    case _: LessThan => "<"
+                    case _: GreaterThanOrEqual => ">="
+                    case _: GreaterThan => ">"
+                    case _ => "="
+                  }
+                  if (op == "=") None else {
+                    val vals = Tables.load(spark, dir, t)
+                      .select(monotonically_increasing_id().as("ok"),
+                        col(c).cast("double").as("v"))
+                    val est = histEstimate(vals, op, tl)
+                    val actual = Tables.load(spark, dir, t)
+                      .where(expr(s"$c $op $tl")).count()
+                    val err = if (actual > 0)
+                      ((est - actual) * 1000000L / actual).toLong else -1L
+                    Some(Advice("filter", s"$t.$c $op $tl",
+                      math.round(est), actual, err, oneSided = false))
+                  }
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+    }.flatten
+
+    val shuffles = physical.collect { case s: ShuffleExchangeExec => s }
+    val shuffleRecords = shuffles
+      .flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum
+    val shuffleAdvice = Seq(Advice("shuffle",
+      s"${shuffles.size} exchanges observed", -1L, shuffleRecords, -1L,
+      oneSided = false))
+
+    joinAdvice ++ filterAdvice ++ shuffleAdvice
+  }
+}

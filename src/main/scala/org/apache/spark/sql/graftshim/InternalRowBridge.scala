@@ -48,4 +48,17 @@ object InternalRowBridge {
   def expression(c: org.apache.spark.sql.Column)
       : org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Wrap an analyzed logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`). Used by [[graft.operators.ExplainAdvisor]] to
+    * run a narrow key-count aggregation over a JOIN SIDE'S OWN logical
+    * subtree — the sketch input for a join-site cardinality estimate
+    * must see the side as the join sees it (filters and upstream joins
+    * applied), not the raw base table.
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
