@@ -193,7 +193,7 @@ object PlanDump {
     "q194_ivfpq_ann" ->
       "IVF-PQ: one broadcast crossJoin serves both centroid roles (cells + codebooks); the ADC scan is an equi-join on cell id over (vec_id, cell, 4 codes) rows — nprobe/ncells of the corpus, 4 bytes per vector; exact rerank fetches 10/query by key.",
     "q195_grid_dbscan" ->
-      "Grid-DBSCAN: ONE map-side-combinable cell aggregate touches the corpus (after a 1-row min/max broadcast); core test, 8-neighbor self-join and componentLabels all run on <= G^2 = 1024 cells — the 4s wall is FIXED pointer-doubling iteration overhead, corpus-independent.",
+      "Grid-DBSCAN: ONE map-side-combinable cell aggregate touches the corpus (after a 1-row min/max broadcast); core test and 8-neighbor self-join run on <= G^2 = 1024 cells; the adjacency components use a driver-side union-find behind a limit+require fuse (the graph is STRUCTURALLY <= 4*G^2 edges at any corpus size — distributed label propagation here was pure per-round scheduling, the round-10 bench's worst constant), labels broadcast back.",
     "q196_knn_label_audit" ->
       "kNN audit: q47's broadcast-probe contract — probes broadcast, corpus streams once past codegen'd cosine, per-probe top-5 via the rank window's per-partition WindowGroupLimit heaps; vote + accuracy rollup act on 5*|probes| rows.",
     "q197_dp_sensitivity" ->

@@ -62,8 +62,36 @@ object GridDbscan {
           abs($"a.gx" - $"b.gx") <= 1 && abs($"a.gy" - $"b.gy") <= 1 &&
             $"a.cell" < $"b.cell")
         .select($"a.cell".as("doc_a"), $"b.cell".as("doc_b"))
-      val labs = graft.text.TextQueries.componentLabels(edges)
-        .withColumnRenamed("node", "cell")
+      // The adjacency graph is STRUCTURALLY bounded at G²·8/2 edges
+      // (≤4096 at G=32) regardless of corpus size — distributed label
+      // propagation here paid ~6 scheduling-bound rounds × 2 jobs for
+      // a frame that fits in one task (q195 was the round-10 bench's
+      // worst query at 4.6 s, nearly all of it per-round constants).
+      // Driver-side union-find with the q211/q241 limit+require fuse:
+      // identical min-label semantics, one collect + one broadcast.
+      val maxEdges = G * G * 4 // 8 neighbors / 2 orientations
+      val edgeRows = edges.limit(maxEdges + 1)
+        .as[(Long, Long)].collect()
+      require(edgeRows.length <= maxEdges,
+        s"grid adjacency exceeded its structural bound $maxEdges — " +
+          "grid arithmetic broken, refusing a driver-side materialize")
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      edgeRows.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edgeRows.flatMap(e => Seq(e._1, e._2)).distinct
+      val labs = broadcast(
+        nodes.map(n => (n, find(n))).toSeq.toDF("cell", "lab"))
       val clusters = core.join(labs, Seq("cell"), "left_outer")
         .select(coalesce($"lab", $"cell").as("cluster_id"), $"n")
         .groupBy($"cluster_id")
