@@ -32,7 +32,7 @@ object Assortativity {
     (s, dir) => {
       import s.implicits._
       val lp = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")) // raw: basketPairs dedups per basket
       val e = graft.Barrier(Triangles.backbone(lp))
       val deg = e.select($"a".as("v")).unionAll(e.select($"b".as("v")))
         .groupBy($"v").agg(count(lit(1)).as("deg"))

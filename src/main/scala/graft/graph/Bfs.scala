@@ -63,8 +63,8 @@ object Bfs {
     (s, dir) => {
       import s.implicits._
       val lp = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      val e = GraphQueries.coEdges(lp).filter($"w" >= MinWeight)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")) // raw: basketPairs dedups per basket
+      val e = GraphQueries.coEdges(lp, bySrc = true).filter($"w" >= MinWeight)
         .select($"src", $"dst")
       val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
       val seed = deg.orderBy($"d".desc, $"src").limit(1)

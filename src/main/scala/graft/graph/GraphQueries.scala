@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   * deterministic and identical in both engines.
   *
   * Scale design (100 TB): the O(basket²) pair explosion is generated
-  * per order AFTER a distinct-(order, part) projection, then collapsed
+  * per order from its collect_set'd distinct item set (one
+  * map-side-combinable exchange — see [[basketPairs]]), then collapsed
   * immediately to weighted edges — the iteration cost is |E| distinct
   * edges, not |pair instances|. The edge list (with out-weight folded
   * in) is built once behind a [[graft.Barrier]] and reused by all
@@ -48,15 +49,57 @@ object GraphQueries {
       .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
   }
 
+  /** Per-basket item-pair stream (src, dst) from an (o, p) membership
+    * frame — the one corpus-shaped step every co-occurrence operator
+    * shares. Each basket collapses to its DISTINCT item set with one
+    * map-side-combinable exchange on `o` (`collect_set` dedups, so
+    * callers may pass the raw projection — no upstream `.distinct()`
+    * exchange needed), then ordered pairs explode in whole-stage
+    * codegen via `flatten`/`transform`. This replaces the
+    * self-join-on-`o` form, which cost the graph family an extra
+    * corpus exchange plus an SMJ sort+probe per query (profiled at
+    * ~40% of q137/q207's edge-build wall at sf0.1): two exchanges of
+    * the membership frame (distinct on (o,p), re-hash on o) became
+    * ONE, and the join operator disappeared entirely.
+    *
+    * `ordered = true` emits each unordered pair once (src < dst);
+    * `false` emits both orientations (a symmetric directed graph).
+    *
+    * Skew note: pairs per basket are quadratic in basket size in
+    * EITHER form (the self-join emitted the same rows); the array form
+    * adds only a basket-sized set per group, bounded here by an
+    * order's line count. A corpus with unbounded baskets needs a
+    * basket-size cap upstream under both formulations.
+    */
+  private[graph] def basketPairs(lp: DataFrame, ordered: Boolean): DataFrame = {
+    val cmp = if (ordered) ">" else "!="
+    lp.groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
+      .select(explode(expr(
+        s"flatten(transform(ps, a -> transform(filter(ps, b -> b $cmp a), " +
+          "b -> named_struct('src', a, 'dst', b))))")).as("pr"))
+      .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
+  }
+
   /** Weighted directed co-purchase edges (both directions, so the graph
     * is symmetric and has no dangling vertices): w = number of baskets
-    * containing both items. `lp` is a distinct (o, p) membership frame.
+    * containing both items. `lp` is an (o, p) membership frame — raw or
+    * distinct, [[basketPairs]] dedups within basket either way.
+    *
+    * `bySrc = true` hashes the pair stream on `src` BEFORE the edge
+    * aggregate: `HashPartitioning(src)` satisfies the (src, dst)
+    * grouping, the out-weight window (q137/q230), and every per-round
+    * degree aggregate downstream (q207's peel, q185's BFS deg) — and
+    * Barrier cuts carry partitioning through rounds — so the whole
+    * iterative consumer chain inherits ONE exchange. The trade is the
+    * lost map-side pre-combine on the raw pair stream (pairs exchange
+    * uncombined; at w≈1-2 the combine saved little) and a src-keyed
+    * layout whose hot-part skew is identical to the window/degree
+    * stages that needed src hashing anyway — no new skew class.
     */
-  private[graph] def coEdges(lp: DataFrame): DataFrame = {
-    val s = lp.sparkSession
-    import s.implicits._
-    lp.as("a").join(lp.as("b"), $"a.o" === $"b.o" && $"a.p" =!= $"b.p")
-      .groupBy($"a.p".as("src"), $"b.p".as("dst"))
+  private[graph] def coEdges(lp: DataFrame, bySrc: Boolean = false): DataFrame = {
+    val pairs = basketPairs(lp, ordered = false)
+    val keyed = if (bySrc) pairs.repartition(col("src")) else pairs
+    keyed.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
   }
 
@@ -71,7 +114,7 @@ object GraphQueries {
     // exchange, no deg join, and ONE cached frame instead of two
     // (the original eB+join shape cost a second corpus-sized cache;
     // the round bench priced it at ~25% of the query).
-    val ew = graft.Barrier(coEdges(lp).withColumn("wout",
+    val ew = graft.Barrier(coEdges(lp, bySrc = true).withColumn("wout",
       sum($"w").over(Window.partitionBy($"src"))))
     // verts/nv/r0 are cheap aggregates over the cached edge list
     val verts = ew.select($"src").distinct()
@@ -104,8 +147,9 @@ object GraphQueries {
 
   /** A-Priori-pruned frequent pairs (p1 < p2, support) over a distinct
     * (o, p) membership frame — the testable core of q138. Items at or
-    * below the average singleton support are pruned before the
-    * per-basket pair self-join.
+    * below the average singleton support are pruned before per-basket
+    * pair generation. (`lp0` must be distinct: singleton supports are
+    * counted directly from it.)
     */
   private[graph] def frequentPairs(lp0: DataFrame): DataFrame = {
     val s = lp0.sparkSession
@@ -116,10 +160,11 @@ object GraphQueries {
       expr("sum(sup) div count(*)").cast("long").as("avg_sup"))
     val freq = itemSup.crossJoin(broadcast(thr))
       .filter($"sup" > $"avg_sup").select($"p")
-    // prune baskets to frequent members BEFORE the pair self-join
-    val fb = graft.Barrier(lp.join(freq, "p"))
-    fb.as("a").join(fb.as("b"), $"a.o" === $"b.o" && $"a.p" < $"b.p")
-      .groupBy($"a.p".as("p1"), $"b.p".as("p2"))
+    // prune baskets to frequent members BEFORE pair generation; the
+    // pruned membership is consumed once, so no barrier of its own
+    val fb = lp.join(freq, "p")
+    basketPairs(fb, ordered = true)
+      .groupBy($"src".as("p1"), $"dst".as("p2"))
       .agg(count(lit(1)).as("support"))
   }
 
@@ -139,7 +184,11 @@ object GraphQueries {
     "q137_pagerank",
     (s, dir) => {
       import s.implicits._
-      val top = pageRank(baskets(s, dir)).orderBy($"r".desc, $"p").limit(20)
+      // raw projection: basketPairs' collect_set dedups per basket, so
+      // the upstream distinct-(o,p) exchange is pure waste here
+      val raw = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p"))
+      val top = pageRank(raw).orderBy($"r".desc, $"p").limit(20)
       top.withColumn("pos",
           row_number().over(Window.orderBy($"r".desc, $"p")))
         .select($"p".as("p_partkey"), $"r".as("pagerank"), $"pos")
@@ -176,9 +225,9 @@ object GraphQueries {
   /** q138 — frequent co-purchase pairs with A-Priori pruning: only
     * parts whose singleton support exceeds the corpus average survive
     * into pair generation (Agrawal & Srikant's monotonicity cut — a
-    * pair can only be frequent if both members are), so the per-basket
-    * self-join runs on the pruned membership frame. At 100 TB this is
-    * the difference between O(basket²) over everything and O(basket²)
+    * pair can only be frequent if both members are), so per-basket
+    * pair explosion runs on the pruned membership frame. At 100 TB this
+    * is the difference between O(basket²) over everything and O(basket²)
     * over the popular minority; the prune itself is one aggregate plus
     * a broadcast-sized threshold (1-row crossJoin, never a collect).
     * Support threshold is relative (above-average popularity), so the

@@ -41,24 +41,33 @@ object KCore {
     (s, dir) => {
       import s.implicits._
       val lp = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      var e = graft.Barrier(GraphQueries.coEdges(lp)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")) // raw: basketPairs dedups per basket
+      var e = graft.Barrier(GraphQueries.coEdges(lp, bySrc = true)
         .filter($"w" >= MinWeight).select($"src", $"dst"))
-      var active = e.select($"src".as("node")).distinct()
+      // Survivors derive DIRECTLY from the degree aggregate: the
+      // degree frame's domain is exactly the still-active vertex set
+      // (the edge frame only ever connects survivors, and a survivor
+      // that lost its last edge has degree 0 < k, i.e. is absent),
+      // so the former active⟕deg join + flagged filter per round were
+      // two redundant operators; removal counts are successive
+      // survivor-count differences (|active(r−1)| − |active(r)|).
+      var prevN = e.select($"src").distinct()
+        .agg(count(lit(1)).as("n_prev"))
       val rounds = (1 to Rounds).map { r =>
-        val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("d"))
-        val flagged = active.join(deg, Seq("node"), "left_outer")
-          .select($"node", (coalesce($"d", lit(0L)) >= CoreK).as("keep"))
-        val kept = graft.Barrier.cut(flagged.filter($"keep").select($"node"))
-        val nRem = flagged.filter(!$"keep")
-          .agg(count(lit(1)).as("n_removed"))
+        val kept = graft.Barrier.cut(
+          e.groupBy($"src".as("node")).agg(count(lit(1)).as("d"))
+            .filter($"d" >= CoreK).select($"node"))
         e = graft.Barrier.cut(
           e.join(kept, e("src") === kept("node"), "left_semi")
             .join(kept, e("dst") === kept("node"), "left_semi"))
-        active = kept
-        nRem.crossJoin(kept.agg(count(lit(1)).as("n_active")))
+        val nAct = kept.agg(count(lit(1)).as("n_active"))
+        val row = prevN.crossJoin(nAct)
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-          .select(lit(r).as("round"), $"n_removed", $"n_active", $"n_edges")
+          .select(lit(r).as("round"),
+            ($"n_prev" - $"n_active").as("n_removed"),
+            $"n_active", $"n_edges")
+        prevN = nAct.select($"n_active".as("n_prev"))
+        row
       }
       rounds.reduce(_.unionByName(_)).orderBy($"round")
     },

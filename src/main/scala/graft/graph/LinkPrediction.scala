@@ -34,8 +34,8 @@ object LinkPrediction {
     (s, dir) => {
       import s.implicits._
       val lp = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      val e = graft.Barrier(GraphQueries.coEdges(lp)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")) // raw: basketPairs dedups per basket
+      val e = graft.Barrier(GraphQueries.coEdges(lp, bySrc = true)
         .filter($"w" >= MinWeight).select($"src", $"dst"))
       val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("d"))
       val cn = e.as("x").join(e.as("y"),

@@ -35,8 +35,8 @@ object Ppr {
     (s, dir) => {
       import s.implicits._
       val lp = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
-      val e = graft.Barrier(GraphQueries.coEdges(lp)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")) // raw: basketPairs dedups per basket
+      val e = graft.Barrier(GraphQueries.coEdges(lp, bySrc = true)
         .filter($"w" >= MinWeight)
         .withColumn("wout", sum($"w").over(Window.partitionBy($"src"))))
       val seed = e.groupBy($"src").agg(count(lit(1)).as("d"))

@@ -37,14 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object Triangles {
 
-  /** Undirected backbone edges (a < b) from a distinct (o, p) basket
-    * membership frame: pairs co-occurring in at least `minW` baskets.
+  /** Undirected backbone edges (a < b) from an (o, p) basket
+    * membership frame (raw or distinct — [[GraphQueries.basketPairs]]
+    * dedups per basket): pairs co-occurring in at least `minW` baskets.
     */
   private[graph] def backbone(lp: DataFrame, minW: Int = 2): DataFrame = {
     val s = lp.sparkSession
     import s.implicits._
-    lp.as("x").join(lp.as("y"), $"x.o" === $"y.o" && $"x.p" < $"y.p")
-      .groupBy($"x.p".as("a"), $"y.p".as("b"))
+    GraphQueries.basketPairs(lp, ordered = true)
+      .groupBy($"src".as("a"), $"dst".as("b"))
       .agg(count(lit(1)).as("cw"))
       .filter($"cw" >= minW)
       .select($"a", $"b")
@@ -98,7 +99,7 @@ object Triangles {
     (s, dir) => {
       import s.implicits._
       val lp = Tables.load(s, dir, "lineitem")
-        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")) // raw: basketPairs dedups per basket
       val vt = graft.Barrier(vertexTriangles(backbone(lp)))
       val g = vt.agg(expr("sum(tri) div 3").as("global_triangles"))
       val top = vt.orderBy($"tri".desc, $"v").limit(10)
