@@ -124,7 +124,7 @@ object Bench {
     spark.stop()
   }
 
-  val DefaultOut = "BENCH_full_r09.json"
+  val DefaultOut = "BENCH_full_r10.json"
 
   /** Append-only artifact naming: a bench run REFUSES to overwrite an
     * existing record (round 7's full-registry artifact was destroyed

@@ -44,8 +44,9 @@ object ClusterCheck {
 
   /** Live executor-backend JVM pids on this box (excludes the driver:
     * executors run `CoarseGrainedExecutorBackend` as their main).
+    * Shared with [[streaming.StreamKillCheck]]'s mid-stream kill.
     */
-  private def executorPids(): Seq[Int] =
+  private[graft] def executorPids(): Seq[Int] =
     Option(new java.io.File("/proc").listFiles()).toSeq.flatten
       .filter(_.getName.forall(_.isDigit))
       .flatMap { f =>

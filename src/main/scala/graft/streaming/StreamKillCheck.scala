@@ -1,0 +1,196 @@
+package graft.streaming
+
+import graft.{ClusterCheck, ContentHash}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerExecutorRemoved, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Executor-loss survival for STREAMING state (the axis ClusterCheck
+  * proves for batch): each stateful operator replays the same staged
+  * micro-batch sequence twice on a real multi-process cluster
+  * (`local-cluster[N,cores,memMB]`) — once undisturbed (reference),
+  * once with one executor JVM `kill -9`'d mid-stream — and the two
+  * parquet sinks must be content-identical.
+  *
+  * What a kill exercises that no single-JVM test can: the lost
+  * executor held live HDFSBackedStateStore instances (window
+  * aggregation state, dedup key set, open flatMapGroupsWithState
+  * session buffers) and unflushed shuffle blocks. Recovery is the
+  * documented contract — tasks retry on the surviving executor,
+  * state reloads from the checkpoint's delta/snapshot files, the
+  * standalone master relaunches the dead executor, and the parquet
+  * sink's manifest commit protocol makes a retried batch invisible —
+  * so the gate is exact equality, not "mostly recovered":
+  * order-independent [[graft.ContentHash]] match per operator, plus
+  * per-key exactly-once assertions on the killed run's sink.
+  *
+  * A kill that lands after the run finished proves nothing; each
+  * killed run's receipt carries `executors_removed`/`tasks_failed`
+  * so the artifact shows the loss landed mid-query (lower
+  * SPARK_GRAFT_KILL if a run outruns the delay).
+  *
+  * Usage: runMain graft.streaming.StreamKillCheck <sfDir> <out.json>
+  *          [nBatches=40]
+  * Env: SPARK_GRAFT_MASTER (default local-cluster[2,6,10240]),
+  *      SPARK_GRAFT_CPUS (shuffle partitions, default 24),
+  *      SPARK_GRAFT_KILL (seconds into each killed run; default 10).
+  */
+object StreamKillCheck {
+
+  private final case class RunStats(rows: Long, hash: String,
+                                    wallSec: Double, removed: Int,
+                                    failedTasks: Int, err: String,
+                                    outDir: String)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outPath = args(1)
+    val nBatches = if (args.length > 2) args(2).toInt else 40
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER",
+      "local-cluster[2,6,10240]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "24")
+    val killAtSec = sys.env.getOrElse("SPARK_GRAFT_KILL", "10").toDouble
+
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_CLASSPATH",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+      .config("spark.task.maxFailures", "4")
+      .config("spark.stage.maxConsecutiveAttempts", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val removed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failedTasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onExecutorRemoved(e: SparkListenerExecutorRemoved): Unit = {
+        removed.incrementAndGet(); ()
+      }
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.reason != org.apache.spark.Success) {
+          failedTasks.incrementAndGet(); ()
+        }
+    })
+
+    def awaitExecutors(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (ClusterCheck.executorPids().size < n &&
+             System.currentTimeMillis() < deadline) Thread.sleep(500)
+      require(ClusterCheck.executorPids().size >= n,
+        s"cluster did not (re)launch $n executors")
+    }
+    if (master.startsWith("local-cluster")) awaitExecutors(2)
+
+    // one staged drop sequence shared by every run: identical file
+    // order (sequential writes) => identical micro-batch boundaries
+    // and watermark march in reference and killed runs alike
+    val glob = StreamSoak.stageDrops(spark, sfDir, nBatches)
+
+    def runOnce(op: String, kill: Boolean)
+               (build: DataFrame => org.apache.spark.sql.Dataset[_]): RunStats = {
+      if (master.startsWith("local-cluster")) awaitExecutors(2)
+      removed.set(0); failedTasks.set(0)
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft-skc-out-$op").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft-skc-ckpt-$op").toString
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      if (kill) {
+        val t = new Thread(() => {
+          Thread.sleep((killAtSec * 1000).toLong)
+          if (!done.get()) {
+            ClusterCheck.executorPids().headOption.foreach { pid =>
+              new ProcessBuilder("kill", "-9", pid.toString)
+                .start().waitFor()
+              ()
+            }
+          }
+        }, s"graft-stream-killer-$op")
+        t.setDaemon(true); t.start()
+      }
+      val t0 = System.nanoTime()
+      try {
+        val q = build(EventStreamJob.readEventStream(spark, glob))
+          .toDF()
+          .writeStream
+          .queryName(s"skc_$op" + (if (kill) "_kill" else "_ref"))
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        done.set(true)
+        Thread.sleep(500) // drain listener events
+        val sink = spark.read.parquet(out)
+        val (n, h) = ContentHash.rowsAndHash(sink)
+        RunStats(n, h, (System.nanoTime() - t0) / 1e9,
+          removed.get, failedTasks.get, "", out)
+      } catch {
+        case e: Throwable =>
+          done.set(true)
+          RunStats(-1, "null", (System.nanoTime() - t0) / 1e9,
+            removed.get, failedTasks.get, e.toString.take(300), out)
+      }
+    }
+
+    // exactly-once key sets per operator, asserted on the KILLED sink
+    val ops: Seq[(String, DataFrame => org.apache.spark.sql.Dataset[_],
+                  Seq[String])] = Seq(
+      ("hourly_agg", EventStreamJob.hourlyAgg(_), Seq("hour_start", "event_type")),
+      ("dedup", EventStreamJob.dedupEvents(_), Seq("event_id")),
+      ("sessionize", EventStreamJob.sessionize(_, streaming = true),
+        Seq("user_id", "session_start")))
+
+    val results = ops.map { case (op, build, keys) =>
+      val ref = runOnce(op, kill = false)(build)
+      val killed = runOnce(op, kill = true)(build)
+      val hashMatch = ref.err.isEmpty && killed.err.isEmpty &&
+        ref.hash == killed.hash && ref.rows == killed.rows
+      // exactly-once on the KILLED sink: a retried batch that slipped
+      // past the manifest commit would double its keys — the hash
+      // match vs the reference would also flip, but the per-key audit
+      // localizes the failure to "duplicate emission" vs "lost rows"
+      val dupKeys =
+        if (killed.err.nonEmpty) -1L
+        else spark.read.parquet(killed.outDir)
+          .groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+          .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+          .count()
+      op -> (ref, killed, hashMatch, dupKeys)
+    }
+
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val allOk = results.forall { case (_, (_, killed, m, dups)) =>
+      m && killed.removed >= 1 && dups == 0L
+    }
+    val json = results.map { case (op, (ref, killed, m, dups)) =>
+      jstr(op) + ":{" +
+        s""""rows":${ref.rows},"hash":${jstr(ref.hash)},""" +
+        s""""ref_wall_sec":${f"${ref.wallSec}%.1f"},""" +
+        s""""killed_rows":${killed.rows},"killed_hash":${jstr(killed.hash)},""" +
+        s""""killed_wall_sec":${f"${killed.wallSec}%.1f"},""" +
+        s""""executors_removed":${killed.removed},""" +
+        s""""tasks_failed":${killed.failedTasks},""" +
+        s""""hash_match":$m,"dup_keys":$dups,""" +
+        s""""ref_err":${jstr(ref.err)},"killed_err":${jstr(killed.err)}}"""
+    }.mkString(
+      "{\"master\":" + jstr(master) +
+        ",\"kill_at_sec\":" + killAtSec +
+        ",\"n_batches\":" + nBatches +
+        ",\"sf\":" + jstr(sfDir) + ",\"ops\":{", ",",
+      "},\"all_ok\":" + allOk + "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    require(allOk, "stream kill check failed — see artifact")
+    spark.stop()
+  }
+}

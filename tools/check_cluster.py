@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Assemble a multi-executor correctness artifact from ClusterCheck runs.
+
+Usage: check_cluster.py <out.json> <protocol-string> <base.json> \
+           <other1.json> [<other2.json> ...]
+
+Each input is a `graft.ClusterCheck` output (master/barrier/kill
+settings + per-query {rows, hash, wall_sec, executors_removed,
+tasks_failed, err}). The FIRST input is the reference execution
+(normally local[32] on the same data); every other run's per-query
+content hash must equal the reference's. For kill-mode runs
+(kill_delay_sec != "off") the verdict additionally records whether the
+kill actually landed mid-query (executors_removed >= 1) — a kill that
+fired after completion proves nothing, but it is not an error either
+(the query simply outran the delay), so it is reported as
+`kill_landed: false` rather than failing the gate.
+
+Exit code 0 iff every query in every run has err == "" and a hash
+identical to the reference. The artifact embeds all runs verbatim so
+the gate is re-derivable from the file alone.
+"""
+import json
+import sys
+
+
+def main(out_path, protocol, base_path, other_paths):
+    base = json.load(open(base_path))
+    others = [json.load(open(p)) for p in other_paths]
+    bq = base["queries"]
+    verdict = {}
+    all_ok = True
+    for name, b in sorted(bq.items()):
+        row = {"base_hash": b["hash"], "base_rows": b["rows"],
+               "ok": b["err"] == ""}
+        if b["err"]:
+            row["base_err"] = b["err"][:200]
+        for run in others:
+            label = run["master"] + (
+                "+kill" if run["kill_delay_sec"] != "off" else "") + (
+                "+" + run["barrier"] if run["barrier"] else "")
+            q = run["queries"].get(name)
+            if q is None:
+                continue
+            match = q["err"] == "" and q["hash"] == b["hash"]
+            row[f"{label}:hash_match"] = match
+            if q["err"]:
+                row[f"{label}:err"] = q["err"][:200]
+            if run["kill_delay_sec"] != "off":
+                row[f"{label}:kill_landed"] = int(q["executors_removed"]) >= 1
+                row[f"{label}:tasks_failed"] = int(q["tasks_failed"])
+            row["ok"] = row["ok"] and match
+        verdict[name] = row
+        all_ok = all_ok and row["ok"]
+    n_bad = sum(1 for v in verdict.values() if not v["ok"])
+    out = {"protocol": protocol,
+           "n_queries": len(verdict), "n_mismatch": n_bad,
+           "runs": {"base": base,
+                    **{f"run{i}": r for i, r in enumerate(others, 1)}},
+           "verdict": verdict, "all_ok": all_ok}
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"== {len(verdict) - n_bad}/{len(verdict)} hash-identical, "
+          f"all_ok={all_ok} -> {out_path}")
+    if not all_ok:
+        for name, v in verdict.items():
+            if not v["ok"]:
+                print(f"MISMATCH {name}: {json.dumps(v)[:300]}")
+    return 0 if all_ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4:]))
