@@ -29,15 +29,18 @@ import org.apache.spark.sql.functions._
   * stride as their fact columns, region/nation copy through fixed.)
   *
   * The optional `zipf` mode (VERDICT r9 item 4) re-draws `o_custkey`
-  * from a Zipf(s≈1) law over the SCALED customer key space instead of
-  * replicating the source's uniform-stride distribution — every other
-  * column and table is identical to the plain mode. The draw is
-  * deterministic (inverse-CDF on a hash of the scaled order key:
-  * rank = ⌊N^u⌋, u = xxhash64(o_orderkey)/2⁶⁴), so the same dir
-  * regenerates bit-identically and the DuckDB oracle sees the same
-  * parquet. At factor 10 the head customer takes ~6% of all orders
-  * (~90k rows vs a uniform 10) — the power-law shape the AQE
-  * skew-split machinery has to absorb (see ClusterCheck/SkewCheck).
+  * AND `l_partkey` from a Zipf(s≈1) law over their SCALED key spaces
+  * instead of replicating the source's uniform-stride distribution —
+  * every other column and table is identical to the plain mode. The
+  * draws are deterministic (inverse-CDF on a hash of the row's
+  * identity: rank = ⌊N^u⌋, u = xxhash64(id…)/2⁴⁰ scaled), so the same
+  * dir regenerates bit-identically and the DuckDB oracle sees the
+  * same parquet. At factor 10 the head customer takes ~6% of all
+  * orders (~90k rows vs a uniform 10) — the power-law shape the AQE
+  * skew-split machinery has to absorb (see ClusterCheck/SkewCheck) —
+  * and the head PART sits in a similar share of baskets, giving the
+  * co-purchase graph the celebrity vertices the graph family's
+  * degree-ordering/src-keyed-exchange claims must absorb.
   */
 object ScaleGen {
   def main(args: Array[String]): Unit = {
@@ -100,21 +103,24 @@ object ScaleGen {
     }.reduce(_ unionByName _).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$destDir/customer.parquet")
 
-    // zipf mode only redraws the FK; key namespaces and every other
-    // column stay exactly as in the plain mode. The scaled custkey
-    // space is dense [0, factor·maxCust) by construction (source keys
-    // are dense [0, maxCust) and copies stride by maxCust), so the
-    // Zipf rank maps onto it directly: rank-1 IS a live customer key.
-    val nCustScaled = factor * maxCust
-    def zipfCust(scaledOrderKey: Column): Column = {
-      // u ∈ [0,1) from the order key hash; rank = ⌊N^u⌋ clamped to
-      // [1,N] gives P(rank ≤ r) = ln r / ln N — the Zipf(s=1) CDF
-      val u = (pmod(xxhash64(scaledOrderKey), lit(1L << 40)).cast("double")
+    // zipf mode only redraws FKs; key namespaces and every other
+    // column stay exactly as in the plain mode. Both drawn key spaces
+    // are dense [0, factor·maxKey) by construction (source keys are
+    // dense [0, maxKey) and copies stride by maxKey), so the Zipf
+    // rank maps onto them directly: rank-1 IS a live key.
+    // u ∈ [0,1) from a hash of the row's identity; rank = ⌊N^u⌋
+    // clamped to [1,N] gives P(rank ≤ r) = ln r / ln N — the
+    // Zipf(s=1) CDF.
+    def zipfKey(n: Long, idCols: Column*): Column = {
+      val u = (pmod(xxhash64(idCols: _*), lit(1L << 40)).cast("double")
         / lit((1L << 40).toDouble))
       val rank = least(greatest(
-        floor(pow(lit(nCustScaled.toDouble), u)), lit(1L)), lit(nCustScaled))
+        floor(pow(lit(n.toDouble), u)), lit(1L)), lit(n))
       (rank - 1).cast("long")
     }
+    val nCustScaled = factor * maxCust
+    def zipfCust(scaledOrderKey: Column): Column =
+      zipfKey(nCustScaled, scaledOrderKey)
     (0 until factor).map { i =>
       val scaledKey = (col("o_orderkey") + lit(i * maxOrd)).as("o_orderkey")
       ord.select(scaledKey,
@@ -125,9 +131,21 @@ object ScaleGen {
     }.reduce(_ unionByName _).repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$destDir/orders.parquet")
 
+    // zipf mode also re-draws l_partkey (VERDICT r9 item 4 names BOTH
+    // o_custkey and the co-purchase keys): part popularity becomes the
+    // same Zipf(s≈1) law, so the co-purchase graph gets celebrity
+    // vertices — the degree skew q152's wedge ordering and the graph
+    // family's src-keyed exchanges claim to absorb. The draw hashes
+    // (scaled order key, line number) so it is deterministic AND
+    // independent of the custkey draw; a basket may then hold the
+    // same popular part twice, which is exactly what real baskets do
+    // (membership dedup is the operators' job, not the generator's).
     (0 until factor).map { i =>
       li.select((col("l_orderkey") + lit(i * maxOrd)).as("l_orderkey"),
-        (col("l_partkey") + lit(i * maxPart)).as("l_partkey"),
+        (if (zipfOrders)
+           zipfKey(factor * maxPart,
+             col("l_orderkey") + lit(i * maxOrd), col("l_linenumber"))
+         else col("l_partkey") + lit(i * maxPart)).as("l_partkey"),
         (col("l_suppkey") + lit(i * maxSupp)).as("l_suppkey"),
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
         col("l_discount"), col("l_tax"), col("l_returnflag"),

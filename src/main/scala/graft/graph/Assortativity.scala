@@ -12,17 +12,22 @@ import org.apache.spark.sql.functions._
   *
   * Exactness: r is the Pearson correlation of (deg(u), deg(v)) over
   * DIRECTED edge endpoints (both orientations, the standard
-  * symmetric-graph convention). All five moment sums are EXACT longs;
-  * the single float expression (nΣxy − SxSy)/(√(nΣx²−Sx²)·√(nΣy²−Sy²))
-  * runs on those identical integers with the identical shape in both
-  * engines — bit-identical doubles, the q151 stance, no rounding
-  * negotiation.
+  * symmetric-graph convention). All five moment sums and the final
+  * cross products ride EXACT decimal(38,0) (HUGEINT on the oracle
+  * side — the q174/q205 wide-integer stance); the single float
+  * expression (nΣxy − SxSy)/(√(nΣx²−Sx²)·√(nΣy²−Sy²)) converts those
+  * identical integers with the identical shape in both engines —
+  * bit-identical doubles, the q151 stance, no rounding negotiation.
+  * (Long moments were the sf1-zipf gate's second catch: a celebrity
+  * vertex of backbone degree ~46k pushes Sx² and n·Σx² past 2⁶³ —
+  * ANSI overflow, loud, on skewed data only. decimal38 holds to
+  * ~10³⁸: n·Σx² ≤ |E|²·d_max² stays inside through every realistic
+  * shard; the reported Σxy column stays a long, exact to 2⁶³.)
   *
   * Scale shape: degrees are one aggregate over the (already bounded)
   * backbone edge list; the moment fold is one map-side-combinable
   * aggregate over 2|E| narrow rows with two broadcast-joined degree
-  * lookups. Long ceiling: n·Σxy < 2⁶³ holds past 10¹² edge-degree²
-  * products — beyond any backbone this prune emits.
+  * lookups.
   */
 object Assortativity {
 
@@ -41,10 +46,15 @@ object Assortativity {
       dirEdges
         .join(broadcast(deg.select($"v".as("src"), $"deg".as("x"))), "src")
         .join(broadcast(deg.select($"v".as("dst"), $"deg".as("y"))), "dst")
-        .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        // decimal(38,0) BEFORE any product: x·y and the cross terms
+        // below overflow int64 once a celebrity vertex exists
+        .select($"x".cast("decimal(38,0)").as("x"),
+          $"y".cast("decimal(38,0)").as("y"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"y").as("sxy"),
           sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
-        .select($"n", $"sxy",
+        .select($"n".cast("long").as("n"), $"sxy".cast("long").as("sxy"),
           ((($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
             (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
              sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
@@ -63,14 +73,16 @@ object Assortativity {
       |  SELECT a AS src, b AS dst FROM e
       |  UNION ALL SELECT b, a FROM e),
       |m AS (
-      |  SELECT COUNT(*) AS n,
-      |         CAST(SUM(dx.deg) AS BIGINT) AS sx,
-      |         CAST(SUM(dy.deg) AS BIGINT) AS sy,
-      |         CAST(SUM(dx.deg * dy.deg) AS BIGINT) AS sxy,
-      |         CAST(SUM(dx.deg * dx.deg) AS BIGINT) AS sxx,
-      |         CAST(SUM(dy.deg * dy.deg) AS BIGINT) AS syy
+      |  -- HUGEINT throughout (the Spark side rides decimal(38,0)):
+      |  -- Sx*Sx and n*Sxx overflow int64 under power-law degrees
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |         SUM(CAST(dx.deg AS HUGEINT)) AS sx,
+      |         SUM(CAST(dy.deg AS HUGEINT)) AS sy,
+      |         SUM(CAST(dx.deg AS HUGEINT) * dy.deg) AS sxy,
+      |         SUM(CAST(dx.deg AS HUGEINT) * dx.deg) AS sxx,
+      |         SUM(CAST(dy.deg AS HUGEINT) * dy.deg) AS syy
       |  FROM de JOIN deg dx ON dx.v = de.src JOIN deg dy ON dy.v = de.dst)
-      |SELECT n, sxy,
+      |SELECT CAST(n AS BIGINT) AS n, CAST(sxy AS BIGINT) AS sxy,
       |       CAST(n * sxy - sx * sy AS DOUBLE) /
       |         (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
       |          SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS assortativity

@@ -119,6 +119,39 @@ class ScaleGenSpec extends SparkSpec {
     assert(a.sameElements(b), "zipf draw must be deterministic")
   }
 
+  test("zipf mode: l_partkey is a power law over live part keys") {
+    val d = java.nio.file.Files.createTempDirectory("scalegen-zp").toString
+    ScaleGen.run(spark, SparkSpec.Sf0001, d, factor = 3, zipfOrders = true)
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    val part = spark.read.parquet(s"$d/part.parquet")
+    // every drawn key is a live part (the lineitem⋈part join cannot
+    // orphan a scaled fact row)
+    assert(li.join(part, $"l_partkey" === $"p_partkey", "left_anti")
+      .count() === 0L)
+    val n = li.count().toDouble
+    val byKey = li.groupBy($"l_partkey").count()
+      .orderBy($"count".desc).limit(1000).as[(Long, Long)].collect()
+    val nKeys = part.count().toDouble
+    assert(byKey.head._2 / n > 20.0 / nKeys,
+      s"head part mass ${byKey.head._2 / n} must dwarf uniform ${1.0 / nKeys}")
+    if (byKey.length > 100)
+      assert(byKey.take(10).map(_._2).sum > 10 * byKey(99)._2,
+        "part mass must decay across ranks (power law, not uniform)")
+    // the part draw is INDEPENDENT of the custkey draw (different id
+    // columns feed the hash): the head part must not be pinned to the
+    // head customer's orders
+    val ord = spark.read.parquet(s"$d/orders.parquet")
+    val headPart = byKey.head._1
+    val headCust = ord.groupBy($"o_custkey").count()
+      .orderBy($"count".desc).limit(1).select($"o_custkey").as[Long].head()
+    val headPartCusts = li.filter($"l_partkey" === headPart)
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey").distinct().count()
+    assert(headPartCusts > 1,
+      s"head part confined to $headPartCusts customer(s) — draws correlated")
+    assert(headCust >= 0L) // head customer exists (sanity on the join path)
+  }
+
   test("plain mode keeps the uniform-stride o_custkey namespace") {
     val ord = spark.read.parquet(s"$outDir/orders.parquet")
     val srcOrd = Tables.load(spark, SparkSpec.Sf0001, "orders")
