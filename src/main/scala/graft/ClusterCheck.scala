@@ -152,7 +152,7 @@ object ClusterCheck {
           done.set(true)
           Thread.sleep(500) // drain listener events
           Map("rows" -> nRows.toString, "hash" -> hash,
-            "wall_sec" -> f"${wall}%.3f",
+            "wall_sec" -> graft.JsonOut.jnum(wall, 3),
             "killed_pid" -> killedPid.get.toString,
             "executors_removed" -> removed.get.toString,
             "executors_added" -> added.get.toString,
@@ -172,8 +172,7 @@ object ClusterCheck {
       name -> res
     }
 
-    def jstr(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    import graft.JsonOut.jstr
     val json = out.map { case (n, m) =>
       jstr(n) + ":{" + m.toSeq.sortBy(_._1).map { case (k, v) =>
         jstr(k) + ":" + jstr(v)

@@ -235,7 +235,7 @@ object PlanDump {
     "q215_eb_shrunk_rates" ->
       "EB shrinkage: one map-side per-part aggregate; global prior is a 1-row broadcast; both rank windows run on the PART-bounded frame; integer-ppm rates (a*N products ride decimal -- N^2 > int64 at scale).",
     "q216_link_prediction" ->
-      "Link prediction: wedge self-join on the shared endpoint (sum deg^2, AQE-skew-splittable equi-key), map-side (a,b,cn) compression, anti-join vs the edge list, vertex-bounded degree broadcast — per-pair neighbor SETS never materialize.",
+      "Link prediction: wedge self-join on the shared endpoint with CENTERS degree-capped at 8x average (the super-node cut — raw sum deg^2 is scale-killed under power-law skew, caught by the sf1-zipf gate; capped stream <= cap*|E|), map-side (a,b,cn) compression, anti-join vs the FULL edge list, vertex-bounded degree broadcast — per-pair neighbor SETS never materialize.",
     "q217_cmh_odds_ratio" ->
       "CMH: one broadcast dim join + one map-side-combinable aggregate to the |strata| frame; cross-stratum double sums are ordered LEFT-FOLDS over the collected 5-row frame (windowed SUM would inherit DuckDB's segment-tree association).",
     "q218_event_trigrams" ->

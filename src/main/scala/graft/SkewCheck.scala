@@ -107,8 +107,7 @@ object SkewCheck {
     val (br, bh) = ContentHash.rowsAndHash(broadcastQuery(spark, zipfDir))
 
     val ok = zFired && !uFired && zr == br && zh == bh
-    def jstr(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    import graft.JsonOut.jstr
     val json =
       s"""{"ok":$ok,
          |"zipf":{"rows":$zr,"hash":${jstr(zh)},"skew_split_fired":$zFired,

@@ -100,7 +100,7 @@ object SpillCheck {
           Thread.sleep(500) // drain task-end events before reading
           Map("rows" -> nRows.toString,
             "hash" -> hash,
-            "wall_sec" -> f"${wall}%.3f",
+            "wall_sec" -> graft.JsonOut.jnum(wall, 3),
             "mem_spilled" -> memSpilled.get.toString,
             "disk_spilled" -> diskSpilled.get.toString,
             "err" -> "")
@@ -113,7 +113,7 @@ object SpillCheck {
         }
       name -> res
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    import graft.JsonOut.jstr
     val json = out.map { case (n, m) =>
       jstr(n) + ":{" + m.toSeq.sortBy(_._1).map { case (k, v) =>
         jstr(k) + ":" + (if (k == "err") jstr(v) else jstr(v))

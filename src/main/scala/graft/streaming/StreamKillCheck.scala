@@ -127,7 +127,15 @@ object StreamKillCheck {
           .start()
         q.awaitTermination()
         done.set(true)
-        Thread.sleep(500) // drain listener events
+        // the listener bus is async: a removal event can post seconds
+        // after awaitTermination under load — a fixed sleep under-counts
+        // and spuriously fails the kill-landed gate. Poll until the
+        // expected removal arrives (bounded), instead.
+        if (kill) {
+          val deadline = System.currentTimeMillis() + 15000
+          while (removed.get() < 1 &&
+                 System.currentTimeMillis() < deadline) Thread.sleep(200)
+        } else Thread.sleep(500)
         val sink = spark.read.parquet(out)
         val (n, h) = ContentHash.rowsAndHash(sink)
         RunStats(n, h, (System.nanoTime() - t0) / 1e9,
@@ -166,17 +174,16 @@ object StreamKillCheck {
       op -> (ref, killed, hashMatch, dupKeys)
     }
 
-    def jstr(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    import graft.JsonOut.{jnum, jstr}
     val allOk = results.forall { case (_, (_, killed, m, dups)) =>
       m && killed.removed >= 1 && dups == 0L
     }
     val json = results.map { case (op, (ref, killed, m, dups)) =>
       jstr(op) + ":{" +
         s""""rows":${ref.rows},"hash":${jstr(ref.hash)},""" +
-        s""""ref_wall_sec":${f"${ref.wallSec}%.1f"},""" +
+        s""""ref_wall_sec":${jnum(ref.wallSec, 1)},""" +
         s""""killed_rows":${killed.rows},"killed_hash":${jstr(killed.hash)},""" +
-        s""""killed_wall_sec":${f"${killed.wallSec}%.1f"},""" +
+        s""""killed_wall_sec":${jnum(killed.wallSec, 1)},""" +
         s""""executors_removed":${killed.removed},""" +
         s""""tasks_failed":${killed.failedTasks},""" +
         s""""hash_match":$m,"dup_keys":$dups,""" +

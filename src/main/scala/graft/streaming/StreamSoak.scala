@@ -133,8 +133,7 @@ object StreamSoak {
     spark.sparkContext.setLogLevel("WARN")
 
     val curves = runAll(spark, sfDir, nBatches)
-    def jstr(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    import graft.JsonOut.jstr
     val json = curves.map { c =>
       jstr(c.op) + ":{\"plateaued\":" + c.plateaued +
         ",\"total_input\":" + c.totalInput +

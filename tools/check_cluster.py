@@ -15,9 +15,12 @@ fired after completion proves nothing, but it is not an error either
 (the query simply outran the delay), so it is reported as
 `kill_landed: false` rather than failing the gate.
 
-Exit code 0 iff every query in every run has err == "" and a hash
-identical to the reference. The artifact embeds all runs verbatim so
-the gate is re-derivable from the file alone.
+Exit code 0 iff every run covers EXACTLY the reference's query set and
+every query in every run has err == "" and a hash identical to the
+reference. A query missing from a run is a MISMATCH, not a skip — a
+partially-written run must never certify queries it never executed.
+The artifact embeds all runs verbatim so the gate is re-derivable from
+the file alone.
 """
 import json
 import sys
@@ -29,6 +32,14 @@ def main(out_path, protocol, base_path, other_paths):
     bq = base["queries"]
     verdict = {}
     all_ok = True
+    # a run claiming queries the base never ran is equally unverifiable
+    extra = {p: sorted(set(r["queries"]) - set(bq))
+             for p, r in zip(other_paths, others)}
+    for p, names in extra.items():
+        if names:
+            print(f"EXTRA queries in {p} absent from base "
+                  f"(uncomparable): {names[:5]}...")
+            all_ok = False
     for name, b in sorted(bq.items()):
         row = {"base_hash": b["hash"], "base_rows": b["rows"],
                "ok": b["err"] == ""}
@@ -40,6 +51,9 @@ def main(out_path, protocol, base_path, other_paths):
                 "+" + run["barrier"] if run["barrier"] else "")
             q = run["queries"].get(name)
             if q is None:
+                row[f"{label}:hash_match"] = False
+                row[f"{label}:err"] = "query missing from this run"
+                row["ok"] = False
                 continue
             match = q["err"] == "" and q["hash"] == b["hash"]
             row[f"{label}:hash_match"] = match
