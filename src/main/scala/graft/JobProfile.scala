@@ -47,7 +47,11 @@ object JobProfile {
           .orElse(Option(js.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
-        jobs.put(js.jobId, (System.nanoTime(), desc))
+        // stage names + task counts attribute the job to a plan step
+        // (shuffle write site) far better than the empty callSite
+        val st = js.stageInfos.map(si => s"${si.name.takeWhile(_ != ' ')}(${si.numTasks})")
+          .mkString(",")
+        jobs.put(js.jobId, (System.nanoTime(), s"$desc [$st]"))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.get(je.jobId)).foreach { case (t0, desc) =>

@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   * bit-identical doubles, the q151 stance, no rounding negotiation.
   * (Long moments were the sf1-zipf gate's second catch: a celebrity
   * vertex of backbone degree ~46k pushes Sx² and n·Σx² past 2⁶³ —
-  * ANSI overflow, loud, on skewed data only. decimal38 holds to
-  * ~10³⁸: n·Σx² ≤ |E|²·d_max² stays inside through every realistic
-  * shard; the reported Σxy column stays a long, exact to 2⁶³.)
+  * under ANSI that longs-overflow would error loudly, on skewed data
+  * only. decimal38 holds to ~10³⁸: n·Σx² ≤ |E|²·d_max² stays inside
+  * through every realistic shard; the reported Σxy column stays a
+  * long, exact to 2⁶³. NOTE the engine runs spark.sql.ansi.enabled=
+  * false, where a decimal(38,0) sum/product overflow returns NULL
+  * SILENTLY while DuckDB's HUGEINT errors loudly — an asymmetric
+  * failure mode if a degenerate shard ever exceeds ~1e38. The final
+  * select therefore guards every moment with assert_true: a NULL
+  * moment on a non-empty edge frame raises instead of emitting a
+  * null assortativity that a compare could misread as data.)
   *
   * Scale shape: degrees are one aggregate over the (already bounded)
   * backbone edge list; the moment fold is one map-side-combinable
@@ -54,10 +61,21 @@ object Assortativity {
           sum($"x").as("sx"), sum($"y").as("sy"),
           sum($"x" * $"y").as("sxy"),
           sum($"x" * $"x").as("sxx"), sum($"y" * $"y").as("syy"))
+        // Non-ANSI decimal overflow is a SILENT NULL: fail loudly
+        // instead. A NULL moment with n > 0 can only be overflow past
+        // ~1e38 (empty input legitimately yields n = 0 + NULL sums,
+        // which the guard admits).
+        .withColumn("_moments_ok", assert_true(
+          $"n" === 0 || ($"sx".isNotNull && $"sy".isNotNull &&
+            $"sxy".isNotNull && $"sxx".isNotNull && $"syy".isNotNull),
+          lit("q166: decimal(38,0) moment overflow (shard degree mass " +
+            "exceeds ~1e38) — split the shard; refusing to emit a " +
+            "silently-null assortativity")))
         .select($"n".cast("long").as("n"), $"sxy".cast("long").as("sxy"),
-          ((($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
+          (when($"_moments_ok".isNull, lit(1.0)) * // always 1.0; forces the guard's evaluation
+            ((($"n" * $"sxy" - $"sx" * $"sy").cast("double")) /
             (sqrt(($"n" * $"sxx" - $"sx" * $"sx").cast("double")) *
-             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double"))))
+             sqrt(($"n" * $"syy" - $"sy" * $"sy").cast("double")))))
             .as("assortativity"))
     },
     Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

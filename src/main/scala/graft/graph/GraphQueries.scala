@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   * in) is built once behind a [[graft.Barrier]] and reused by all
   * three power-iteration joins; each iteration is exactly one shuffle
   * join on `src` plus one map-side-combinable aggregate on `dst`. The
-  * vertex count rides a 1-row broadcast, never a driver collect. The
+  * vertex count is ONE long off a 1-row aggregate, taken on the driver
+  * and folded into every round as a literal (bounded at any corpus
+  * size; the former crossJoin(broadcast(nv)) form re-submitted a
+  * broadcast-exchange job per round — pure scheduling overhead). The
   * final top-20 is TakeOrdered-sized; row numbering happens post-limit
   * (bounded window, the q69/q94 pattern).
   */
@@ -116,11 +119,20 @@ object GraphQueries {
     // the round bench priced it at ~25% of the query).
     val ew = graft.Barrier(coEdges(lp, bySrc = true).withColumn("wout",
       sum($"w").over(Window.partitionBy($"src"))))
-    // verts/nv/r0 are cheap aggregates over the cached edge list
+    // verts/nv/r0 are cheap aggregates over the cached edge list.
+    // nv rides a DRIVER LITERAL, not a per-round broadcast: it is one
+    // long off a 1-row aggregate (bounded at any corpus size), and the
+    // crossJoin(broadcast(nDf)) form re-submitted a broadcast-exchange
+    // job in EVERY round — JobProfile attributed ~1/3 of q137's jobs
+    // to those 3-4-task broadcast builds. Scala '/' on positive longs
+    // is the same truncating division as SQL `div`, so the teleport
+    // term folds to the identical integer.
     val verts = ew.select($"src").distinct()
-    val nDf = verts.agg(count(lit(1)).as("nv"))
-    val r0 = verts.select($"src".as("p")).crossJoin(broadcast(nDf))
-      .select($"p", expr(s"$Scale div nv").as("r"))
+    // max(nv,1): on an empty graph verts/r0 are empty frames whatever
+    // the literal says — but the division must not throw on the driver
+    val nv = math.max(
+      verts.agg(count(lit(1)).as("nv")).head().getLong(0), 1L)
+    val r0 = verts.select($"src".as("p"), lit(Scale / nv).as("r"))
     // single-frame chain ⇒ rotated cuts: under RELIABLE_CHECKPOINT
     // only the newest two rounds' checkpoint files stay on disk
     val rounds = graft.Barrier.chain()
@@ -138,9 +150,8 @@ object GraphQueries {
         ew.join(r, $"src" === $"p")
           .select($"dst", expr("(r div wout) * w").as("contrib"))
           .groupBy($"dst").agg(sum($"contrib").as("m"))
-          .crossJoin(broadcast(nDf))
           .select($"dst".as("p"),
-            (expr(s"(15 * $Scale) div (100 * nv)") +
+            (lit((15 * Scale) / (100 * nv)) +
              expr("(85 * m) div 100")).as("r")))
     }
   }

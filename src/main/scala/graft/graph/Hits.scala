@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * would collapse into one).
   *
   * Exactness: integer mutual-recursion with SUM-normalization each
-  * half-step — scores are rescaled to Σ = 10¹² via `div` against a
-  * 1-row broadcast total, so every value is an exact long in both
+  * half-step — scores are rescaled to Σ = 10¹² via `div` against the
+  * 1-row total (folded in as a driver literal), so every value is an
+  * exact long in both
   * engines (the q137 discipline; float HITS would need a norm the
   * engines round differently). Truncation mass loss is deterministic
   * and identical.
@@ -33,8 +34,9 @@ import org.apache.spark.sql.functions._
   * (Locally it is also the difference between 321 and 109 tasks —
   * q182 profiled 6.2→3.7 s, JobProfile receipts in PLANS.md.)
   * Each half-step remains: one shuffle join + one map-side
-  * combinable aggregate + a 1-row normalization broadcast. Top-10s
-  * are TakeOrdered; row numbering is post-limit.
+  * combinable aggregate; the 1-row normalization total folds in as a
+  * driver-taken literal (bounded at any scale — see normalize).
+  * Top-10s are TakeOrdered; row numbering is post-limit.
   */
 object Hits {
 
@@ -78,13 +80,27 @@ object Hits {
     // frame is score-entity-sized, so the checkpoint is cheap — and
     // under RELIABLE_CHECKPOINT it survives executor loss on a
     // multi-hour cluster run.
+    // The normalization total is ONE decimal off a 1-row aggregate
+    // (bounded at any corpus size): take it on the driver and fold it
+    // into the rescale as a typed literal. The former
+    // crossJoin(broadcast(t)) re-submitted a broadcast-exchange job
+    // per half-step — 7 scheduling-constant jobs each carrying one
+    // decimal (the q137 nv lesson). The aggregate job itself still
+    // runs (it forced the cut's materialization under broadcast too);
+    // only the broadcast build + BroadcastNestedLoopJoin disappear.
+    // cast('…' as decimal(38,0)) reconstructs the identical operand
+    // type, so IntegralDivide emits bit-identical longs. An all-zero
+    // or empty frame sums to NULL/0 → keep t=1: every score is 0 and
+    // 0 div 1 = 0, same as the old NULL-propagating div.
     def normalize(df0: DataFrame, col: String): DataFrame = {
       val df = graft.Barrier.cut(df0)
-      val t = df.agg(
-        sum(org.apache.spark.sql.functions.col(col).cast("decimal(38,0)")).as("t"))
-      df.crossJoin(broadcast(t))
-        .select(df.columns.filter(_ != col).map(org.apache.spark.sql.functions.col) :+
-          expr(s"(cast($col as decimal(38,0)) * $Scale) div t").as(col): _*)
+      val t = Option(df.agg(
+        sum(org.apache.spark.sql.functions.col(col).cast("decimal(38,0)")))
+        .head().getDecimal(0))
+        .filter(_.signum != 0).map(_.toPlainString).getOrElse("1")
+      df.select(df.columns.filter(_ != col).map(org.apache.spark.sql.functions.col) :+
+        expr(s"(cast($col as decimal(38,0)) * $Scale) div " +
+          s"cast('$t' as decimal(38,0))").as(col): _*)
     }
     var hubs = normalize(
       e.groupBy($"c").agg(sum($"w").as("h")), "h")

@@ -39,22 +39,30 @@ object Ppr {
       val e = graft.Barrier(GraphQueries.coEdges(lp, bySrc = true)
         .filter($"w" >= MinWeight)
         .withColumn("wout", sum($"w").over(Window.partitionBy($"src"))))
-      val seed = e.groupBy($"src").agg(count(lit(1)).as("d"))
+      // The seed is ONE long off a deterministic argmax (LIMIT 1 —
+      // bounded at any corpus size): take it on the driver and fold
+      // it into every round as a literal. The former
+      // crossJoin(broadcast(seed)) re-submitted a broadcast-exchange
+      // job in p0 AND in each of the K rounds — 9 scheduling-constant
+      // jobs that carried one long each (the q137 nv lesson).
+      // headOption: an empty graph yields no seed; the walk frame is
+      // empty then too, so any literal works — use 0 to keep the plan
+      // well-formed.
+      val seedId = e.groupBy($"src").agg(count(lit(1)).as("d"))
         .orderBy($"d".desc, $"src").limit(1)
         .select($"src".as("seed"))
+        .collect().headOption.map(_.getLong(0)).getOrElse(0L)
       var p: DataFrame = e.select($"src".as("node")).distinct()
-        .crossJoin(broadcast(seed))
         .select($"node",
-          when($"node" === $"seed", lit(1000000000L)).otherwise(0L).as("p"))
+          when($"node" === seedId, lit(1000000000L)).otherwise(0L).as("p"))
       val rounds = graft.Barrier.chain() // single-frame chain: rotate
       for (_ <- 1 to K) {
         val nxt = e.join(p.withColumnRenamed("node", "src"), "src")
           .groupBy($"dst".as("node"))
           .agg(expr("cast(sum((cast(p as decimal(38,0)) * w) div wout)" +
             " * 850 div 1000 as bigint)").as("m"))
-          .crossJoin(broadcast(seed))
           .select($"node",
-            ($"m" + when($"node" === $"seed", lit(150000000L)).otherwise(0L))
+            ($"m" + when($"node" === seedId, lit(150000000L)).otherwise(0L))
               .as("p"))
         p = rounds.cut(nxt)
       }

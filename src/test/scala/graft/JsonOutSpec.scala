@@ -22,13 +22,16 @@ class JsonOutSpec extends AnyFunSuite {
   }
 
   test("jnum is locale-fixed: '.' decimal point under a comma locale") {
-    val prev = java.util.Locale.getDefault
-    try {
-      java.util.Locale.setDefault(java.util.Locale.GERMANY)
-      assert(JsonOut.jnum(12.345, 1) == "12.3")
-      assert(JsonOut.jnum(0.5, 3) == "0.500")
-      // the f-interpolator this replaced really does emit a comma here
-      assert(f"${12.345}%.1f" == "12,3")
-    } finally java.util.Locale.setDefault(prev)
+    // No Locale.setDefault here: mutating the JVM-global default could
+    // make a concurrently-running suite that formats numbers observe
+    // GERMANY transiently and flake. jnum pins Locale.ROOT explicitly,
+    // so the default locale is irrelevant by construction; the hazard
+    // it guards against is shown with an explicit-locale formatter.
+    assert(JsonOut.jnum(12.345, 1) == "12.3")
+    assert(JsonOut.jnum(0.5, 3) == "0.500")
+    // the f-interpolator this replaced really does emit a comma under
+    // a comma-decimal locale
+    assert(String.format(java.util.Locale.GERMANY, "%.1f",
+      Double.box(12.345)) == "12,3")
   }
 }

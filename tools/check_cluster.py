@@ -13,7 +13,11 @@ content hash must equal the reference's. For kill-mode runs
 kill actually landed mid-query (executors_removed >= 1) — a kill that
 fired after completion proves nothing, but it is not an error either
 (the query simply outran the delay), so it is reported as
-`kill_landed: false` rather than failing the gate.
+`kill_landed: false` rather than failing the gate. BUT a kill-mode
+run in which NO query saw a removal never exercised the kill at all —
+that run is flagged (`kill_exercised: false`) and fails the gate,
+because an artifact must not certify "kill survival" from a run where
+the kill never fired.
 
 Exit code 0 iff every run covers EXACTLY the reference's query set and
 every query in every run has err == "" and a hash identical to the
@@ -45,8 +49,11 @@ def main(out_path, protocol, base_path, other_paths):
                "ok": b["err"] == ""}
         if b["err"]:
             row["base_err"] = b["err"][:200]
-        for run in others:
-            label = run["master"] + (
+        for i, run in enumerate(others, 1):
+            # run index in the label: two runs with identical
+            # master/kill/barrier settings (e.g. repeated kill runs)
+            # must not overwrite each other's columns.
+            label = f"run{i}:" + run["master"] + (
                 "+kill" if run["kill_delay_sec"] != "off" else "") + (
                 "+" + run["barrier"] if run["barrier"] else "")
             q = run["queries"].get(name)
@@ -66,8 +73,23 @@ def main(out_path, protocol, base_path, other_paths):
         verdict[name] = row
         all_ok = all_ok and row["ok"]
     n_bad = sum(1 for v in verdict.values() if not v["ok"])
+    # Aggregate kill gate: a kill-mode run where EVERY query outran the
+    # delay (executors_removed == 0 across the board) never exercised
+    # the kill — per-query kill_landed stays advisory, but the run as a
+    # whole must have landed at least one removal or the gate fails.
+    kill_exercised = {}
+    for i, run in enumerate(others, 1):
+        if run["kill_delay_sec"] != "off":
+            landed = any(int(q.get("executors_removed", 0)) >= 1
+                         for q in run["queries"].values())
+            kill_exercised[f"run{i}"] = landed
+            if not landed:
+                print(f"KILL NOT EXERCISED: run{i} ({run['master']}) is "
+                      "kill-mode but zero queries saw an executor removal")
+                all_ok = False
     out = {"protocol": protocol,
            "n_queries": len(verdict), "n_mismatch": n_bad,
+           "kill_exercised": kill_exercised,
            "runs": {"base": base,
                     **{f"run{i}": r for i, r in enumerate(others, 1)}},
            "verdict": verdict, "all_ok": all_ok}
