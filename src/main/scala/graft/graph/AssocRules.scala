@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   * basket-pairs — far past any per-shard rule mine.
   *
   * Scale shape: everything downstream of the (already-pruned) pair
-  * frame is |frequent items| / |frequent pairs|-sized; singleton
-  * supports join back via broadcast-sized frames and the basket count
-  * rides a 1-row crossJoin. No new corpus-sized shuffle beyond q138's.
+  * frame is |frequent items| / |frequent pairs|-sized; ONE barriered
+  * singleton-support frame feeds the A-Priori threshold, the prune and
+  * both rule-join denominators, and the basket count + threshold are
+  * driver literals off 1-row aggregates (bounded at any corpus size).
+  * No new corpus-sized shuffle beyond q138's.
   */
 object AssocRules {
 
@@ -32,18 +34,32 @@ object AssocRules {
     val s = lp0.sparkSession
     import s.implicits._
     val lp = graft.Barrier(lp0)
-    val pairs = GraphQueries.frequentPairs(lp)
-    val sup = lp.groupBy($"p").agg(count(lit(1)).as("sup"))
-    val n = lp.select($"o").distinct().agg(count(lit(1)).as("nb"))
+    // ONE singleton-support frame, barriered: the A-Priori threshold,
+    // the frequency prune, and BOTH rule-join denominators read it (it
+    // used to be aggregated twice — once inside frequentPairs, once
+    // here — and each broadcast consumer re-ran the corpus aggregate
+    // as its own job). It is item-vocabulary-sized, the cheapest cache
+    // in the query.
+    val itemSup = graft.Barrier(
+      GraphQueries.itemSupportOf(s, lp))
+    val pairs = GraphQueries.frequentPairsOver(lp, itemSup)
+    // basket count: one long off a 1-row aggregate → driver literal
+    // (the crossJoin(broadcast(n)) form was a per-query broadcast job)
+    val nb = lp.select($"o").distinct().agg(count(lit(1)))
+      .head().getLong(0)
     val directed = pairs.select($"p1".as("ante"), $"p2".as("cons"), $"support")
       .unionAll(pairs.select($"p2".as("ante"), $"p1".as("cons"), $"support"))
+    // the rule family is ADVISOR-planned (q254/q140 machinery closed
+    // into the loop): the support frame is measured once off its cache
+    // and broadcast iff it fits — no static whitelist, and an
+    // overgrown item vocabulary degrades to the shuffled equi-join
+    val supB = graft.operators.AdvisedBroadcast(itemSup)
     directed
-      .join(sup.select($"p".as("ante"), $"sup".as("sup_a")), "ante")
-      .join(sup.select($"p".as("cons"), $"sup".as("sup_c")), "cons")
-      .crossJoin(broadcast(n))
+      .join(supB.select($"p".as("ante"), $"sup".as("sup_a")), "ante")
+      .join(supB.select($"p".as("cons"), $"sup".as("sup_c")), "cons")
       .select($"ante", $"cons", $"support",
         expr("(support * 1000000) div sup_a").as("conf_ppm"),
-        expr("(support * nb * 1000000) div (sup_a * sup_c)").as("lift_ppm"))
+        expr(s"(support * $nb * 1000000) div (sup_a * sup_c)").as("lift_ppm"))
   }
 
   /** q154 — top-15 co-purchase rules by confidence (lift tie-break). */

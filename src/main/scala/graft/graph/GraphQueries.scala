@@ -106,6 +106,69 @@ object GraphQueries {
       .agg(count(lit(1)).as("w"))
   }
 
+  /** Co-partitioned integer message-passing loop — the core of q230's
+    * power iteration (and any BOUNDED-edge-frame iteration: see the
+    * q137 note below for why corpus-sized edge streams must NOT use
+    * this). The K fixed rounds run on RDDs
+    * (the GraphX/Pregel layer, public Spark's own answer for bounded
+    * iterative graph algorithms) because the DataFrame form pays
+    * Catalyst + AQE analysis per round per cut: JobProfile measured
+    * q230's 8 rounds at ~0.2 s of DRIVER PLANNING each (wall 5.1 s vs
+    * 3.2 s of actual job time) — scheduling constants that grow with
+    * rounds, not data. Here the edge RDD is hash-partitioned once;
+    * every round is one NARROW join against the co-partitioned rank
+    * RDD plus one reduceByKey back onto the same partitioner — K
+    * shuffle stages inside ONE job, zero per-round planning, zero
+    * lineage cuts (K ≤ 8, so lineage depth is bounded and executor
+    * loss recovers by stage recompute — the classic RDD contract the
+    * DataFrame cuts had to re-buy with checkpoints).
+    *
+    * Exactness: messages and folds are the SAME truncating positive
+    * long arithmetic the SQL `div` form computed — Scala `/` on
+    * non-negative longs is identical truncation, and addition order
+    * cannot matter (associative exact longs) — so results are
+    * bit-identical to the DataFrame implementation this replaces
+    * (oracle-checked). Per-edge products stay under 2⁶³ by mass
+    * conservation: a message is ≤ the sender's rank, and total rank
+    * mass is ≤ Scale + teleport tops-ups (≤ 10¹³ at any vertex
+    * count).
+    *
+    * @param msg   per-edge message from (senderRank, w, wout)
+    * @param fold  vertex update from (vertexId, Σ messages)
+    */
+  private[graph] def messageRounds(ew: DataFrame, iters: Int,
+                                   init: Long => Long,
+                                   msg: (Long, Long, Long) => Long,
+                                   fold: (Long, Long) => Long): DataFrame = {
+    val s = ew.sparkSession
+    import s.implicits._
+    val nPart = math.max(ew.rdd.getNumPartitions, 1)
+    val part = new org.apache.spark.HashPartitioner(nPart)
+    val edges = ew.select($"src", $"dst", $"w", $"wout").rdd
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // vertex set = distinct src (the graph is symmetric, so every
+    // vertex sends); keys are already co-located, so the distinct is
+    // per-partition local — no shuffle
+    var ranks: org.apache.spark.rdd.RDD[(Long, Long)] = edges.mapPartitions(
+      (it: Iterator[(Long, (Long, Long, Long))]) =>
+        it.map(_._1).toSet.iterator.map((k: Long) => (k, init(k))),
+      preservesPartitioning = true)
+    for (_ <- 1 to iters) {
+      ranks = edges.join(ranks, part)
+        .map { case (_, ((dst, w, wout), r)) => (dst, msg(r, w, wout)) }
+        .reduceByKey(part, _ + _)
+        // keys unchanged ⇒ partitioning preserved; plain map() would
+        // drop the partitioner and re-shuffle next round (mapValues
+        // hides the key, and q230's teleport is seed-keyed)
+        .mapPartitions(
+          it => it.map { case (v, m) => (v, fold(v, m)) },
+          preservesPartitioning = true)
+    }
+    ranks.toDF("p", "r")
+  }
+
   /** Full-vertex integer PageRank frame (p, r) after `iters` damped
     * rounds — the testable core of q137 (spec-checked against a
     * driver-side reference loop on fixture graphs).
@@ -119,19 +182,23 @@ object GraphQueries {
     // the round bench priced it at ~25% of the query).
     val ew = graft.Barrier(coEdges(lp, bySrc = true).withColumn("wout",
       sum($"w").over(Window.partitionBy($"src"))))
-    // verts/nv/r0 are cheap aggregates over the cached edge list.
-    // nv rides a DRIVER LITERAL, not a per-round broadcast: it is one
-    // long off a 1-row aggregate (bounded at any corpus size), and the
-    // crossJoin(broadcast(nDf)) form re-submitted a broadcast-exchange
-    // job in EVERY round — JobProfile attributed ~1/3 of q137's jobs
-    // to those 3-4-task broadcast builds. Scala '/' on positive longs
-    // is the same truncating division as SQL `div`, so the teleport
-    // term folds to the identical integer.
+    // nv rides a DRIVER LITERAL off a 1-row aggregate (bounded at any
+    // corpus size); Scala '/' on positive longs is the same truncating
+    // division as SQL `div`, so the teleport term folds to the
+    // identical integer. max(nv,1): on an empty graph the rank frame
+    // is empty whatever the literal says — but the division must not
+    // throw on the driver.
+    val nv = math.max(ew.select($"src").distinct()
+      .agg(count(lit(1)).as("nv")).head().getLong(0), 1L)
+    // DataFrame rounds, NOT messageRounds: q137's per-round work is
+    // CORPUS-sized (every co-occurrence edge carries a message), and
+    // the boxed-tuple RDD loop measured 15.5 s for the 3 rounds where
+    // Tungsten codegen runs them in ~1 s — the per-round planning
+    // constant it would save (~0.2 s/round) is noise against losing
+    // whole-stage codegen on millions of edge messages. messageRounds
+    // is the right shape only when the edge frame is BOUNDED
+    // (backbone-pruned, q230) and rounds are many.
     val verts = ew.select($"src").distinct()
-    // max(nv,1): on an empty graph verts/r0 are empty frames whatever
-    // the literal says — but the division must not throw on the driver
-    val nv = math.max(
-      verts.agg(count(lit(1)).as("nv")).head().getLong(0), 1L)
     val r0 = verts.select($"src".as("p"), lit(Scale / nv).as("r"))
     // single-frame chain ⇒ rotated cuts: under RELIABLE_CHECKPOINT
     // only the newest two rounds' checkpoint files stay on disk
@@ -163,14 +230,36 @@ object GraphQueries {
     * counted directly from it.)
     */
   private[graph] def frequentPairs(lp0: DataFrame): DataFrame = {
-    val s = lp0.sparkSession
-    import s.implicits._
     val lp = graft.Barrier(lp0)
-    val itemSup = lp.groupBy($"p").agg(count(lit(1)).as("sup"))
-    val thr = itemSup.agg(
+    frequentPairsOver(lp, itemSupportOf(lp.sparkSession, lp))
+  }
+
+  /** Singleton support per item over a (barriered) distinct membership
+    * frame — shared between the A-Priori prune and q154's
+    * confidence/lift denominators, which used to compute the identical
+    * aggregate twice.
+    */
+  private[graph] def itemSupportOf(s: org.apache.spark.sql.SparkSession,
+                                   lp: DataFrame): DataFrame = {
+    import s.implicits._
+    lp.groupBy($"p").agg(count(lit(1)).as("sup"))
+  }
+
+  /** A-Priori-pruned frequent pairs from a BARRIERED membership frame
+    * and its singleton-support frame. The support threshold (average
+    * singleton support) is one long off a 1-row aggregate → driver
+    * literal (the q137 nv pattern — the crossJoin(broadcast(thr)) form
+    * re-ran the support aggregate as its own broadcast job).
+    */
+  private[graph] def frequentPairsOver(lp: DataFrame,
+                                       itemSup: DataFrame): DataFrame = {
+    val s = lp.sparkSession
+    import s.implicits._
+    val avgSup = itemSup.agg(
       expr("sum(sup) div count(*)").cast("long").as("avg_sup"))
-    val freq = itemSup.crossJoin(broadcast(thr))
-      .filter($"sup" > $"avg_sup").select($"p")
+      .collect().headOption.flatMap(r => Option(r.get(0)))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val freq = itemSup.filter($"sup" > avgSup).select($"p")
     // prune baskets to frequent members BEFORE pair generation; the
     // pruned membership is consumed once, so no barrier of its own
     val fb = lp.join(freq, "p")

@@ -52,20 +52,21 @@ object Ppr {
         .orderBy($"d".desc, $"src").limit(1)
         .select($"src".as("seed"))
         .collect().headOption.map(_.getLong(0)).getOrElse(0L)
-      var p: DataFrame = e.select($"src".as("node")).distinct()
-        .select($"node",
-          when($"node" === seedId, lit(1000000000L)).otherwise(0L).as("p"))
-      val rounds = graft.Barrier.chain() // single-frame chain: rotate
-      for (_ <- 1 to K) {
-        val nxt = e.join(p.withColumnRenamed("node", "src"), "src")
-          .groupBy($"dst".as("node"))
-          .agg(expr("cast(sum((cast(p as decimal(38,0)) * w) div wout)" +
-            " * 850 div 1000 as bigint)").as("m"))
-          .select($"node",
-            ($"m" + when($"node" === seedId, lit(150000000L)).otherwise(0L))
-              .as("p"))
-        p = rounds.cut(nxt)
-      }
+      // K rounds on the co-partitioned RDD loop (see
+      // GraphQueries.messageRounds — one narrow join + one reduceByKey
+      // per round, zero per-round Catalyst/AQE planning; the DataFrame
+      // cut-per-round form paid ~0.2 s of driver planning per round).
+      // Same truncating positive-long arithmetic as the SQL `div`
+      // form; multiplyExact makes the (p·w) product LOUD on overflow
+      // (the decimal cast it replaces was silent-proof to 10³⁸; a
+      // long is exact to w ≤ 2⁶³/10⁹ ≈ 9·10⁹ co-purchases per pair,
+      // and past that the walk fails fast instead of wrapping).
+      val p = GraphQueries.messageRounds(e, K,
+        init = n => if (n == seedId) 1000000000L else 0L,
+        msg = (pr, w, wout) => Math.multiplyExact(pr, w) / wout,
+        fold = (v, m) => Math.multiplyExact(m, 850L) / 1000L +
+          (if (v == seedId) 150000000L else 0L))
+        .select($"p".as("node"), $"r".as("p"))
       p.orderBy($"p".desc, $"node").limit(10)
         .withColumn("rank",
           row_number().over(Window.orderBy($"p".desc, $"node")))

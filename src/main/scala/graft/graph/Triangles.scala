@@ -68,10 +68,17 @@ object Triangles {
       .join(deg.select($"v".as("a"), $"deg".as("da")), "a")
       .join(deg.select($"v".as("b"), $"deg".as("db")), "b")
     val low = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    // pre-hashed by src BEFORE the barrier (the q182/Hits routing
+    // trade): the wedge generator self-joins oriented ⋈ oriented on
+    // src, and a src-partitioned cached frame satisfies BOTH sides —
+    // the edge frame is exchanged once here instead of twice inside
+    // the join (the closing probe still re-keys by (src, dst), which
+    // no single layout can also serve)
     val oriented = graft.Barrier(withRanks.select(
       when(low, $"a").otherwise($"b").as("src"),
       when(low, $"b").otherwise($"a").as("dst"),
-      when(low, $"db").otherwise($"da").as("dd")))
+      when(low, $"db").otherwise($"da").as("dd"))
+      .repartition($"src"))
     // wedges at the low end: dst1 outranked by dst2 (same total order)
     val tri = oriented.as("e1")
       .join(oriented.as("e2"),

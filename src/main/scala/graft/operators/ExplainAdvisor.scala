@@ -156,6 +156,28 @@ object ExplainAdvisor {
     }
   }
 
+  // ---- cheap plan stats (no sketches) --------------------------------
+
+  /** Execute `query` and return (shuffle-exchange count, shuffle
+    * records written) from the AQE-finalized physical plan — the
+    * advisor's "shuffle context" row without the sketch passes.
+    * ReusedExchangeExec nodes are NOT counted (reuse is the
+    * optimization the count exists to protect). Shared by
+    * [[graft.AdvisorSweep]] (pin generation) and the exchange-pin
+    * spec, so generator and gate count identically by construction.
+    */
+  def exchangeStats(spark: SparkSession, dir: String,
+                    query: (SparkSession, String) => DataFrame)
+      : (Int, Long) = {
+    val df = query(spark, dir)
+    df.collect()
+    val physical = flatten(df.queryExecution.executedPlan)
+    val shuffles = physical.collect { case s: ShuffleExchangeExec => s }
+    val records = shuffles
+      .flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value)).sum
+    (shuffles.size, records)
+  }
+
   // ---- the advisor ---------------------------------------------------
 
   def advise(spark: SparkSession, dir: String,

@@ -40,7 +40,8 @@ object StreamKillCheck {
   private final case class RunStats(rows: Long, hash: String,
                                     wallSec: Double, removed: Int,
                                     failedTasks: Int, err: String,
-                                    outDir: String)
+                                    outDir: String,
+                                    curve: StreamSoak.SoakCurve)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -113,12 +114,37 @@ object StreamKillCheck {
         }, s"graft-stream-killer-$op")
         t.setDaemon(true); t.start()
       }
+      // per-batch state-store rows (the StreamSoak observable): the
+      // KILLED run's curve proves state not only recovers
+      // content-correct but keeps PLATEAUING after the executor loss —
+      // a recovery that reloaded state into an unbounded shape would
+      // pass the hash gate and still die at hour N on a cluster
+      val points = scala.collection.mutable.ArrayBuffer
+        .empty[StreamSoak.BatchPoint]
+      val qname = s"skc_$op" + (if (kill) "_kill" else "_ref")
+      val slistener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.name == qname) points.synchronized {
+            points += StreamSoak.BatchPoint(p.batchId, p.numInputRows,
+              p.stateOperators.map(_.numRowsTotal).sum,
+              Option(p.eventTime.get("watermark")).getOrElse(""))
+            ()
+          }
+        }
+      }
+      spark.streams.addListener(slistener)
       val t0 = System.nanoTime()
       try {
         val q = build(EventStreamJob.readEventStream(spark, glob))
           .toDF()
           .writeStream
-          .queryName(s"skc_$op" + (if (kill) "_kill" else "_ref"))
+          .queryName(qname)
           .outputMode("append")
           .format("parquet")
           .option("path", out)
@@ -139,13 +165,15 @@ object StreamKillCheck {
         val sink = spark.read.parquet(out)
         val (n, h) = ContentHash.rowsAndHash(sink)
         RunStats(n, h, (System.nanoTime() - t0) / 1e9,
-          removed.get, failedTasks.get, "", out)
+          removed.get, failedTasks.get, "", out,
+          StreamSoak.curveOf(op, points.toSeq))
       } catch {
         case e: Throwable =>
           done.set(true)
           RunStats(-1, "null", (System.nanoTime() - t0) / 1e9,
-            removed.get, failedTasks.get, e.toString.take(300), out)
-      }
+            removed.get, failedTasks.get, e.toString.take(300), out,
+            StreamSoak.curveOf(op, points.toSeq))
+      } finally spark.streams.removeListener(slistener)
     }
 
     // exactly-once key sets per operator, asserted on the KILLED sink
@@ -175,10 +203,17 @@ object StreamKillCheck {
     }
 
     import graft.JsonOut.{jnum, jstr}
+    // The plateau criterion is quartile-windowed (StreamSoak): with
+    // fewer than ~100 batches the windows are too short to separate
+    // "horizon still filling" from "unbounded growth", so short runs
+    // report the curve as advisory and only soak-length runs gate on it
+    val gateState = nBatches >= 100
     val allOk = results.forall { case (_, (_, killed, m, dups)) =>
-      m && killed.removed >= 1 && dups == 0L
+      m && killed.removed >= 1 && dups == 0L &&
+        (!gateState || killed.curve.plateaued)
     }
     val json = results.map { case (op, (ref, killed, m, dups)) =>
+      val kc = killed.curve
       jstr(op) + ":{" +
         s""""rows":${ref.rows},"hash":${jstr(ref.hash)},""" +
         s""""ref_wall_sec":${jnum(ref.wallSec, 1)},""" +
@@ -187,6 +222,13 @@ object StreamKillCheck {
         s""""executors_removed":${killed.removed},""" +
         s""""tasks_failed":${killed.failedTasks},""" +
         s""""hash_match":$m,"dup_keys":$dups,""" +
+        s""""killed_state_plateaued":${kc.plateaued},""" +
+        s""""killed_state_gated":$gateState,""" +
+        s""""killed_final_state":${kc.finalState},""" +
+        s""""killed_q2_max_state":${kc.q2MaxState},""" +
+        s""""killed_q4_max_state":${kc.q4MaxState},""" +
+        s""""killed_state_curve":${kc.batches.map(_.stateRows)
+             .mkString("[", ",", "]")},""" +
         s""""ref_err":${jstr(ref.err)},"killed_err":${jstr(killed.err)}}"""
     }.mkString(
       "{\"master\":" + jstr(master) +

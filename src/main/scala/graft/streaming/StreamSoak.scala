@@ -61,6 +61,21 @@ object StreamSoak {
     dir + "/drop_*"
   }
 
+  /** Assemble a [[SoakCurve]] from raw batch points (shared with
+    * [[StreamKillCheck]], which gates the KILLED run's state curve on
+    * the same plateau criterion).
+    */
+  def curveOf(op: String, pts0: Seq[BatchPoint]): SoakCurve = {
+    val pts = pts0.sortBy(_.batchId)
+    val n = pts.size
+    def maxIn(lo: Int, hi: Int) =
+      if (lo >= hi) 0L else pts.slice(lo, hi).map(_.stateRows).max
+    SoakCurve(op, pts, pts.map(_.inputRows).sum,
+      pts.lastOption.map(_.stateRows).getOrElse(0L),
+      q2MaxState = maxIn(n / 4, n / 2),
+      q4MaxState = maxIn(3 * n / 4, n))
+  }
+
   /** Replay `srcGlob` through `build`, one file per micro-batch,
     * recording each batch's aggregate state rows.
     */
@@ -98,14 +113,7 @@ object StreamSoak {
         .start()
       q.awaitTermination()
     } finally spark.streams.removeListener(listener)
-    val pts = points.sortBy(_.batchId).toSeq
-    val n = pts.size
-    def maxIn(lo: Int, hi: Int) =
-      if (lo >= hi) 0L else pts.slice(lo, hi).map(_.stateRows).max
-    SoakCurve(op, pts, pts.map(_.inputRows).sum, pts.lastOption
-        .map(_.stateRows).getOrElse(0L),
-      q2MaxState = maxIn(n / 4, n / 2),
-      q4MaxState = maxIn(3 * n / 4, n))
+    curveOf(op, points.toSeq)
   }
 
   /** The three stateful operators under soak. */

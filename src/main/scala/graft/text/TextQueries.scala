@@ -934,8 +934,6 @@ object TextQueries {
     val sym = graft.Barrier.cut(edges.select($"doc_a", $"doc_b")
       .unionByName(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
       .unionByName(nodes.select($"node".as("doc_a"), $"node".as("doc_b"))))
-    var labels = graft.Barrier.cut(nodes
-      .withColumn("lab", $"node"))
     // Convergence via the EXACT label-sum: labels are monotone (only
     // ever decrease), so "any node changed" ⟺ "the total strictly
     // decreased" — one tiny columnar aggregate over the
@@ -946,7 +944,15 @@ object TextQueries {
     def labSum(df: DataFrame): java.math.BigDecimal =
       df.agg(coalesce(sum($"lab".cast("decimal(38,0)")),
         lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
-    var prevSum = labSum(labels)
+    // Round 1 is FUSED: the initial labels frame is the identity
+    // (lab = node), so labels ⋈ sym degenerates to projecting sym
+    // itself — prop₁ ≡ sym.select(doc_b, doc_a).groupBy.min, and the
+    // initial label-sum ≡ Σ node ids. One cut, one join and one
+    // node-keyed exchange less per invocation; rounds 2+ are
+    // value-identical to the unfused form.
+    var labels: DataFrame = null
+    var prevSum = nodes.agg(coalesce(sum($"node".cast("decimal(38,0)")),
+      lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var changed = true
     var rounds = 0
     while (changed) {
@@ -957,8 +963,11 @@ object TextQueries {
       // the jump plan reads prop twice, so an unmaterialized prop would
       // run the propagate shuffle twice per round.
       val prop = graft.Barrier.cut(
-        labels.join(sym, labels("node") === sym("doc_a"))
-          .select($"doc_b".as("node"), $"lab")
+        (if (rounds == 1)
+           sym.select($"doc_b".as("node"), $"doc_a".as("lab"))
+         else
+           labels.join(sym, labels("node") === sym("doc_a"))
+             .select($"doc_b".as("node"), $"lab"))
           .groupBy($"node").agg(min($"lab").as("lab")))
       // ADAPTIVE SHORTCUT: follow the label one hop through itself —
       // but only from round 3 on. Real near-dup components are mostly
