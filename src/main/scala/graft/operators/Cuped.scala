@@ -45,13 +45,19 @@ object Cuped {
         .join(rev, Seq("ck"), "left_outer")
         .select($"c_mktsegment",
           coalesce($"x", lit(0L)).as("x"), coalesce($"y", lit(0L)).as("y"))
+      // decimal BEFORE the product (both engines): under a power-law
+      // customer key a hot unit's yearly cents x reach ~10¹⁰ and the
+      // int64 x·x crosses 2⁶³ — the zipf-sf1 full-registry gate caught
+      // both the long form here AND the oracle's CAST(x*x AS HUGEINT)
+      // (which multiplies in BIGINT first) failing loudly. decimal/
+      // HUGEINT products are exact; same integers at every SF.
       units.groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n"),
           sum($"x".cast("decimal(38,0)")).as("sx"),
           sum($"y".cast("decimal(38,0)")).as("sy"),
-          sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
-          sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"),
-          sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"))
+          sum($"x".cast("decimal(38,0)") * $"x").as("sxx"),
+          sum($"x".cast("decimal(38,0)") * $"y").as("sxy"),
+          sum($"y".cast("decimal(38,0)") * $"y").as("syy"))
         .withColumn("num", expr(
           "cast(n as double) * cast(sxy as double) - cast(sx as double) * cast(sy as double)"))
         .withColumn("denx", expr(
@@ -83,8 +89,8 @@ object Cuped {
       |sums AS (
       |  SELECT c_mktsegment, COUNT(*) AS n,
       |         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
-      |         SUM(CAST(x * x AS HUGEINT)) AS sxx,
-      |         SUM(CAST(x * y AS HUGEINT)) AS sxy,
+      |         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |         SUM(CAST(x AS HUGEINT) * y) AS sxy,
       |         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
       |  FROM units GROUP BY 1),
       |parts AS (

@@ -206,17 +206,32 @@ object ExplainAdvisor {
     // planner's stats collection pays — and stays far cheaper than the
     // query (two columns, map-side combine, column pruning pushed into
     // the side's plan by Catalyst).
+    // attribution is by join-KEY-NAME set: when several distinct
+    // logical joins (or several genuinely different physical joins)
+    // share a name set, pairing estimate to metric is guesswork — a
+    // max-metric match fabricated "one-sided violations" where a
+    // 20-row site was compared against its 40-row namesake. Ambiguous
+    // sites report actual = -1 (estimate recorded, no false compare).
+    val logicalNameCounts: Map[Set[String], Int] = optimized.collect {
+      case LJoin(l, _, _, Some(cond), _) =>
+        equiPairs(cond).take(1).map { case (a, b) => Set(a.name, b.name) }
+    }.flatten.groupBy(identity).map { case (k, v) => (k, v.size) }
     val joinAdvice = optimized.collect {
       case j @ LJoin(_, _, jt, Some(cond), _) =>
         equiPairs(cond).take(1).map { case (la0, ra0) =>
           val (la, ra) =
             if (j.left.outputSet.contains(la0)) (la0, ra0) else (ra0, la0)
+          // NULL keys never match an equi-join (null ≠ null), so they
+          // contribute zero output rows — dropping them from the
+          // key-count frame is exact, and keeps the CMS hash off rows
+          // it must not see (a null group key crashed 4 sweeps)
           def sideFrame(side: LogicalPlan, key: Attribute): DataFrame =
             org.apache.spark.sql.graftshim.InternalRowBridge
               .ofRows(spark, side)
               .groupBy(org.apache.spark.sql.graftshim.InternalRowBridge
                 .column(key).cast("string").as("t"))
               .agg(count(lit(1)).as("cnt"))
+              .filter(col("t").isNotNull)
           val est = JoinEstimate.estimate(
             sideFrame(j.left, la), sideFrame(j.right, ra), D, W)
             .head().getLong(0)
@@ -224,9 +239,16 @@ object ExplainAdvisor {
           // the same logical join can appear in several physical
           // incarnations (AQE re-plans leave zero-metric copies;
           // reused subtrees duplicate nodes) — the one that ran is
-          // the one with rows
+          // the one with rows. Distinct-rows ties and name-set
+          // collisions are unattributable (see logicalNameCounts).
           val matches = physJoins.filter(_._1 == names).map(_._2)
-          val actual = if (matches.isEmpty) -1L else matches.max
+            .filter(_ > 0).distinct
+          val unambiguous =
+            matches.size == 1 && logicalNameCounts.getOrElse(names, 0) == 1
+          val actual =
+            if (matches.isEmpty) -1L
+            else if (unambiguous) matches.head
+            else -1L
           val err =
             if (actual > 0) (est - actual) * 1000000L / actual else -1L
           // one-sided only for INNER joins: CMS estimates the matched

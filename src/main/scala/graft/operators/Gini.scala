@@ -77,8 +77,15 @@ object Gini {
         .groupBy($"decile")
         .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cents"),
           max($"tot").as("tot"))
+      // decimal(38,0) BEFORE the ppm scale: under a power-law customer
+      // distribution the top decile's cents approach the corpus total
+      // (~2.3e13 at zipf-sf1), and cents·10⁶ crosses 2⁶³ — the
+      // zipf-sf1 full-registry gate caught the long form overflowing
+      // loudly (ANSI). IntegralDivide on decimals returns the same
+      // exact long ppm.
       dec.select($"decile", $"n_customers",
-          expr("(cents * 1000000) div tot").as("share_ppm"))
+          expr("(cast(cents as decimal(38,0)) * 1000000) div tot")
+            .as("share_ppm"))
         .withColumn("cum_share_ppm",
           sum($"share_ppm").over(
             org.apache.spark.sql.expressions.Window.orderBy($"decile")
@@ -100,8 +107,8 @@ object Gini {
       |         CAST(SUM(cents) AS BIGINT) AS cents, MAX(nn.tot) AS tot
       |  FROM ranked, nn GROUP BY 1)
       |SELECT decile, n_customers,
-      |       (cents * 1000000) // tot AS share_ppm,
-      |       CAST(SUM((cents * 1000000) // tot) OVER (ORDER BY decile
+      |       CAST((CAST(cents AS HUGEINT) * 1000000) // tot AS BIGINT) AS share_ppm,
+      |       CAST(SUM((CAST(cents AS HUGEINT) * 1000000) // tot) OVER (ORDER BY decile
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_share_ppm
       |FROM dec ORDER BY decile""".stripMargin),
     doc = "stats: Lorenz decile ledger — exact integer decile cuts over the DistributedRank ordering")

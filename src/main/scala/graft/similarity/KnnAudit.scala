@@ -58,7 +58,52 @@ object KnnAudit {
           $"n_correct".cast("double") / $"n_eval".cast("double"))
         .orderBy($"label")
     },
-    Some(s"""WITH probes AS (
+    // Bounded formulation (the q49/q106/q198 pattern, proven
+    // row-identical to the correlated-UNNEST original by
+    // tools/check_oracle_equiv.py): norms precompute ONCE per vector
+    // and the pair score is one list_dot_product — the original
+    // re-evaluated a 64-row UNNEST subquery (with both norms) per
+    // (probe × corpus) pair, which DuckDB runs fine at sf0.1 but
+    // blows past a 900 s budget at sf1 under load. CTEs MATERIALIZED
+    // so the probe/norm frames build once.
+    Some(s"""WITH en AS MATERIALIZED (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings),
+      |probes AS MATERIALIZED (
+      |  SELECT vec_id AS query_id, label AS true_label, v AS qvec,
+      |         nrm AS qnrm
+      |  FROM en WHERE vec_id % $ProbeStride = 0),
+      |scored AS (
+      |  SELECT p.query_id, p.true_label, e.vec_id, e.label AS nb_label,
+      |         ROUND(list_dot_product(p.qvec, e.v) / (p.qnrm * e.nrm), 4) AS score
+      |  FROM en e CROSS JOIN probes p
+      |  WHERE e.vec_id <> p.query_id),
+      |topk AS (
+      |  SELECT query_id, true_label, nb_label FROM (
+      |    SELECT query_id, true_label, nb_label,
+      |           ROW_NUMBER() OVER (PARTITION BY query_id
+      |             ORDER BY score DESC, vec_id) AS rank
+      |    FROM scored) WHERE rank <= $K),
+      |votes AS (
+      |  SELECT query_id, true_label, nb_label, COUNT(*) AS v
+      |  FROM topk GROUP BY 1, 2, 3),
+      |pred AS (
+      |  SELECT query_id, true_label, nb_label AS pred_label FROM (
+      |    SELECT query_id, true_label, nb_label,
+      |           ROW_NUMBER() OVER (PARTITION BY query_id
+      |             ORDER BY v DESC, nb_label) AS rn
+      |    FROM votes) WHERE rn = 1)
+      |SELECT true_label AS label, COUNT(*) AS n_eval,
+      |       CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS BIGINT) AS n_correct,
+      |       CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS DOUBLE)
+      |         / COUNT(*) AS knn_accuracy
+      |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin),
+    doc = "similarity: kNN majority-vote label audit (per-class accuracy of the embedding space, broadcast-probe scan)",
+    // the pre-bounding correlated-UNNEST formulation, kept for the
+    // check_oracle_equiv.py equivalence proof
+    oracleReference = Some(s"""WITH probes AS (
       |  SELECT vec_id AS query_id, label AS true_label, embedding AS qvec
       |  FROM embeddings WHERE vec_id % $ProbeStride = 0),
       |scored AS (
@@ -88,8 +133,7 @@ object KnnAudit {
       |       CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS BIGINT) AS n_correct,
       |       CAST(COUNT(CASE WHEN pred_label = true_label THEN 1 END) AS DOUBLE)
       |         / COUNT(*) AS knn_accuracy
-      |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin),
-    doc = "similarity: kNN majority-vote label audit (per-class accuracy of the embedding space, broadcast-probe scan)")
+      |FROM pred GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[Q] = Seq(q196)
 }
