@@ -11,6 +11,16 @@ import org.apache.spark.sql.SparkSession
   * a query that fails reports its error rather than vanishing (a
   * partially-written sweep must not certify queries it never ran).
   *
+  * Reading the join rows: `one_sided=true` means the CMS estimate
+  * upper-bounds the matched-pair count of ONE execution of that
+  * logical join. The `actual` column is the physical operator's
+  * `numOutputRows` METRIC, which accumulates across executions — a
+  * join subtree consumed twice without exchange reuse reports 2× its
+  * single-execution output (the sweep's est<actual sites are exactly
+  * such k× cases: q131 40-vs-80, q16 1000-vs-2000). Sites whose
+  * metric cannot be attributed by key-name matching report
+  * actual = -1 instead of a wrong compare.
+  *
   * Two modes:
   *  - `runMain graft.AdvisorSweep <sfDir> <out.json>` — the committed
   *    artifact (ADVISOR_r{N}.json), advisor sketches included.

@@ -17,7 +17,7 @@ object PlanDump {
 
   private def baseAnnotations: Map[String, String] = Map(
     "q152_triangle_census" ->
-      "Degree-ordered orientation before wedge generation: hub vertices sit on the HIGH end of their edges and emit zero wedges, bounding the wedge join at O(m^1.5) under any skew; backbone (w>=2) + oriented edges each built once behind a Barrier and reused by the wedge and closing joins.",
+      "Degree-ordered orientation before wedge generation: hub vertices sit on the HIGH end of their edges and emit zero wedges, bounding the wedge join at O(m^1.5) under any skew; backbone (w>=2) + oriented edges each built once behind a Barrier, and the oriented frame is cached PRE-HASHED by src (r11) so the wedge self-join reads both sides co-partitioned — one edge exchange instead of two.",
     "q153_km_survival" ->
       "Corpus collapses to per-duration (events, total) in one map-side-combinable aggregate; the at-risk reverse-cumsum and KM prefix windows run on a CALENDAR-bounded frame (<= max follow-up days) the corpus cannot grow; study end rides a 1-row broadcast.",
     "q155_confusable_names" ->
@@ -209,7 +209,7 @@ object PlanDump {
     "q202_anova_f" ->
       "ANOVA: one broadcast dim join + one map-side-combinable group-moment aggregate (5 rows); the only cross-group double sum runs as an ordered LEFT-FOLD over the collected group frame (windowed SUM would inherit DuckDB's segment-tree association).",
     "q203_naive_bayes_lang" ->
-      "Naive Bayes: corpus tokenizes ONCE behind a Barrier; model is a V*K-row grid (broadcast-sized); scoring is one equi-join on token (constant K fanout) compressed by a (doc, class) aggregate + struct-min election; quantized integer surprisal, no ln().",
+      "Naive Bayes, SPARSE (r11): the dense V*K grid never materializes — score = len*surp0(c) - observed-token corrections + prior (exact integer identity). docTok is cached partitioned by (doc_id, lang), which satisfies the len aggregate, the (doc,lang,cls) correction aggregate, the base-vs-correction merge join AND the argmin election — the K-fanout frame never crosses the network; quantized integer surprisal, no ln().",
     "q204_dim_correlation_qa" ->
       "Dim QA: constant 2016-fanout in-row pair array compressed map-side to 2016 groups; 64-row marginal frame broadcasts back; top-10 is a TakeOrdered over 2016 rows. Nothing corpus-sized shuffles.",
     "q205_kendall_tau_b" ->
@@ -263,7 +263,7 @@ object PlanDump {
     "q229_kfold_slope_stability" ->
       "k-fold OLS: ONE moment pass to the 5-row fold frame; out-of-fold fits by total-minus-fold subtraction (no per-fold rescans); 5-row epilogue.",
     "q230_personalized_pagerank" ->
-      "PPR: q137's one-exchange edge frame (window out-weights) built once; each of 8 rounds is an equi-join + map-side aggregate on vertex-sized frames, cut per round; integer-ppb mass is bounded by 1e9 so per-node sums never overflow at any scale; top-10 TakeOrdered.",
+      "PPR (r11): the backbone edge frame (w>=2, window out-weights) builds once declaratively, then the 8 walk rounds run on the co-partitioned RDD loop (messageRounds) — one narrow join + one reduceByKey per round, zero per-round Catalyst/AQE planning, jobs 21 -> 5; integer-ppb mass bounded by 1e9, multiplyExact for loud overflow; top-10 TakeOrdered. The plan below shows only the declarative shell around the LogicalRDD.",
     "q231_littles_law" ->
       "Little's law: one user-keyed window pass to session rows; the occupancy sweep compresses map-side onto the CALENDAR-bounded minute grid; report is 1 row with three independently-measured ratios.",
     "q232_holt_linear" ->
@@ -499,7 +499,7 @@ object PlanDump {
     "q151_hll_set_algebra" ->
       "HLL registers built per side behind Barriers (map-side-combinable max-rho), set algebra via a full-outer join on the 2^p-bounded bucket frame — union/intersection cardinalities without re-scanning either corpus.",
     "q154_assoc_rules" ->
-      "Rules derive from the frequent-pair frame (support-floored before any join); confidence/lift are integer-ppm divisions on the pair frame; top-15 via TakeOrdered.",
+      "Rules derive from the frequent-pair frame (support-floored before any join); ONE barriered singleton-support frame feeds the A-Priori threshold, the prune and both rule-join denominators (r11 — it was aggregated twice); threshold + basket count are driver literals; the support joins are AdvisedBroadcast-planned; confidence/lift are integer-ppm divisions; top-15 via TakeOrdered.",
     "q156_benford_audit" ->
       "First digit extracted per-row from exact decimal cents; the digit histogram is a 9-row map-side-combined aggregate; conformance stats are epilogue on 9 rows.",
     "q157_column_entropy" ->

@@ -232,19 +232,33 @@ object ExplainAdvisor {
                 .column(key).cast("string").as("t"))
               .agg(count(lit(1)).as("cnt"))
               .filter(col("t").isNotNull)
-          val est = JoinEstimate.estimate(
-            sideFrame(j.left, la), sideFrame(j.right, ra), D, W)
-            .head().getLong(0)
+          // a side with no surviving key rows yields an EMPTY inner
+          // product (min over zero cells = NULL) — that estimates 0
+          // matched pairs, and must not abort the whole query's sweep
+          val est = scala.util.Try {
+            val r = JoinEstimate.estimate(
+              sideFrame(j.left, la), sideFrame(j.right, ra), D, W).head()
+            if (r.isNullAt(0)) 0L else r.getLong(0)
+          }.getOrElse(-1L)
           val names = Set(la.name, ra.name)
           // the same logical join can appear in several physical
           // incarnations (AQE re-plans leave zero-metric copies;
           // reused subtrees duplicate nodes) — the one that ran is
-          // the one with rows. Distinct-rows ties and name-set
-          // collisions are unattributable (see logicalNameCounts).
+          // the one with rows. Attribution is by key-NAME set, which
+          // is fuzzy: a different physical join whose name set merely
+          // INTERSECTS this one may be the true owner of the metric
+          // (aliased keys make exact-set matching miss it), so any
+          // name overlap from a non-exact match, a metric tie, or a
+          // second logical site with the same names makes the site
+          // unattributable → actual = -1 (estimate recorded, no
+          // false compare).
           val matches = physJoins.filter(_._1 == names).map(_._2)
             .filter(_ > 0).distinct
-          val unambiguous =
-            matches.size == 1 && logicalNameCounts.getOrElse(names, 0) == 1
+          val intersecting =
+            physJoins.count(_._1.intersect(names).nonEmpty)
+          val unambiguous = matches.size == 1 &&
+            intersecting == physJoins.count(_._1 == names) &&
+            logicalNameCounts.getOrElse(names, 0) == 1
           val actual =
             if (matches.isEmpty) -1L
             else if (unambiguous) matches.head
