@@ -35,7 +35,17 @@ object AdvisorSweep {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val pinsMode = args.length > 2 && args(1) == "--pins"
+    // --pins is detected independently of arg count: `… <sfDir> --pins`
+    // with the output path missing used to fall through to the expensive
+    // full-artifact sweep and write JSON to a file named "--pins"
+    // (ADVICE r11).
+    val pinsMode = args.length > 1 && args(1) == "--pins"
+    if (pinsMode && args.length < 3) {
+      System.err.println(
+        "usage: AdvisorSweep <sfDir> --pins <out.tsv>   (pins mode)\n" +
+          "       AdvisorSweep <sfDir> [out.json]        (artifact sweep)")
+      sys.exit(2)
+    }
     val outPath =
       if (pinsMode) args(2)
       else if (args.length > 1) args(1)

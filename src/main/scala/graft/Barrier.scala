@@ -92,6 +92,33 @@ object Barrier {
       new java.util.WeakHashMap[
         org.apache.spark.sql.SparkSession, java.util.Queue[String]]())
 
+  // Raw-RDD persists (the messageRounds edge RDD) follow the same
+  // release-between-queries contract as DataFrame barriers; without
+  // this track they linger until nondeterministic ContextCleaner GC
+  // in multi-query drivers (ADVICE r11).
+  private val rddRegistry: java.util.Map[
+      org.apache.spark.sql.SparkSession, java.util.Queue[
+        org.apache.spark.rdd.RDD[_]]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[
+        org.apache.spark.sql.SparkSession, java.util.Queue[
+          org.apache.spark.rdd.RDD[_]]]())
+
+  /** Register a persisted raw RDD for unpersist at the next
+    * [[release]] — for iterative cores that drop below the DataFrame
+    * layer (e.g. [[graph.GraphQueries.messageRounds]]'s co-partitioned
+    * edge RDD) but must still honor the deterministic
+    * release-between-queries contract.
+    */
+  def registerRdd(spark: org.apache.spark.sql.SparkSession,
+                  rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    rddRegistry.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.rdd.RDD[_]]())
+      .add(rdd)
+    ()
+  }
+
   private def registerCkpt(
       spark: org.apache.spark.sql.SparkSession, p: String): Unit = {
     ckptPaths.computeIfAbsent(spark,
@@ -280,6 +307,11 @@ object Barrier {
     if (q != null) {
       var df = q.poll()
       while (df != null) { df.unpersist(blocking = false); df = q.poll() }
+    }
+    val rq = rddRegistry.get(spark)
+    if (rq != null) {
+      var r = rq.poll()
+      while (r != null) { r.unpersist(blocking = false); r = rq.poll() }
     }
     // reliable-checkpoint files follow the same contract: between
     // queries no frame is re-consumed, so every checkpoint this object

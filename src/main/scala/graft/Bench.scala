@@ -28,6 +28,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(headline)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = readLoadAvg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -73,7 +74,11 @@ object Bench {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { qs(name)(spark, sfDir).count(); true }
-        catch { case _: Throwable =>
+        catch { case e: Throwable =>
+          // Print the FIRST failure per query: round 11's sf3 artifact was
+          // 30 silent failures and the cause was unrecoverable afterwards.
+          if (!failures.contains(name))
+            System.err.println(s"[bench] $name failed: ${e.toString.take(500)}")
           failures(name) = failures.getOrElse(name, 0) + 1; false
         }
         if (ok) Some((System.nanoTime() - t0) / 1e9) else None
@@ -100,7 +105,18 @@ object Bench {
       if (failures.isEmpty) ""
       else failures.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString(""","errors":{""", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"queries_max":$maxJson$errJson,"sf":"$sfDir"}"""
+    // Validity: a run where EVERY query failed every rep is not a bench,
+    // it's a crash log (round 11 committed exactly such a file as the sf3
+    // scale proof — 10 queries × 3 reps, 30 failures, value 0.0 — and the
+    // narrative cited it as green). Mark it machine-readably and exit
+    // nonzero so wrapper scripts can refuse to promote the artifact.
+    val valid = ok.nonEmpty
+    // Box-load stamp: bench numbers are only comparable same-box/same-load
+    // (the r10_3 lesson); recording /proc/loadavg at start+end makes
+    // load-contaminated runs machine-detectable instead of a forensic
+    // exercise over shell histories.
+    val loadEnd = readLoadAvg()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"valid":$valid,"load_start":$loadStart,"load_end":$loadEnd,"queries":$qJson,"median_total":$totalMed,"queries_median":$medJson,"queries_max":$maxJson$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also write the JSON line to a file: the driver grepping it out of
     // sbt's log tail has failed to parse every round so far ("parsed":
@@ -116,15 +132,40 @@ object Bench {
         s"[bench] $requested exists — bench artifacts are append-only " +
           s"(VERDICT r8: a focused re-run destroyed BENCH_full_r07); " +
           s"writing $outPath instead")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+    // An all-failures run still writes its artifact (the crash record is
+    // evidence), but under an .INVALID marker name so it can never be
+    // mistaken for a green gate, and the process exits nonzero.
+    val finalPath = if (valid) outPath else outPath + ".INVALID"
+    if (!valid)
+      System.err.println(
+        s"[bench] INVALID RUN: all ${results.size} queries failed every " +
+          s"rep — writing $finalPath and exiting 1. First failure cause " +
+          "is above on stderr (run WITHOUT 2>/dev/null to see it).")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(finalPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write $outPath: $e")
+      System.err.println(s"[bench] could not write $finalPath: $e")
     }
     spark.stop()
+    if (!valid) sys.exit(1)
   }
 
-  val DefaultOut = "BENCH_full_r10.json"
+  /** 1/5/15-minute load averages as a JSON array (or [] off-Linux). */
+  def readLoadAvg(): String =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(3)
+      parts.mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+
+  /** Default artifact name keys off the ROUND, not off which files happen
+    * to exist (r11's full-registry artifact landed as BENCH_full_r10_4.json
+    * because the suffix namer counted collisions instead of rounds). The
+    * round comes from SPARK_GRAFT_ROUND when the driver/scripts export it;
+    * the fallback literal is bumped each round at round start.
+    */
+  val DefaultOut: String =
+    s"BENCH_full_${sys.env.getOrElse("SPARK_GRAFT_ROUND", "r12")}.json"
 
   /** Append-only artifact naming: a bench run REFUSES to overwrite an
     * existing record (round 7's full-registry artifact was destroyed

@@ -255,7 +255,7 @@ object PlanDump {
     "q225_gtest_collocations" ->
       "G-test: one bigram explode compressed map-side to bigram-vocabulary counts; margins are two vocabulary-shaped joins (AQE-skew-splittable); quantized-log2 G with a runtime ceilingGuard on N; top-10 TakeOrdered.",
     "q226_gk_lambda" ->
-      "GK lambda: six contingency aggregates, each bounded by its domain product (<=60 cells); maxima/sums on cell frames; one IEEE division per direction.",
+      "GK lambda (r12 fusion — the sweep's 36-exchange outlier): ONE map-side-combined 3-column contingency aggregate (domain-product-bounded, <=180 cells at any corpus size); all six directed lambdas are exact integer folds of that bounded frame on the driver (the q137-nv driver-literal discipline); one IEEE division per direction.",
     "q227_qq_decile_shift" ->
       "QQ shift: q201's delay-domain collapse; per-group CDFs via two bounded-frame windows; decile election is a 9-way constant fanout + min-aggregate — integer cross-multiplied type-1 quantiles, 9 rows out.",
     "q228_design_effect" ->
@@ -503,7 +503,7 @@ object PlanDump {
     "q156_benford_audit" ->
       "First digit extracted per-row from exact decimal cents; the digit histogram is a 9-row map-side-combined aggregate; conformance stats are epilogue on 9 rows.",
     "q157_column_entropy" ->
-      "Per-column profiles are independent narrow groupBys on low-cardinality columns, unioned — each entropy sum runs on its |values|-sized frame.",
+      "Per-column profiles are independent narrow groupBys on low-cardinality columns, unioned — each entropy sum runs on its |values|-sized frame. Exchange count (18, the r11 sweep's #2) is justified, not a defect: the 8 arms scan EIGHT different table/column pairs, so there is no shared pass to fuse into (unlike q226); every exchange carries a dictionary, never corpus rows, and the arms are embarrassingly parallel across executors.",
     "q158_mad_outliers" ->
       "Median and MAD from exact integer cents per group (type-1 selection on the group frame); the outlier rescan is one additional filtered pass with the 1-row-per-group stats broadcast back.",
     "q159_ewma_revenue" ->
@@ -529,7 +529,7 @@ object PlanDump {
     "q177_heaps_curve" ->
       "Vocabulary growth via per-token MIN-first-position (map-side combinable); the four crawl-order prefix ledgers are conditional aggregates against a broadcast threshold list — 4-row curve out.",
     "q178_fd_mining" ->
-      "Each FD candidate audits via one (a -> count distinct b) groupBy on its own column pair; violation ledgers union to a |candidates|-row report.",
+      "Each FD candidate audits via one (a -> count distinct b) groupBy on its own column pair; violation ledgers union to a |candidates|-row report. Exchange count (15, flagged by the r11 sweep) is the candidate count times a 3-stage dictionary cascade — each exchange carries a value dictionary (|pairs| then |A|), never corpus rows; candidates span 4 different tables, so only the two orders arms could even share a scan.",
     "q180_chi_square" ->
       "Contingency cells from one groupBy; expected counts from broadcast marginals of the cell frame; the statistic is an exact-integer cross-product sum until one final division.",
     "q181_homoglyph_audit" ->

@@ -139,7 +139,9 @@ object GraphQueries {
   private[graph] def messageRounds(ew: DataFrame, iters: Int,
                                    init: Long => Long,
                                    msg: (Long, Long, Long) => Long,
-                                   fold: (Long, Long) => Long): DataFrame = {
+                                   fold: (Long, Long) => Long,
+                                   checkFrom: Int = ConvergenceCheckFrom)
+      : DataFrame = {
     val s = ew.sparkSession
     import s.implicits._
     val nPart = math.max(ew.rdd.getNumPartitions, 1)
@@ -148,6 +150,10 @@ object GraphQueries {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // release-between-queries contract: the persist lives outside the
+    // DataFrame barrier layer, so register it explicitly or multi-query
+    // drivers leak the blocks until ContextCleaner GC (ADVICE r11)
+    graft.Barrier.registerRdd(s, edges)
     // vertex set = distinct src (the graph is symmetric, so every
     // vertex sends); keys are already co-located, so the distinct is
     // per-partition local — no shuffle
@@ -155,8 +161,20 @@ object GraphQueries {
       (it: Iterator[(Long, (Long, Long, Long))]) =>
         it.map(_._1).toSet.iterator.map((k: Long) => (k, init(k))),
       preservesPartitioning = true)
-    for (_ <- 1 to iters) {
-      ranks = edges.join(ranks, part)
+    // Convergence early-exit (VERDICT r11 item 7): r_{t+1} is a pure
+    // function of r_t, so EXACT equality of two consecutive integer
+    // rank frames is a fixed point — every later round is the identity
+    // and skipping them is output-identical to the fixed-round form
+    // (spec: ConvergenceSpec). The check is one NARROW cogroup job on
+    // the co-partitioned vertex-sized RDDs (cogroup also catches a
+    // key appearing/vanishing, which a plain inner join would miss).
+    // It only arms from `checkFrom` (rounds below it never pay a
+    // check), and checked rounds persist (vertex-sized, registered)
+    // so the equality action doesn't recompute the round lineage.
+    var round = 1
+    var converged = false
+    while (round <= iters && !converged) {
+      val next = edges.join(ranks, part)
         .map { case (_, ((dst, w, wout), r)) => (dst, msg(r, w, wout)) }
         .reduceByKey(part, _ + _)
         // keys unchanged ⇒ partitioning preserved; plain map() would
@@ -165,15 +183,51 @@ object GraphQueries {
         .mapPartitions(
           it => it.map { case (v, m) => (v, fold(v, m)) },
           preservesPartitioning = true)
+      if (round >= checkFrom - 1 && round < iters) {
+        next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.Barrier.registerRdd(s, next)
+      }
+      if (round >= checkFrom && round < iters)
+        converged = ranks.cogroup(next, part).filter {
+          case (_, (as, bs)) => as.toSeq != bs.toSeq
+        }.isEmpty()
+      ranks = next
+      round += 1
     }
     ranks.toDF("p", "r")
+  }
+
+  /** First round at which iterative loops pay the consecutive-rounds
+    * equality check: below it the check never runs, so fixed small
+    * iteration counts (q137/q182 at 3) are bit-for-bit the pre-check
+    * plans at zero added cost, while long walks (q230 at 8) get the
+    * early exit once the integer scores reach their fixed point.
+    */
+  private[graph] val ConvergenceCheckFrom = 4
+
+  /** Exact-equality test of two (key, value) frames — the DataFrame
+    * counterpart of the messageRounds cogroup check. Full outer join
+    * so a key present on one side only counts as a difference; both
+    * inputs must be cheap to materialize (cut/persisted vertex-sized
+    * rounds).
+    */
+  private[graph] def roundsEqual(prev: DataFrame, next: DataFrame,
+                                 key: String, value: String): Boolean = {
+    val p = prev.select(col(key), col(value).as("__prev"))
+    val n = next.select(col(key), col(value).as("__next"))
+    p.join(n, Seq(key), "full_outer")
+      .where(col("__prev").isNull || col("__next").isNull ||
+        col("__prev") =!= col("__next"))
+      .isEmpty
   }
 
   /** Full-vertex integer PageRank frame (p, r) after `iters` damped
     * rounds — the testable core of q137 (spec-checked against a
     * driver-side reference loop on fixture graphs).
     */
-  private[graph] def pageRank(lp: DataFrame, iters: Int = Iters): DataFrame = {
+  private[graph] def pageRank(lp: DataFrame, iters: Int = Iters,
+                              checkFrom: Int = ConvergenceCheckFrom)
+      : DataFrame = {
     val s = lp.sparkSession
     import s.implicits._
     // Out-weights fold in via a src-partitioned window sum — one
@@ -203,24 +257,39 @@ object GraphQueries {
     // single-frame chain ⇒ rotated cuts: under RELIABLE_CHECKPOINT
     // only the newest two rounds' checkpoint files stay on disk
     val rounds = graft.Barrier.chain()
-    (1 to iters).foldLeft(r0) { (r, _) =>
+    var r = r0
+    var round = 1
+    var converged = false
+    while (round <= iters && !converged) {
       // unqualified condition: "src"/"p" each exist on exactly one
       // side, sidestepping dataset-id ambiguity.
       // Barrier.cut per round (the q182/Hits discipline): without the
-      // per-iteration lineage cut the foldLeft stacks every round's
+      // per-iteration lineage cut the loop stacks every round's
       // join+agg into ONE logical plan and Catalyst/AQE re-analysis
       // compounds quadratically with the iteration count — fine at 3
       // rounds, pathological at 10+ (q182 measured 103 s uncut vs
       // 2.9 s checkpointed). The rank frame is vertex-sized, so the
       // checkpoint is cheap at any corpus scale.
-      rounds.cut(
+      val next = rounds.cut(
         ew.join(r, $"src" === $"p")
           .select($"dst", expr("(r div wout) * w").as("contrib"))
           .groupBy($"dst").agg(sum($"contrib").as("m"))
           .select($"dst".as("p"),
             (lit((15 * Scale) / (100 * nv)) +
              expr("(85 * m) div 100")).as("r")))
+      // fixed-point early exit (messageRounds rationale): exact long
+      // equality of consecutive rounds makes the remaining rounds the
+      // identity — skip them, output-identical. Never armed below
+      // ConvergenceCheckFrom, so the default 3-round q137 plan and
+      // cost are bit-for-bit unchanged. The cut frames are cheap to
+      // re-consume (vertex-sized LogicalRDDs), so the check is one
+      // small full-outer-join job per late round.
+      if (round >= checkFrom && round < iters)
+        converged = roundsEqual(r, next, "p", "r")
+      r = next
+      round += 1
     }
+    r
   }
 
   /** A-Priori-pruned frequent pairs (p1 < p2, support) over a distinct

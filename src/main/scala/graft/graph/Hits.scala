@@ -57,7 +57,8 @@ object Hits {
   /** (hubs(c, h), auths(p, a)) after `iters` normalized rounds — the
     * testable core.
     */
-  private[graph] def hits(edges0: DataFrame, iters: Int = Iters)
+  private[graph] def hits(edges0: DataFrame, iters: Int = Iters,
+                          checkFrom: Int = GraphQueries.ConvergenceCheckFrom)
       : (DataFrame, DataFrame) = {
     val s = edges0.sparkSession
     import s.implicits._
@@ -91,7 +92,12 @@ object Hits {
     // cast('…' as decimal(38,0)) reconstructs the identical operand
     // type, so IntegralDivide emits bit-identical longs. An all-zero
     // or empty frame sums to NULL/0 → keep t=1: every score is 0 and
-    // 0 div 1 = 0, same as the old NULL-propagating div.
+    // 0 div 1 = 0. NOTE this DIFFERS from the pre-literal form, which
+    // propagated NULL scores on an all-zero non-empty frame (x div
+    // NULL = NULL); unreachable today (w >= 1, so round-0 sums are
+    // positive), but a future caller feeding zero-weight edges gets 0
+    // rather than NULL here — 0 is the defensible reading (zero mass
+    // normalizes to zero share), recorded so the change is deliberate.
     def normalize(df0: DataFrame, col: String): DataFrame = {
       val df = graft.Barrier.cut(df0)
       val t = Option(df.agg(
@@ -105,11 +111,23 @@ object Hits {
     var hubs = normalize(
       e.groupBy($"c").agg(sum($"w").as("h")), "h")
     var auths: DataFrame = null
-    (1 to iters).foreach { _ =>
+    // fixed-point early exit (GraphQueries.messageRounds rationale):
+    // hubs_{t+1} is a pure function of hubs_t, so exact long equality
+    // of consecutive hub frames means every later round repeats both
+    // ledgers — and `auths` already holds the fixed point's companion
+    // (it was computed from the unchanged hubs). Never armed below
+    // ConvergenceCheckFrom, so the default 3-round q182 is unchanged.
+    var round = 1
+    var converged = false
+    while (round <= iters && !converged) {
       auths = normalize(
         e.join(hubs, "c").groupBy($"p").agg(sum($"w" * $"h").as("a")), "a")
-      hubs = normalize(
+      val next = normalize(
         eByP.join(auths, "p").groupBy($"c").agg(sum($"w" * $"a").as("h")), "h")
+      if (round >= checkFrom && round < iters)
+        converged = GraphQueries.roundsEqual(hubs, next, "c", "h")
+      hubs = next
+      round += 1
     }
     (hubs, auths)
   }

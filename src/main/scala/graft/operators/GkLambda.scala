@@ -18,11 +18,16 @@ import org.apache.spark.sql.functions._
   * every piece an exact integer from one contingency aggregate per
   * column pair; the division is one mirrored IEEE op.
   *
-  * Scale shape: each pair costs one map-side-combinable cell
-  * aggregate bounded by its domain product (≤ 5·3·12 cells); maxima
-  * and sums act on those cell frames. Six pairs = six cheap scans of
-  * the same cached projection (a multi-pair profiler would share one
-  * grouping-sets pass; kept separate here for per-pair clarity).
+  * Scale shape (reworked r12 — the sweep's 36-exchange outlier): ONE
+  * map-side-combinable contingency-cube aggregate over the corpus —
+  * groupBy(pri, st, mo) — whose result is bounded by the DOMAIN
+  * PRODUCT (≤ 5·3·12 cells at any corpus size), then all six directed
+  * λs are exact integer folds of that bounded frame on the driver
+  * (the q137-nv driver-literal discipline: bounded aggregate →
+  * literal arithmetic, no per-pair re-scan). The former shape ran six
+  * independent cells/max/marginal pipelines — 6 corpus aggregates and
+  * 36 exchanges where one suffices; the fused pass is the
+  * grouping-sets fusion the old doc said a profiler "would" do.
   */
 object GkLambda {
 
@@ -31,31 +36,42 @@ object GkLambda {
     ("mo", "st"), ("st", "mo"),
     ("pri", "mo"), ("mo", "pri"))
 
-  private def lambdaFor(base: DataFrame, a: String, b: String): DataFrame = {
-    val s = base.sparkSession
-    import s.implicits._
-    val cells = base.groupBy(col(a).as("av"), col(b).as("bv"))
-      .agg(count(lit(1)).as("n"))
-    val perA = cells.groupBy($"av").agg(max($"n").as("mx"))
-      .agg(sum($"mx").as("sum_max_a"))
-    val marg = cells.groupBy($"bv").agg(sum($"n").as("nb"))
-      .agg(max($"nb").as("max_b"), sum($"nb").as("nn"))
-    perA.crossJoin(marg)
-      .select(lit(a).as("from_col"), lit(b).as("to_col"),
-        $"nn".as("n"), $"sum_max_a", $"max_b",
-        (($"sum_max_a" - $"max_b").cast("double")
-          / ($"nn" - $"max_b").cast("double")).as("lambda"))
-  }
-
   val q226 = Q(
     "q226_gk_lambda",
     (s, dir) => {
       import s.implicits._
-      val base = graft.Barrier(Tables.load(s, dir, "orders")
+      // one distributed pass; the collect is domain-bounded, not
+      // corpus-bounded (≤ |priority|·|status|·|month| rows)
+      val cells = Tables.load(s, dir, "orders")
         .select($"o_orderpriority".as("pri"), $"o_orderstatus".as("st"),
-          month($"o_orderdate").as("mo")))
-      Cols.map { case (a, b) => lambdaFor(base, a, b) }
-        .reduce(_.unionByName(_))
+          month($"o_orderdate").as("mo"))
+        .groupBy($"pri", $"st", $"mo").agg(count(lit(1)).as("n"))
+        .collect()
+      def pick(r: org.apache.spark.sql.Row, c: String): Any =
+        c match { case "pri" => r.get(0); case "st" => r.get(1)
+                  case _ => r.get(2) }
+      val rows = Cols.map { case (a, b) =>
+        if (cells.isEmpty)
+          // empty corpus: the old global-agg crossJoin emitted one
+          // all-NULL row per pair — preserve that
+          (a, b, None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Double])
+        else {
+          // n_ab: pair cells summed over the third column; all exact longs
+          val ab: Map[(Any, Any), Long] =
+            cells.groupBy(r => (pick(r, a), pick(r, b)))
+              .map { case (k, rs) => k -> rs.map(_.getLong(3)).sum }
+          val sumMaxA = ab.groupBy(_._1._1)
+            .map { case (_, m) => m.values.max }.sum
+          val maxB = ab.groupBy(_._1._2)
+            .map { case (_, m) => m.values.sum }.max
+          val nn = ab.values.sum
+          // one IEEE division, same operands the SQL form divided
+          (a, b, Some(nn), Some(sumMaxA), Some(maxB),
+            Some((sumMaxA - maxB).toDouble / (nn - maxB).toDouble))
+        }
+      }
+      rows.toDF("from_col", "to_col", "n", "sum_max_a", "max_b", "lambda")
         .orderBy($"from_col", $"to_col")
     },
     Some {

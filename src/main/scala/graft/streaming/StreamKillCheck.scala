@@ -162,6 +162,21 @@ object StreamKillCheck {
           while (removed.get() < 1 &&
                  System.currentTimeMillis() < deadline) Thread.sleep(200)
         } else Thread.sleep(500)
+        // The soak curve reads `points`, fed by the SAME async listener
+        // bus: progress events for the last batch(es) can land after
+        // awaitTermination, truncating the plateau window on gated
+        // (>=100-batch) runs (ADVICE r11). `q.lastProgress` is updated
+        // synchronously by the query handle, so poll (bounded) until the
+        // listener has caught up to that batchId.
+        val lastBatch = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        if (lastBatch >= 0) {
+          val pDeadline = System.currentTimeMillis() + 10000
+          def maxSeen() = points.synchronized {
+            if (points.isEmpty) -1L else points.map(_.batchId).max
+          }
+          while (maxSeen() < lastBatch &&
+                 System.currentTimeMillis() < pDeadline) Thread.sleep(100)
+        }
         val sink = spark.read.parquet(out)
         val (n, h) = ContentHash.rowsAndHash(sink)
         RunStats(n, h, (System.nanoTime() - t0) / 1e9,
