@@ -128,6 +128,9 @@ object ExplainAdvisor {
   private def keyNames(es: Seq[Expression]): Set[String] =
     es.flatMap(_.collect { case ar: AttributeReference => ar.name }).toSet
 
+  private def keyExprIds(es: Seq[Expression]): Set[Long] =
+    es.flatMap(_.collect { case ar: AttributeReference => ar.exprId.id }).toSet
+
   // ---- the q254 histogram, generalized to one (value) column --------
 
   /** Estimated row count for `vals.v <op> t` from a 20-bucket
@@ -218,12 +221,35 @@ object ExplainAdvisor {
     // Two distinct logical joins that are sameResult-equal have
     // identical subtrees — both sites then read the same (correct)
     // metric sum AND compute the same estimate, so the compare stays
-    // truthful even in that corner.
+    // truthful even in that corner. NOTE sameResult fails for AQE
+    // re-planned stages (their logical children are LogicalQueryStage
+    // wrappers) — the exprId match below covers those.
     def linkedActual(j: LogicalPlan): Option[Long] = {
       val linked = physJoinNodes.filter(_.logicalLink.exists(l =>
         (l eq j) || l.sameResult(j)))
       if (linked.isEmpty) None
       else Some(linked.map(_.metrics("numOutputRows").value).sum)
+    }
+    // STRONGEST attribution: join-key ExprIds. Spark never re-mints
+    // exprIds across optimized-plan cloning, physical planning, or AQE
+    // re-optimization, so the physical join whose left/right key
+    // attributes carry the logical pair's exprIds IS that logical
+    // site's incarnation — alias-proof where name sets collide,
+    // clone-proof where reference identity fails, and AQE-proof where
+    // sameResult fails on LogicalQueryStage children. Ambiguity is
+    // only possible if two logical joins share the exact key attribute
+    // instances, which single-site take(1) pairing cannot produce.
+    def physKeyIds(p: SparkPlan): Set[Long] = p match {
+      case j: SortMergeJoinExec => keyExprIds(j.leftKeys ++ j.rightKeys)
+      case j: BroadcastHashJoinExec => keyExprIds(j.leftKeys ++ j.rightKeys)
+      case j: ShuffledHashJoinExec => keyExprIds(j.leftKeys ++ j.rightKeys)
+      case _ => Set.empty
+    }
+    def idActual(la: Attribute, ra: Attribute): Option[Long] = {
+      val want = Set(la.exprId.id, ra.exprId.id)
+      val m = physJoinNodes.filter(p => want.subsetOf(physKeyIds(p)))
+      if (m.isEmpty) None
+      else Some(m.map(_.metrics("numOutputRows").value).sum)
     }
 
     // Per join site: CMS key-count frames over each SIDE'S OWN logical
@@ -286,11 +312,13 @@ object ExplainAdvisor {
           val unambiguous = matches.size == 1 &&
             intersecting == physJoins.count(_._1 == names) &&
             logicalNameCounts.getOrElse(names, 0) == 1
-          val actual = linkedActual(j).getOrElse {
-            if (matches.isEmpty) -1L
-            else if (unambiguous) matches.head
-            else -1L
-          }
+          val actual = idActual(la, ra)
+            .orElse(linkedActual(j))
+            .getOrElse {
+              if (matches.isEmpty) -1L
+              else if (unambiguous) matches.head
+              else -1L
+            }
           val err =
             if (actual > 0) (est - actual) * 1000000L / actual else -1L
           // one-sided only for INNER joins: CMS estimates the matched

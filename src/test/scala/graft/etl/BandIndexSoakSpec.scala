@@ -111,6 +111,19 @@ class BandIndexSoakSpec extends SparkSpec {
             assert(isDesignedFailure(e),
               s"NOT the designed fail-fast: ${e}")
             failures += 1
+            // A lease-held fail-fast clears only when the maintenance
+            // holder finishes — wait that out on WALL time (bounded),
+            // not retry budget: with fixed 250 ms retries, 15 attempts
+            // span ~4 s of lease-held window while round B's hammer
+            // legitimately holds the lease for most of its 6-compaction
+            // run, so the budget could exhaust with zero undesigned
+            // failures (observed flaky under load and occasionally
+            // quiet). Round E's stale lease never reaches this loop —
+            // its probe calls CorpusIngestJob.run directly.
+            val deadline = System.currentTimeMillis() + 30000
+            while (BandIndex.readLease(spark, idx).nonEmpty &&
+                   System.currentTimeMillis() < deadline)
+              Thread.sleep(100)
             Thread.sleep(250)
         }
       }
