@@ -127,6 +127,28 @@ object Barrier {
     ()
   }
 
+  /** Register every persisted RDD reachable in `df`'s physical DAG —
+    * the (lazily) local-checkpointed block holder — for unpersist at
+    * the next [[release]]. localCheckpoint persists its internal RDD
+    * DIRECTLY (never through the CacheManager), so `df.unpersist()`
+    * cannot reach it and the blocks otherwise linger until the
+    * ContextCleaner notices the RDD is GC'd — in a 283-query bench
+    * session that let every query's cut frames pile up in the block
+    * manager (measured r13: q182 same-session reps degraded 24 → 27 s
+    * while fresh-JVM runs took 10.3 s; the iterative family's
+    * in-session inflation). Descent stops at the first persisted node:
+    * anything beneath it belongs to an earlier cut that registered
+    * itself. After release the cut frame is UNUSABLE (lineage was
+    * truncated) — the established between-queries contract.
+    */
+  private def registerPersistedLeaves(df: DataFrame): Unit = {
+    val spark = df.sparkSession
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (r.getStorageLevel != StorageLevel.NONE) registerRdd(spark, r)
+      else r.dependencies.foreach(d => walk(d.rdd))
+    walk(df.queryExecution.toRdd)
+  }
+
   /** The `rdd-N` checkpoint directory backing an (eagerly)
     * checkpointed frame — found by walking the physical RDD DAG for
     * the node with a checkpoint file. Public RDD API only.
@@ -156,7 +178,10 @@ object Barrier {
     val spark = df.sparkSession
     spark.conf.get(ConfKey, "MEMORY_AND_DISK").trim.toUpperCase match {
       case "NONE" => df
-      case "LOCAL_CHECKPOINT" => df.localCheckpoint()
+      case "LOCAL_CHECKPOINT" =>
+        val out = df.localCheckpoint()
+        registerPersistedLeaves(out)
+        out
       case "RELIABLE_CHECKPOINT" =>
         val cp = reliableCheckpoint(df)
         checkpointPathOf(cp).foreach(registerCkpt(spark, _))
@@ -235,8 +260,32 @@ object Barrier {
         // bounded in-flight growth opts into [[chain]].
         checkpointPathOf(cp).foreach(registerCkpt(df.sparkSession, _))
         cp
-      case _ => df.localCheckpoint(eager = false)
+      case _ =>
+        // lazy cut + deterministic release (r13): register the
+        // checkpoint-marked internal RDD so multi-query drivers drop
+        // its blocks between queries instead of waiting on GC
+        val out = df.localCheckpoint(eager = false)
+        registerPersistedLeaves(out)
+        out
     }
+
+  /** EAGER localCheckpoint + deterministic release — for per-query
+    * scratch frames that must freeze a partition layout or cut a
+    * multi-consumer plan NOW (DistributedRank's two-pass prefix sums,
+    * Upsert's three-branch join). Same block semantics as raw
+    * `df.localCheckpoint()`, but the internal RDD is registered so
+    * multi-query drivers ([[Verify]], [[Bench]]) drop the blocks at
+    * the next [[release]] instead of waiting on ContextCleaner GC —
+    * the r13 in-session fix, extended beyond [[cut]]. NOT for frames
+    * that outlive the query (persisted index/erasure maintenance
+    * keeps raw localCheckpoint: those jobs run without release and a
+    * registry entry would PIN their RDDs for the session).
+    */
+  def freeze(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint()
+    registerPersistedLeaves(out)
+    out
+  }
 
   /** Per-round checkpoint rotation for ONE iterative frame sequence
     * (the GraphX PeriodicCheckpointer pattern): under

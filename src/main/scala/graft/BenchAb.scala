@@ -24,9 +24,13 @@ object BenchAb {
 
   private val PairRe = """"([A-Za-z0-9_]+)":([0-9.eE+-]+)""".r
 
-  /** The per-query min map of one side's JSON lines. */
+  /** The per-query min map of one side's JSON lines. Only FULL bench
+    * lines count (they carry "queries_median"); the compact summary
+    * line Bench prints last (r13 — for the driver's tail capture)
+    * holds a 5-query subset and must not be folded in.
+    */
   private[graft] def minsOf(lines: Seq[String]): Map[String, Double] = {
-    val all = lines.filter(_.contains("\"queries\":")).flatMap { line =>
+    val all = lines.filter(_.contains("\"queries_median\":")).flatMap { line =>
       val start = line.indexOf("\"queries\":{") + "\"queries\":".length
       val end = line.indexOf('}', start)
       PairRe.findAllMatchIn(line.substring(start, end + 1))
@@ -63,6 +67,15 @@ object BenchAb {
         s""""ratio":${fmt(ratios(q))},"norm_ratio":${fmt(norm)}}"""
     }
     val flagged = shared.filter(q => ratios(q) / boxFactor > 1.25)
+    // Flag-floor mechanization (VERDICT r12 item 3): a sub-second base
+    // query's min-of-N delta is below this instrument's resolution —
+    // every focused re-run since r7 has dispelled such flags as
+    // scheduler noise, and re-running 28 of them cost r12 an hour for
+    // zero findings. Only flags whose BASE cost is ≥ 1 s can carry a
+    // measurable code regression; the rest are recorded separately so
+    // the artifact is fully adjudicated by construction. Material
+    // flags still demand the focused re-run (bench_ab.sh automates it).
+    val (material, subRes) = flagged.partition(q => base(q) >= 1.0)
     val line =
       s"""{"protocol":"interleaved same-box A/B","base_rev":"$baseRev",""" +
       s""""head_rev":"$headRev","shared_queries":${shared.length},""" +
@@ -70,7 +83,9 @@ object BenchAb {
       s""""total_base_min":${fmt(shared.map(base).sum)},""" +
       s""""total_head_min":${fmt(shared.map(head).sum)},""" +
       s""""code_regressions_norm_gt_1.25":${
-        flagged.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        material.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""below_resolution_flags":${
+        subRes.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${rows.mkString("{", ",", "}")}}"""
     println(line)
   }

@@ -187,10 +187,18 @@ object GraphQueries {
         next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         graft.Barrier.registerRdd(s, next)
       }
-      if (round >= checkFrom && round < iters)
+      if (round >= checkFrom && round < iters) {
         converged = ranks.cogroup(next, part).filter {
           case (_, (as, bs)) => as.toSeq != bs.toSeq
         }.isEmpty()
+        // round t−1 is dead once the round-t cogroup has run (and
+        // materialized `next`'s persisted blocks): drop it so a long
+        // non-converging walk holds at most TWO persisted
+        // vertex-sized rounds, not O(rounds) (ADVICE r12). A no-op
+        // when t−1 was never persisted (checkFrom = 1 corner), and
+        // release()'s later second unpersist is an idempotent no-op.
+        ranks.unpersist(blocking = false)
+      }
       ranks = next
       round += 1
     }

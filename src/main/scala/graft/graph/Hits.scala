@@ -13,13 +13,25 @@ import org.apache.spark.sql.functions._
   * different ledgers (on q137's symmetric co-purchase graph they
   * would collapse into one).
   *
-  * Exactness: integer mutual-recursion with SUM-normalization each
-  * half-step — scores are rescaled to Σ = 10¹² via `div` against the
-  * 1-row total (folded in as a driver literal), so every value is an
-  * exact long in both
-  * engines (the q137 discipline; float HITS would need a norm the
-  * engines round differently). Truncation mass loss is deterministic
-  * and identical.
+  * Exactness: integer mutual recursion with SUM-normalization once
+  * per FULL round (r13 — it was once per half-step): hub scores are
+  * rescaled to Σ = 10¹² via `div` against the 1-row total (folded in
+  * as a driver literal), authority scores stay raw inside the loop
+  * and are normalized once at output. Every value is an exact
+  * integer in both engines; truncation mass loss is deterministic
+  * and identical (the oracle SQL moved with the algorithm — the
+  * truncation points are part of the query's definition, the q63
+  * integer-exact discipline).
+  *
+  * Overflow bounds (mass conservation, maxw = heaviest single (c,p)
+  * pair weight): with hubs normalized to Σh = 10¹², raw authority
+  * values and their per-part long sums are ≤ maxw·10¹², safe in
+  * int64 while maxw < 9·10⁶; the next hub half-step multiplies
+  * again (≤ maxw²·10¹²), so that aggregate runs in decimal(38)
+  * (DuckDB: HUGEINT), where even the rescale product
+  * maxw²·10¹²·Scale stays inside 10³⁸ while maxw < 10⁷ — two
+  * decades above any measured pair weight (zipf-sf1's hottest pair
+  * is O(10³)).
   *
   * Scale shape: the edge list (distinct customer–part purchase
   * pairs, weighted by order count) builds ONCE, then is lineage-cut
@@ -31,11 +43,15 @@ import org.apache.spark.sql.functions._
   * join exchanges only the tiny score frame, and the one remaining
   * corpus-sized shuffle per half-step is the score aggregation
   * itself. At 100 TB that is k edge shuffles instead of 2·k+2.
-  * (Locally it is also the difference between 321 and 109 tasks —
-  * q182 profiled 6.2→3.7 s, JobProfile receipts in PLANS.md.)
-  * Each half-step remains: one shuffle join + one map-side
-  * combinable aggregate; the 1-row normalization total folds in as a
-  * driver-taken literal (bounded at any scale — see normalize).
+  *
+  * Barrier economics (r13 — the VERDICT r12 item-1 fix): the old
+  * per-half-step normalize cost SEVEN serial cut + 1-row-aggregate
+  * driver round trips for 3 rounds (q182 profiled 18 s / 44 jobs at
+  * sf1 — scheduling barriers, not compute). Normalizing once per
+  * round fuses each round into ONE materializing action (the Σ
+  * aggregate that also freezes the round's lazy cuts: the a-frame
+  * cut rides the h-aggregate's job), so 3 rounds cost 4 corpus
+  * barriers + one block-cached re-read for the output ledger.
   * Top-10s are TakeOrdered; row numbering is post-limit.
   */
 object Hits {
@@ -43,19 +59,34 @@ object Hits {
   private val Scale = 1000000000000L
   private val Iters = 3
 
-  /** Weighted bipartite purchase edges (c, p, w). */
+  /** Weighted bipartite purchase edges (c, p, w), hash-partitioned by
+    * `c` — the layout [[hits]] requires. The explicit repartition runs
+    * BEFORE the pair aggregate: HashPartitioning(c) satisfies the
+    * aggregate's ClusteredDistribution(c, p) (same-c rows are
+    * co-located, a fortiori same-(c,p)), so the groupBy adds NO
+    * exchange and its output keeps the c-partitioning — one corpus
+    * shuffle where agg-then-repartition paid two (r13; the map-side
+    * combine the early shuffle forgoes is negligible here, the join
+    * fanout is ≈ the distinct pair count).
+    */
   private[graph] def purchaseEdges(s: org.apache.spark.sql.SparkSession,
                                    dir: String): DataFrame = {
     import s.implicits._
     Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
       .join(Tables.load(s, dir, "lineitem")
         .select($"l_orderkey".as("o_orderkey"), $"l_partkey"), "o_orderkey")
-      .groupBy($"o_custkey".as("c"), $"l_partkey".as("p"))
-      .agg(count(lit(1)).as("w"))
+      .select($"o_custkey".as("c"), $"l_partkey".as("p"))
+      .repartition($"c")
+      .groupBy($"c", $"p").agg(count(lit(1)).as("w"))
   }
 
-  /** (hubs(c, h), auths(p, a)) after `iters` normalized rounds — the
-    * testable core.
+  /** (hubs(c, h), auths(p, a)) after `iters` rounds, hubs normalized
+    * per round and auths once at output — the testable core.
+    * `edges0` SHOULD arrive hash-partitioned by `c`
+    * ([[purchaseEdges]] guarantees it): the cut's LogicalRDD
+    * preserves that partitioning, so no half-step join ever exchanges
+    * the edge side. An unpartitioned caller (spec fixtures) is merely
+    * slower — each h-side join re-exchanges the edge frame.
     */
   private[graph] def hits(edges0: DataFrame, iters: Int = Iters,
                           checkFrom: Int = GraphQueries.ConvergenceCheckFrom)
@@ -63,41 +94,26 @@ object Hits {
     val s = edges0.sparkSession
     import s.implicits._
     // Two key-partitioned lineage cuts of the edge list (class doc):
-    // `repartition($"c")` with no explicit count lets AQE size the
-    // partitions, and the cut's LogicalRDD preserves that hash
-    // partitioning, so the per-round joins never exchange the edge
-    // side. The second copy derives from the first — one extra
-    // shuffle, zero recomputation of the base join+aggregate.
-    val e = graft.Barrier.cut(edges0.repartition($"c"))
+    // the second copy derives from the first — one extra shuffle,
+    // zero recomputation of the base join+aggregate.
+    val e = graft.Barrier.cut(edges0)
     val eByP = graft.Barrier.cut(e.repartition($"p"))
-    // rescale via decimal: raw half-step scores reach ~10¹⁵, and a
-    // long product with the 10¹² scale would overflow; IntegralDivide
-    // on decimals returns an exact long (positive ⇒ trunc ≡ floor).
-    // Barrier.cut (checkpoint, NOT cache) per half-step: iteration
-    // must CUT the logical plan (the componentLabels stance) — a cache
-    // leaves the full round-deep tree for Catalyst/AQE to re-analyze
-    // per action, and planning cost compounds across rounds (measured
-    // 103 s uncut / 21 s cached / 2.9 s checkpointed at sf0.1). The
-    // frame is score-entity-sized, so the checkpoint is cheap — and
-    // under RELIABLE_CHECKPOINT it survives executor loss on a
-    // multi-hour cluster run.
+    // Barrier.cut (lazy localCheckpoint by default, reliable
+    // checkpoint on a cluster) — iteration must CUT the logical plan:
+    // a cache leaves the full round-deep tree for Catalyst/AQE to
+    // re-analyze per action, and planning cost compounds across
+    // rounds (measured 103 s uncut / 21 s cached / 2.9 s checkpointed
+    // at sf0.1). The frames are score-entity-sized, so cuts are cheap.
     // The normalization total is ONE decimal off a 1-row aggregate
     // (bounded at any corpus size): take it on the driver and fold it
-    // into the rescale as a typed literal. The former
-    // crossJoin(broadcast(t)) re-submitted a broadcast-exchange job
-    // per half-step — 7 scheduling-constant jobs each carrying one
-    // decimal (the q137 nv lesson). The aggregate job itself still
-    // runs (it forced the cut's materialization under broadcast too);
-    // only the broadcast build + BroadcastNestedLoopJoin disappear.
-    // cast('…' as decimal(38,0)) reconstructs the identical operand
-    // type, so IntegralDivide emits bit-identical longs. An all-zero
-    // or empty frame sums to NULL/0 → keep t=1: every score is 0 and
-    // 0 div 1 = 0. NOTE this DIFFERS from the pre-literal form, which
-    // propagated NULL scores on an all-zero non-empty frame (x div
-    // NULL = NULL); unreachable today (w >= 1, so round-0 sums are
-    // positive), but a future caller feeding zero-weight edges gets 0
-    // rather than NULL here — 0 is the defensible reading (zero mass
-    // normalizes to zero share), recorded so the change is deliberate.
+    // into the rescale as a typed literal — the same job materializes
+    // the cut's blocks, so a normalize is exactly one driver round
+    // trip. cast('…' as decimal(38,0)) reconstructs the identical
+    // operand type, so IntegralDivide emits bit-identical longs. An
+    // all-zero or empty frame sums to NULL/0 → keep t=1: every score
+    // is 0 and 0 div 1 = 0 (zero mass normalizes to zero share; the
+    // pre-literal crossJoin form would have propagated NULL — the 0
+    // reading is deliberate, recorded here).
     def normalize(df0: DataFrame, col: String): DataFrame = {
       val df = graft.Barrier.cut(df0)
       val t = Option(df.agg(
@@ -110,26 +126,35 @@ object Hits {
     }
     var hubs = normalize(
       e.groupBy($"c").agg(sum($"w").as("h")), "h")
-    var auths: DataFrame = null
+    var authsRaw: DataFrame = null
     // fixed-point early exit (GraphQueries.messageRounds rationale):
     // hubs_{t+1} is a pure function of hubs_t, so exact long equality
     // of consecutive hub frames means every later round repeats both
-    // ledgers — and `auths` already holds the fixed point's companion
-    // (it was computed from the unchanged hubs). Never armed below
-    // ConvergenceCheckFrom, so the default 3-round q182 is unchanged.
+    // ledgers — and `authsRaw` already holds the fixed point's
+    // companion (it was computed from the unchanged hubs). Never
+    // armed below ConvergenceCheckFrom, so the default 3-round q182
+    // pays no check.
     var round = 1
     var converged = false
     while (round <= iters && !converged) {
-      auths = normalize(
-        e.join(hubs, "c").groupBy($"p").agg(sum($"w" * $"h").as("a")), "a")
+      // raw authority half-step: long arithmetic (bound in class
+      // doc). Cut so the output-ledger normalize re-reads blocks
+      // instead of re-running the corpus join; the cut is lazy and
+      // materializes inside the SAME job as the round's h-aggregate.
+      authsRaw = graft.Barrier.cut(
+        e.join(hubs, "c").groupBy($"p").agg(sum($"w" * $"h").as("a")))
+      // hub half-step in decimal(38): w·a products exceed int64 at
+      // adversarial pair weights (class doc); normalize's div returns
+      // the frame to exact longs.
       val next = normalize(
-        eByP.join(auths, "p").groupBy($"c").agg(sum($"w" * $"a").as("h")), "h")
+        eByP.join(authsRaw, "p").groupBy($"c")
+          .agg(sum($"w".cast("decimal(38,0)") * $"a").as("h")), "h")
       if (round >= checkFrom && round < iters)
         converged = GraphQueries.roundsEqual(hubs, next, "c", "h")
       hubs = next
       round += 1
     }
-    (hubs, auths)
+    (hubs, normalize(authsRaw, "a"))
   }
 
   /** q182 — top-10 authorities and hubs, one stacked ledger. */
@@ -151,7 +176,7 @@ object Hits {
     },
     Some {
       // Unroll ceiling (the Bpe.roundsCte guard, same rationale): the
-      // oracle chains 4 MATERIALIZED CTEs per HITS round; a careless
+      // oracle chains 3 MATERIALIZED CTEs per HITS round; a careless
       // Iters bump must fail at build time, not time DuckDB out.
       require(Iters <= 8,
         s"q182 oracle unrolls $Iters HITS rounds as MATERIALIZED CTEs; " +
@@ -167,18 +192,20 @@ object Hits {
         |h0r AS MATERIALIZED (SELECT c, CAST(SUM(w) AS BIGINT) AS h FROM e GROUP BY 1),
         |h0 AS MATERIALIZED (${norm("h0r", "h")})""".stripMargin
       for (i <- 1 to Iters) {
+        // raw authority half-step (BIGINT — bound in the Scala doc),
+        // hub half-step in HUGEINT, hubs normalized once per round
         sb ++= s""",
-        |a${i}r AS MATERIALIZED (
+        |a$i AS MATERIALIZED (
         |  SELECT e.p, CAST(SUM(e.w * h.h) AS BIGINT) AS a
         |  FROM e JOIN h${i - 1} h ON h.c = e.c GROUP BY 1),
-        |a$i AS MATERIALIZED (${norm(s"a${i}r", "a")}),
         |h${i}r AS MATERIALIZED (
-        |  SELECT e.c, CAST(SUM(e.w * a.a) AS BIGINT) AS h
+        |  SELECT e.c, SUM(CAST(e.w AS HUGEINT) * a.a) AS h
         |  FROM e JOIN a$i a ON a.p = e.p GROUP BY 1),
         |h$i AS MATERIALIZED (${norm(s"h${i}r", "h")})""".stripMargin
       }
       sb ++= s"""
-        |, ta AS (SELECT * FROM a$Iters ORDER BY a DESC, p LIMIT 10),
+        |, an AS MATERIALIZED (${norm(s"a$Iters", "a")}),
+        |ta AS (SELECT * FROM an ORDER BY a DESC, p LIMIT 10),
         |th AS (SELECT * FROM h$Iters ORDER BY h DESC, c LIMIT 10)
         |SELECT * FROM (
         |  SELECT 'authority' AS kind, p AS node_key, a AS score,
@@ -191,7 +218,7 @@ object Hits {
         |ORDER BY kind, pos""".stripMargin
       sb.toString
     },
-    doc = "graph: HITS hubs/authorities over the bipartite purchase graph — integer sum-normalized mutual recursion")
+    doc = "graph: HITS hubs/authorities over the bipartite purchase graph — integer mutual recursion, hubs sum-normalized once per round, auths at output")
 
   val all: Seq[Q] = Seq(q182)
 }

@@ -77,7 +77,7 @@ object DistributedRank {
                     out: String = "rn"): DataFrame = {
     // localCheckpoint: both passes must see one frozen partition
     // layout (see withPrefixSum for the full rationale)
-    val sorted = df.orderBy(sortCols: _*).localCheckpoint()
+    val sorted = df.orderBy(sortCols: _*).transform(graft.Barrier.freeze)
     val counts = partitionTotals(sorted)((n, _) => n + 1L)
     val offsets = counts.scanLeft(0L)(_ + _)
     appendStreamedLong(sorted, out) { pid =>
@@ -113,7 +113,7 @@ object DistributedRank {
     // localCheckpoint: both passes must see one frozen partition layout
     // (see withPrefixSum). Range boundaries sample the composite key, so
     // a big source splits across many partitions by its sort columns.
-    val sorted = df.orderBy(keys.map(col) ++ sortCols: _*).localCheckpoint()
+    val sorted = df.orderBy(keys.map(col) ++ sortCols: _*).transform(graft.Barrier.freeze)
     val keyFields = keys.map(k =>
       sorted.schema.fieldIndex(k) -> sorted.schema(k).dataType)
     // group identity off the internal row: values are copied out of the
@@ -190,7 +190,7 @@ object DistributedRank {
       .withColumn("__v", org.apache.spark.sql.functions
         .coalesce(value.cast("long"),
           org.apache.spark.sql.functions.lit(0L)))
-      .orderBy(sortCols: _*).localCheckpoint()
+      .orderBy(sortCols: _*).transform(graft.Barrier.freeze)
     val vIdx = sorted.schema.fieldIndex("__v")
     val partSums = partitionTotals(sorted)((s, r) => s + r.getLong(vIdx))
     val offsets = partSums.scanLeft(0L)(_ + _) // exclusive prefix of partition totals
@@ -209,7 +209,7 @@ object DistributedRank {
     // localCheckpoint for the same reason as withPrefixSum: materialize
     // the ranked frame once for the count + downstream read without
     // leaving a session-lifetime CacheManager entry behind
-    val ranked = withRowNumber(df, sortCols, "__rn").localCheckpoint()
+    val ranked = withRowNumber(df, sortCols, "__rn").transform(graft.Barrier.freeze)
     val total = ranked.count() // checkpoint blocks already materialized
     val q = total / n
     val r = total % n

@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -193,10 +193,20 @@ object ExplainAdvisor {
     val optimized = df.queryExecution.optimizedPlan
     val physical = flatten(df.queryExecution.executedPlan)
 
-    val physJoinNodes: Seq[SparkPlan] = physical.collect {
-      case j: SortMergeJoinExec => j
-      case j: BroadcastHashJoinExec => j
-      case j: ShuffledHashJoinExec => j
+    // identity-dedup (ADVICE r12): the flattened plan can surface the
+    // same physical node object more than once (reuse wrappers, AQE
+    // stage nesting); summing a node's metric twice would inflate
+    // 'actual' invisibly. Reference identity, not equals — two
+    // DISTINCT incarnations of one logical site must both count.
+    val physJoinNodes: Seq[SparkPlan] = {
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      physical.collect {
+        case j: SortMergeJoinExec => j
+        case j: BroadcastHashJoinExec => j
+        case j: ShuffledHashJoinExec => j
+        case j: BroadcastNestedLoopJoinExec => j
+      }.filter(seen.add)
     }
     def physKeys(p: SparkPlan): Set[String] = p match {
       case j: SortMergeJoinExec => keyNames(j.leftKeys ++ j.rightKeys)
@@ -230,26 +240,44 @@ object ExplainAdvisor {
       if (linked.isEmpty) None
       else Some(linked.map(_.metrics("numOutputRows").value).sum)
     }
-    // STRONGEST attribution: join-key ExprIds. Spark never re-mints
+    // STRONGEST attribution: condition ExprIds. Spark never re-mints
     // exprIds across optimized-plan cloning, physical planning, or AQE
-    // re-optimization, so the physical join whose left/right key
-    // attributes carry the logical pair's exprIds IS that logical
-    // site's incarnation — alias-proof where name sets collide,
-    // clone-proof where reference identity fails, and AQE-proof where
-    // sameResult fails on LogicalQueryStage children. Ambiguity is
-    // only possible if two logical joins share the exact key attribute
-    // instances, which single-site take(1) pairing cannot produce.
-    def physKeyIds(p: SparkPlan): Set[Long] = p match {
-      case j: SortMergeJoinExec => keyExprIds(j.leftKeys ++ j.rightKeys)
-      case j: BroadcastHashJoinExec => keyExprIds(j.leftKeys ++ j.rightKeys)
-      case j: ShuffledHashJoinExec => keyExprIds(j.leftKeys ++ j.rightKeys)
+    // re-optimization, so the physical join whose key + residual
+    // condition attributes carry EXACTLY the logical condition's
+    // exprId set IS that logical site's incarnation — alias-proof
+    // where name sets collide, clone-proof where reference identity
+    // fails, and AQE-proof where sameResult fails on
+    // LogicalQueryStage children. EXACT set equality (ADVICE r12 —
+    // subsetOf let a downstream join re-joining on the same attribute
+    // pair inflate 'actual'): the physical split of an equi-join is
+    // keys + leftover condition, whose union of refs reproduces the
+    // logical condition's refs verbatim, and a DIFFERENT site — even
+    // one reusing this pair's attributes — carries at least one other
+    // attribute instance, so its set differs. Covers
+    // BroadcastNestedLoopJoinExec too (VERDICT r12 item 6): a BNLJ
+    // keeps the whole condition un-split and its numOutputRows is as
+    // real as SMJ's, so the 11 banded/theta sites that reported -1
+    // now grade. Several matches = several incarnations of THIS site
+    // (AQE re-plan copies, reuse misses) — their metrics sum.
+    def physIdSet(p: SparkPlan): Set[Long] = p match {
+      case j: SortMergeJoinExec =>
+        keyExprIds(j.leftKeys ++ j.rightKeys ++ j.condition.toSeq)
+      case j: BroadcastHashJoinExec =>
+        keyExprIds(j.leftKeys ++ j.rightKeys ++ j.condition.toSeq)
+      case j: ShuffledHashJoinExec =>
+        keyExprIds(j.leftKeys ++ j.rightKeys ++ j.condition.toSeq)
+      case j: BroadcastNestedLoopJoinExec =>
+        keyExprIds(j.condition.toSeq)
       case _ => Set.empty
     }
-    def idActual(la: Attribute, ra: Attribute): Option[Long] = {
-      val want = Set(la.exprId.id, ra.exprId.id)
-      val m = physJoinNodes.filter(p => want.subsetOf(physKeyIds(p)))
-      if (m.isEmpty) None
-      else Some(m.map(_.metrics("numOutputRows").value).sum)
+    def idActual(cond: Expression): Option[Long] = {
+      val want = keyExprIds(Seq(cond))
+      if (want.isEmpty) None
+      else {
+        val m = physJoinNodes.filter(p => physIdSet(p) == want)
+        if (m.isEmpty) None
+        else Some(m.map(_.metrics("numOutputRows").value).sum)
+      }
     }
 
     // Per join site: CMS key-count frames over each SIDE'S OWN logical
@@ -312,7 +340,7 @@ object ExplainAdvisor {
           val unambiguous = matches.size == 1 &&
             intersecting == physJoins.count(_._1 == names) &&
             logicalNameCounts.getOrElse(names, 0) == 1
-          val actual = idActual(la, ra)
+          val actual = idActual(cond)
             .orElse(linkedActual(j))
             .getOrElse {
               if (matches.isEmpty) -1L

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Goodman-Kruskal λ — proportional-reduction-in-error dependency
@@ -16,18 +16,23 @@ import org.apache.spark.sql.functions._
   *
   * Exactness: λ = (Σ_a max_b n_ab − max_b n_b) / (N − max_b n_b) —
   * every piece an exact integer from one contingency aggregate per
-  * column pair; the division is one mirrored IEEE op.
+  * column pair; the division is one mirrored IEEE op (Spark's Divide
+  * and DuckDB's `/` both yield NULL on a zero divisor, so the
+  * degenerate one-value-of-B marginal agrees as NULL, not NaN).
   *
-  * Scale shape (reworked r12 — the sweep's 36-exchange outlier): ONE
-  * map-side-combinable contingency-cube aggregate over the corpus —
-  * groupBy(pri, st, mo) — whose result is bounded by the DOMAIN
-  * PRODUCT (≤ 5·3·12 cells at any corpus size), then all six directed
-  * λs are exact integer folds of that bounded frame on the driver
-  * (the q137-nv driver-literal discipline: bounded aggregate →
-  * literal arithmetic, no per-pair re-scan). The former shape ran six
-  * independent cells/max/marginal pipelines — 6 corpus aggregates and
-  * 36 exchanges where one suffices; the fused pass is the
-  * grouping-sets fusion the old doc said a profiler "would" do.
+  * Scale shape (r13 — ADVICE r12 made the r12 driver-fold eager):
+  * ONE map-side-combinable contingency-cube aggregate over the
+  * corpus — groupBy(pri, st, mo) — whose result is bounded by the
+  * DOMAIN PRODUCT (≤ 5·3·12 cells at any corpus size); the six
+  * directed λs are then derived INSIDE the returned plan as
+  * domain-bounded re-aggregations of that cube, unioned. The cube
+  * subtree is byte-identical across the six branches, so
+  * ReuseExchange materializes its shuffle ONCE — the plan pays one
+  * corpus exchange plus six trivially-small (≤180-row) pipelines,
+  * stays fully lazy (constructing the frame runs no job — the r12
+  * driver-fold version collect()ed at construction time, which broke
+  * plan inspection and exchange pinning), and keeps the NULL
+  * division semantics in-engine.
   */
 object GkLambda {
 
@@ -40,38 +45,31 @@ object GkLambda {
     "q226_gk_lambda",
     (s, dir) => {
       import s.implicits._
-      // one distributed pass; the collect is domain-bounded, not
-      // corpus-bounded (≤ |priority|·|status|·|month| rows)
+      // the one corpus-sized pass; every branch below re-aggregates
+      // this SAME subtree (same DataFrame ⇒ same exprIds ⇒ sameResult
+      // ⇒ one ReusedExchange), so the scan+partial-agg run once
       val cells = Tables.load(s, dir, "orders")
         .select($"o_orderpriority".as("pri"), $"o_orderstatus".as("st"),
           month($"o_orderdate").as("mo"))
         .groupBy($"pri", $"st", $"mo").agg(count(lit(1)).as("n"))
-        .collect()
-      def pick(r: org.apache.spark.sql.Row, c: String): Any =
-        c match { case "pri" => r.get(0); case "st" => r.get(1)
-                  case _ => r.get(2) }
-      val rows = Cols.map { case (a, b) =>
-        if (cells.isEmpty)
-          // empty corpus: the old global-agg crossJoin emitted one
-          // all-NULL row per pair — preserve that
-          (a, b, None: Option[Long], None: Option[Long],
-            None: Option[Long], None: Option[Double])
-        else {
-          // n_ab: pair cells summed over the third column; all exact longs
-          val ab: Map[(Any, Any), Long] =
-            cells.groupBy(r => (pick(r, a), pick(r, b)))
-              .map { case (k, rs) => k -> rs.map(_.getLong(3)).sum }
-          val sumMaxA = ab.groupBy(_._1._1)
-            .map { case (_, m) => m.values.max }.sum
-          val maxB = ab.groupBy(_._1._2)
-            .map { case (_, m) => m.values.sum }.max
-          val nn = ab.values.sum
-          // one IEEE division, same operands the SQL form divided
-          (a, b, Some(nn), Some(sumMaxA), Some(maxB),
-            Some((sumMaxA - maxB).toDouble / (nn - maxB).toDouble))
-        }
+      def pair(a: String, b: String): DataFrame = {
+        // n_ab: cube cells summed over the third column (≤ 60 rows)
+        val ab = cells.groupBy(col(a).as("av"), col(b).as("bv"))
+          .agg(sum($"n").as("nab"))
+        val perA = ab.groupBy($"av")
+          .agg(max($"nab").as("mx"), sum($"nab").as("na"))
+        val perB = ab.groupBy($"bv").agg(sum($"nab").as("nb"))
+        // 1-row × 1-row cross join of global folds — empty corpus
+        // gives SUM/MAX over zero rows = NULL, one all-NULL row per
+        // pair (the old global-agg behavior, and the oracle's)
+        perA.agg(sum($"na").as("n"), sum($"mx").as("sum_max_a"))
+          .crossJoin(perB.agg(max($"nb").as("max_b")))
+          .select(lit(a).as("from_col"), lit(b).as("to_col"),
+            $"n", $"sum_max_a", $"max_b",
+            (($"sum_max_a" - $"max_b").cast("double") /
+              ($"n" - $"max_b").cast("double")).as("lambda"))
       }
-      rows.toDF("from_col", "to_col", "n", "sum_max_a", "max_b", "lambda")
+      Cols.map { case (a, b) => pair(a, b) }.reduce(_.unionByName(_))
         .orderBy($"from_col", $"to_col")
     },
     Some {

@@ -98,7 +98,7 @@ object Upsert {
       // two consumers (the open-row join AND firstRows' anti-join):
       // without this the updates scan + guard window would execute
       // twice per merge. Same availability tradeoff as below.
-      .localCheckpoint()
+      .transform(graft.Barrier.freeze)
     // localCheckpoint: three union branches read this join — without it
     // the key shuffle + scan would execute once per branch (the doc's
     // "one shuffle" claim would be false); checkpoint blocks are
@@ -108,7 +108,7 @@ object Upsert {
     // fails the job instead of recomputing; rerun the load. Use
     // reliable checkpointing if a checkpoint dir + at-most-once-rerun
     // matters more than the write amplification.
-    val joined = open.join(u, keys, "left_outer").localCheckpoint()
+    val joined = open.join(u, keys, "left_outer").transform(graft.Barrier.freeze)
     val changed = attrs.map(a => !(col(a) <=> col(s"__u_$a"))) // null-safe
       .reduce(_ || _)
     // out-of-order effective dates would write an inverted interval

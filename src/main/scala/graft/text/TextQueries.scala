@@ -1718,7 +1718,7 @@ object TextQueries {
           explode(split(coalesce($"text", lit("")), " ")).as("t"))
         .groupBy($"t", $"doc_id", $"source")
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .transform(graft.Barrier.freeze)
       val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
       val df = docTf.groupBy($"t")
         .agg(count(lit(1)).as("df"))
@@ -2159,7 +2159,7 @@ object TextQueries {
           explode(split(coalesce($"text", lit("")), " ")).as("t"))
         .groupBy($"t", $"doc_id", $"source")
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
+        .transform(graft.Barrier.freeze)
       val termCnt = docTf.groupBy($"t").agg(sum($"c").as("cnt")).cache()
       val tot = termCnt.agg(sum($"cnt").as("n_tok_total"))
         .select(graft.Q.ceilingGuard($"n_tok_total", ceiling,

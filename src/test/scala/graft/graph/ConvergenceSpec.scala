@@ -58,6 +58,26 @@ class ConvergenceSpec extends SparkSpec {
     }
   }
 
+  test("kCore peelLadder: early exit is output-identical, converging and not") {
+    def undirected(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    // 4-clique: every degree is 3 ≥ k, round 1 removes nothing →
+    // fixed point immediately; the armed run replicates rows 3..8
+    val clique = undirected(Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    // path graph at k=2: endpoints strip one per round — never stable
+    // within the ladder
+    val path = undirected((1L to 9L).sliding(2).toSeq.map(s => (s(0), s(1))))
+    for ((edges, k) <- Seq((clique, 3), (path, 2))) {
+      val armed = KCore.peelLadder(edges, rounds = 8, k = k, checkFrom = 2)
+        .collect().map(_.toSeq).toSeq
+      val fixed = KCore.peelLadder(edges, rounds = 8, k = k,
+        checkFrom = Int.MaxValue).collect().map(_.toSeq).toSeq
+      assert(armed == fixed)
+    }
+    graft.Barrier.release(spark)
+  }
+
   test("messageRounds: exit fires (fold work stops) and output is identical") {
     import org.apache.spark.sql.functions._
     // symmetric two-vertex edge frame in the (src, dst, w, wout) shape

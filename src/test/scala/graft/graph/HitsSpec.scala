@@ -11,23 +11,26 @@ class HitsSpec extends SparkSpec {
 
   private val Scale = 1000000000000L
 
-  /** Reference: same integer recurrence, BigInt intermediates. */
+  /** Reference: same integer recurrence (hubs normalized once per
+    * round, auths raw in the loop and normalized at output — the r13
+    * semantics), BigInt intermediates.
+    */
   private def ref(edges: Seq[(Long, Long, Long)], iters: Int)
       : (Map[Long, Long], Map[Long, Long]) = {
-    def normalize(m: Map[Long, Long]): Map[Long, Long] = {
-      val t = m.values.map(BigInt(_)).sum
-      m.map { case (k, v) => k -> ((BigInt(v) * Scale) / t).toLong }
+    def normalize(m: Map[Long, BigInt]): Map[Long, Long] = {
+      val t = m.values.sum
+      m.map { case (k, v) => k -> ((v * Scale) / t).toLong }
     }
     var hubs = normalize(edges.groupBy(_._1).view
-      .mapValues(_.map(_._3).sum).toMap)
-    var auths = Map.empty[Long, Long]
+      .mapValues(es => BigInt(es.map(_._3).sum)).toMap)
+    var authsRaw = Map.empty[Long, BigInt]
     (1 to iters).foreach { _ =>
-      auths = normalize(edges.groupBy(_._2).view
-        .mapValues(_.map(e => e._3 * hubs(e._1)).sum).toMap)
+      authsRaw = edges.groupBy(_._2).view
+        .mapValues(_.map(e => BigInt(e._3) * hubs(e._1)).sum).toMap
       hubs = normalize(edges.groupBy(_._1).view
-        .mapValues(_.map(e => e._3 * auths(e._2)).sum).toMap)
+        .mapValues(_.map(e => BigInt(e._3) * authsRaw(e._2)).sum).toMap)
     }
-    (hubs, auths)
+    (hubs, normalize(authsRaw))
   }
 
   test("hits matches the reference recursion on a weighted bipartite fixture") {

@@ -65,6 +65,31 @@ java -cp "$HEAD_CP" graft.BenchAb \
   "$SCRATCH/base.jsonl" "$SCRATCH/head.jsonl" "$BASE_SHORT" "$HEAD_REV" \
   | tee "$OUT"
 
+# Mechanized flag adjudication (VERDICT r12 item 3): every MATERIAL
+# flag (norm > 1.25 with base >= 1 s — BenchAb already routes
+# sub-second flags to below_resolution) gets an automatic focused
+# 5-rep interleaved re-run; the artifact pair is fully adjudicated by
+# construction. The focused result lands next to OUT as *_flagged.json.
+FLAGS=$(python3 -c "
+import json,sys
+d=json.load(open('$OUT'))
+print(','.join(d.get('code_regressions_norm_gt_1.25',[])))" 2>/dev/null || true)
+if [ -n "$FLAGS" ]; then
+  echo "[ab] material flags: $FLAGS — focused 5-rep re-run…" >&2
+  : > "$SCRATCH/fbase.jsonl"; : > "$SCRATCH/fhead.jsonl"
+  for i in 1 2 3 4 5; do
+    echo "[ab] focused rep $i/5 base…" >&2
+    SPARK_GRAFT_BENCH_QUERIES="$FLAGS" run_side "$BASE_CP" "$SCRATCH/fbase.jsonl"
+    echo "[ab] focused rep $i/5 head…" >&2
+    SPARK_GRAFT_BENCH_QUERIES="$FLAGS" run_side "$HEAD_CP" "$SCRATCH/fhead.jsonl"
+  done
+  FOUT="${OUT%.json}_flagged.json"
+  java -cp "$HEAD_CP" graft.BenchAb \
+    "$SCRATCH/fbase.jsonl" "$SCRATCH/fhead.jsonl" "$BASE_SHORT" "$HEAD_REV" \
+    | tee "$FOUT"
+  echo "[ab] wrote $FOUT" >&2
+fi
+
 git -C "$REPO" worktree remove --force "$WT" >&2 || true
 rm -rf "$SCRATCH"
 echo "[ab] wrote $OUT" >&2
