@@ -25,7 +25,7 @@ object PlanDump {
     "q182_hits_scores" ->
       "Edge list built once, then lineage-cut TWICE pre-hashed by each join key (GraphX routing-table trade: storage x2, zero per-round edge movement — the cut LogicalRDD carries its partitioning, so each half-step exchanges only the tiny score frame; the one corpus shuffle per half-step is the score aggregate). Iteration CUTS the logical plan per half-step via LAZY localCheckpoint (cache-no-cut measured 25s, eager 6.2s, lazy+prepartition 3.7s at sf0.1).",
     "q170_spearman_ranks" ->
-      "Per-part aggregate built ONCE behind a Barrier (the count_distinct expand is the expensive pass), then two DistributedRank range-sort passes and a part-key join — no one-task windows.",
+      "Per-part aggregate built ONCE behind a Barrier (the count_distinct expand is the expensive pass), then two CHAINED DistributedRank range-sort passes — the second ranks the first's output so both ranks ride one row and the former part-key sort-merge join (2 exchanges + sorts) is gone (r13); no one-task windows.",
     "q171_packing_curve" ->
       "ONE DistributedRank prefix-sum pass (the q86 offset) reused by all four context lengths via a 4-row broadcast crossJoin — the curve costs a |L| factor on a map stage, not |L| corpus passes.",
     "q172_cluster_sizes" ->
@@ -33,7 +33,7 @@ object PlanDump {
     "q174_abc_classes" ->
       "Distributed prefix sum over the revenue ordering; class boundaries are small-multiplier integer comparisons (cum*5 vs tot*4) — no division, no per-row broadcast-total ppm products near the long ceiling.",
     "q175_rfm_segments" ->
-      "Orders aggregate behind a Barrier feeds three DistributedRank quintile passes; quintile cuts are exact integer rank arithmetic against a 1-row broadcast count.",
+      "Orders aggregate behind a Barrier feeds three CHAINED DistributedRank quintile passes (each ranks the previous pass's output, so r/f/m ride one row — the two customer-keyed sort-merge joins are gone, Exchange 46 -> 4 at sf0.001, r13); quintile cuts are exact integer rank arithmetic against a driver-literal count off the cut frame.",
     "q176_daily_autocorr" ->
       "Corpus touched by exactly one day aggregate; the complete calendar grid (sequence + zero-fill) and all lag windows run on the calendar-bounded frame.",
     "q179_image_dhash_neardup" ->
@@ -89,7 +89,7 @@ object PlanDump {
     "q99_doc_surprisal" ->
       "Surprisal proxy: one token explode compressed to per-(term,doc) partials; vocabulary-shaped term totals; scoring join shuffles doc-term pairs by term (AQE-skew-splittable on stop-words); integer-quantized weights, top-doc via map-side-combinable struct-max — no per-source sort, no libm log.",
     "q100_cluster_canonical" ->
-      "Canonical survivor selection: componentLabels' log-round propagate+shortcut, then ONE struct-max aggregate per cluster elects the survivor (O(1) map-side partials — a viral cluster never serializes a window sort); membership rejoins on the label key, AQE-skew-splittable.",
+      "Canonical survivor selection: componentLabels' log-round propagate+shortcut, then ONE struct-max aggregate per cluster elects the survivor (O(1) map-side partials — a viral cluster never serializes a window sort); the election struct CARRIES the winner's source+n_chars, so the per-source ledger is an aggregate of the |clusters|-sized winners frame broadcast-joined to per-source totals — the former corpus-sized labs⋈canon join-back is gone (r13).",
     "q101_dup_run" ->
       "Longest dup run: q96's hash-only gram stream + df>=2 semi filter, islands via pos - row_number in a PER-DOC window (task size bounded by one doc's grams), two integer aggregates — no text shuffles, no global sort.",
     "q102_boilerplate_grams" ->
@@ -101,7 +101,7 @@ object PlanDump {
     "q105_importance_resample" ->
       "DSIR resampling: hashed-unigram features (1024 buckets — weight table is fixed-size regardless of corpus vocabulary); LLR weights quantized to exact longs; scoring join broadcasts the 1024-row weight table; top-10 via TakeOrdered — no libm log, no vocabulary-wide shuffle.",
     "q106_semantic_dedup" ->
-      "SemDeDup: centroid assignment broadcasts k centroids (one corpus pass); near-dup pairs bucketed by (label, cell) — no label-wide cartesian; survivor election is a struct-max per cluster, map-side combinable.",
+      "SemDeDup: ONE corpus×centroid scoring pass (celledOf, r13 — the q49 cell assignment AND the election similarity off the same cached crossJoin+groupBy; it used to run twice); near-dup pairs bucketed by (label, cell) — no label-wide cartesian; survivor election is a struct-max per cluster, map-side combinable.",
     "q107_gopher_rules" ->
       "Gopher rule battery: tokens compress to (doc,token,count) FIRST (the repetition rule's max-share falls out of max(c) on the same frame); two map-side-combinable hash aggregates then a |sources|-row rollup; all thresholds integer cross-multiplications — no float, no window, no join.",
     "q108_contrastive_pairs" ->
@@ -545,7 +545,7 @@ object PlanDump {
     "q261_centroid_cosine" ->
       "ONE explode -> (label, dim) aggregate compresses the corpus to a 10x64 frame behind a Barrier; the label x label cosine matrix is epilogue on 100 cells with quantized-exact sums.",
     "q263_curation_lineage" ->
-      "Lineage ledger: fingerprint dedup shuffles a 16-byte md5 key; rules gate is per-row codegen; selection is ONE DistributedRank prefix-sum pass; all four stages' decisions land in ONE batched append (recordBatch) over two cached frames — one write job, rows clustered by bucket so each append is one file per bucket, not tasks×buckets; audit aggregates the bucket-partitioned ledger map-side; per-doc explain() is a partition-pruned single-bucket read.",
+      "Lineage ledger: fingerprint dedup shuffles a 16-byte md5 key; m/q token stats computed ABOVE the cache in the fingerprint projection (codegen CSE shares one split()) so the cached frame is ids+longs with the text column dropped — no downstream re-tokenize (r13); rules gate is per-row codegen; selection is ONE DistributedRank prefix-sum pass; all four stages' decisions land in ONE batched append (recordBatch) over two cached frames — one write job, rows clustered by bucket so each append is one file per bucket, not tasks×buckets; audit aggregates the bucket-partitioned ledger map-side; per-doc explain() is a partition-pruned single-bucket read.",
     "q262_vector_index_search" ->
       "Search served from the PERSISTED IVF index: partition-pruned postings scan (plan-asserted zero corpus-side Exchange), broadcast probe batch, single bounded top-k exchange — build cost amortized across queries.",
     "q264_roc_auc" ->

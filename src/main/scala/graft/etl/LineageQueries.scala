@@ -51,23 +51,33 @@ object LineageQueries {
 
       val d = Tables.load(s, dir, "documents")
         .select($"doc_id", $"source", coalesce($"text", lit("")).as("t"))
-      val fp = d.withColumn("f",
-        md5(concat_ws(" ", array_sort(array_distinct(split($"t", " "))))))
+      // m and q computed ABOVE the cache, text dropped (r13 — guide
+      // §2.3/§5): the old cache held the raw `t` column and the rules
+      // stage re-ran split(t) per consumer of the m-frame (threshold
+      // fold, selection sort, rules branches — three text re-tokenizes
+      // off the cache); here the tokenize runs once per row in the
+      // fingerprint projection (codegen CSE shares the split() across
+      // f/m/q) and the cached frame carries only ids + two longs —
+      // smaller blocks, zero downstream text work. Values unchanged:
+      // same expressions, same rows.
+      val fp = d.select($"doc_id", $"source",
+        md5(concat_ws(" ", array_sort(array_distinct(split($"t", " ")))))
+          .as("f"),
+        size(split($"t", " ")).cast("long").as("m"),
+        expr("cast(size(array_distinct(split(t, ' '))) as long) * 1000000L" +
+          " div cast(size(split(t, ' ')) as long)").as("q"))
       val surv = fp.groupBy($"f").agg(min($"doc_id").as("surv"))
       // w and cum are each consumed by SEVERAL decision branches below;
       // without the barrier every branch re-runs the md5-fingerprint
       // scan and the prefix-sum sort (the r9 bench showed q263 paying
       // the pipeline ~4× — once per record() job). Cache both once;
       // Bench/Verify clear the cache between queries.
-      val w = fp.join(surv, Seq("f")).cache()
+      val w = fp.join(surv, Seq("f")).drop("f").cache()
       val dedupDropped = w.filter($"doc_id" =!= $"surv")
         .withColumn("why", concat(lit("fp_dup_of="), $"surv"))
       val kept = w.filter($"doc_id" === $"surv")
 
       val m = kept
-        .withColumn("m", size(split($"t", " ")).cast("long"))
-        .withColumn("q",
-          expr("cast(size(array_distinct(split(t, ' '))) as long) * 1000000L div m"))
       val pass = $"m" >= MinTokens && $"q" >= MinQ
       val rulesDropped = m.filter(!pass)
       val rulesKept = m.filter(pass)

@@ -95,19 +95,29 @@ object AbcRfm {
         .select($"o_custkey",
           datediff($"endd", $"last_d").cast("long").as("rec_days"),
           $"freq", $"money"))
-      val nDf = per.agg(count(lit(1)).as("nn"))
-      def quintile(sort: Seq[org.apache.spark.sql.Column], out: String) =
-        DistributedRank.withRowNumber(per, sort, out = "rk")
-          .crossJoin(broadcast(nDf))
-          .withColumn(out, expr("((rk - 1) * 5) div nn + 1"))
-          .select($"o_custkey", col(out), $"money")
-      val r = quintile(Seq($"rec_days".asc, $"o_custkey".asc), "r_q")
-      val f = quintile(Seq($"freq".desc, $"o_custkey".asc), "f_q")
-        .select($"o_custkey", $"f_q")
-      val m = quintile(Seq($"money".desc, $"o_custkey".asc), "m_q")
-        .select($"o_custkey", $"m_q")
-      r.join(f, "o_custkey").join(m, "o_custkey")
-        .groupBy($"r_q", $"f_q", $"m_q")
+      // Customer count as a driver literal off the already-cut frame
+      // (one tiny job; the former 1-row broadcast crossJoin per pass
+      // serialized three dependent broadcast waves — the q203 stats
+      // lesson), and the three quintile passes CHAINED (r13 — guide
+      // §2.4, the q170 move): each pass ranks the previous pass's
+      // output, so r_q/f_q/m_q ride the same row and the two former
+      // customer-keyed sort-merge joins (four catalog-sized exchanges
+      // + sorts) disappear. Rank values are unchanged — every pass
+      // total-orders the same customer set by its own key.
+      val nn = per.count()
+      def quintile(df: org.apache.spark.sql.DataFrame,
+                   sort: Seq[org.apache.spark.sql.Column], out: String,
+                   keep: Seq[String]) =
+        DistributedRank.withRowNumber(df, sort, out = "rk")
+          .withColumn(out, expr(s"((rk - 1) * 5) div $nn + 1"))
+          .select(keep.map(col) :+ col(out): _*)
+      val r = quintile(per, Seq($"rec_days".asc, $"o_custkey".asc), "r_q",
+        Seq("o_custkey", "freq", "money"))
+      val f = quintile(r, Seq($"freq".desc, $"o_custkey".asc), "f_q",
+        Seq("o_custkey", "money", "r_q"))
+      val m = quintile(f, Seq($"money".desc, $"o_custkey".asc), "m_q",
+        Seq("money", "r_q", "f_q"))
+      m.groupBy($"r_q", $"f_q", $"m_q")
         .agg(count(lit(1)).as("n_customers"),
           sum($"money").as("segment_cents"))
         .orderBy($"r_q", $"f_q", $"m_q")

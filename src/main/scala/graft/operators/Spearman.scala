@@ -37,13 +37,18 @@ object Spearman {
         .agg(sum(expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"))
           .as("cents"),
           count_distinct($"l_orderkey").as("orders")))
+      // CHAINED rank passes (r13 — guide §2.4): the second pass ranks
+      // the FIRST pass's output, so r_rev and r_vol ride the same row
+      // and the former byRev⋈byVol sort-merge join (two catalog-sized
+      // exchanges + sorts) disappears — the d² fold reads the second
+      // pass's frame directly. Rank values are unchanged: each pass
+      // total-orders the same catalog rows by its own key.
       val byRev = DistributedRank.withRowNumber(
         per, Seq($"cents".desc, $"l_partkey".asc), out = "r_rev")
-        .select($"l_partkey", $"r_rev")
-      val byVol = DistributedRank.withRowNumber(
-        per, Seq($"orders".desc, $"l_partkey".asc), out = "r_vol")
-        .select($"l_partkey", $"r_vol")
-      byRev.join(byVol, "l_partkey")
+        .select($"l_partkey", $"orders", $"r_rev")
+      val both = DistributedRank.withRowNumber(
+        byRev, Seq($"orders".desc, $"l_partkey".asc), out = "r_vol")
+      both
         .select((($"r_rev" - $"r_vol") * ($"r_rev" - $"r_vol")).as("d2"))
         .agg(count(lit(1)).as("n"), sum($"d2").as("sd2"))
         .select($"n", $"sd2",

@@ -196,24 +196,70 @@ object VectorQueries {
     * vec_a < vec_b), cell-pruned per the q49 Scaladoc. Unordered.
     */
   private[similarity] def embeddingNearDupPairs(s: SparkSession,
-                                                dir: String): DataFrame = {
+                                                dir: String): DataFrame =
+    embeddingNearDupPairsOver(celledOf(s, dir, withSimq = false),
+      centsOf(s, dir))
+
+  /** The 8 seed centroid vectors off the raw parquet scan — a trivial
+    * pushed-filter read. The pair pipeline's centroid-angle grid reads
+    * THIS, not the cached celled frame: an 8-row broadcast built from
+    * the corpus-sized cache would serialize the full cache fill into
+    * the broadcast build (measured +19% on q49 when tried — r13).
+    */
+  private[similarity] def centsOf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    emb(s, dir).filter($"vec_id" >= 8 && $"vec_id" < 16)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+  }
+
+  /** The one corpus×centroid scoring pass, CACHED: per-vector nearest
+    * cell + own-centroid angle (the q49 pruning inputs) and — when
+    * `withSimq` — the quantized own-centroid similarity (q106's
+    * election key) off the SAME crossJoin+groupBy. q106 used to run
+    * this corpus-sized pass twice (once inside the pair pipeline, once
+    * for its election key): same 8-way broadcast product, same cosine
+    * kernel, two scans and two cache fills (r13 fusion — guide §1.2/
+    * §2.4: both argmaxes are aggregates over one pass's rows, so
+    * computing them together removes a full corpus pass, not just an
+    * exchange). Both the angle and sim6 reference one `c0` cosine
+    * column; codegen subexpression elimination evaluates the kernel
+    * once per (vector, centroid) row.
+    */
+  private[similarity] def celledOf(s: SparkSession, dir: String,
+                                   withSimq: Boolean): DataFrame = {
+      import s.implicits._
+      val e = emb(s, dir).select($"vec_id", $"embedding", $"label")
+      val cents = centsOf(s, dir)
+      // Nearest-centroid cell + distance-to-own-centroid, no window:
+      // min_by over the 8 broadcast centroids, one groupBy on vec_id.
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("c0", cos(s, "embedding", "cvec"))
+        .withColumn("th", acos(greatest(lit(-1.0), least(lit(1.0), $"c0"))))
+      val aggs =
+        Seq(first($"label").as("label"), first($"embedding").as("embedding"),
+            min_by($"cid", struct($"th", $"cid")).as("cell"),
+            min($"th").as("mth")) ++
+        (if (withSimq)
+           // q106's election key: argmax on (round 6dp, centroid-id
+           // tiebreak) — the q52 assignment idiom, unchanged
+           Seq(max(struct(round($"c0", 6).as("sim6"), (-$"cid").as("nc")))
+             .as("w"))
+         else Nil)
+      scored.groupBy($"vec_id").agg(aggs.head, aggs.tail: _*).cache()
+  }
+
+  /** The q49 pair pipeline downstream of [[celledOf]] — cell stats,
+    * reachable cell-pair grid, candidate join, exact verify.
+    */
+  private[similarity] def embeddingNearDupPairsOver(celled: DataFrame,
+                                                    cents: DataFrame)
+      : DataFrame = {
+      val s = celled.sparkSession
       import s.implicits._
       val thetaT = math.acos(0.4) // score ≥ 0.4 ⟺ angle ≤ θt
       val eps = 1e-9              // float slack on the pruning bound only
-      val e = emb(s, dir).select($"vec_id", $"embedding", $"label")
-      val cents = e.filter($"vec_id" >= 8 && $"vec_id" < 16)
-        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
       def theta(a: String, b: String): Column =
         acos(greatest(lit(-1.0), least(lit(1.0), cos(s, a, b))))
-      // Nearest-centroid cell + distance-to-own-centroid, no window:
-      // min_by over the 8 broadcast centroids, one groupBy on vec_id.
-      val celled = e.crossJoin(broadcast(cents))
-        .withColumn("th", theta("embedding", "cvec"))
-        .groupBy($"vec_id")
-        .agg(first($"label").as("label"), first($"embedding").as("embedding"),
-             min_by($"cid", struct($"th", $"cid")).as("cell"),
-             min($"th").as("mth"))
-        .cache()
       val cellStats = celled.groupBy($"label", $"cell")
         .agg((max($"mth") + eps).as("r"))
       // 8×8 centroid angles (tiny), then the per-label reachable grid:
@@ -417,22 +463,17 @@ object VectorQueries {
     "q106_semantic_dedup",
     (s, dir) => {
       import s.implicits._
-      val e = emb(s, dir)
-      val cents = e.filter($"vec_id" >= 8 && $"vec_id" < 16)
-        .select($"vec_id".as("cid"), $"embedding".as("cvec"))
-      // own-centroid similarity, the q52 assignment idiom: argmax over
-      // the 8 broadcast centroids on (round 6dp, centroid-id tiebreak)
-      val celled = e.crossJoin(broadcast(cents))
-        .withColumn("sim6", round(cos(s, "embedding", "cvec"), 6))
-        .groupBy($"vec_id")
-        .agg(first($"label").as("label"),
-          max(struct($"sim6", (-$"cid").as("nc"))).as("w"))
-        .select($"vec_id", $"label",
-          expr("cast(round(w.sim6 * 1000000, 0) as bigint)").as("simq"))
-        .cache() // two consumers: election key + membership accounting
-      val edges = graft.Barrier(embeddingNearDupPairs(s, dir)
-        .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
-      val labeled = celled
+      // ONE corpus×centroid pass (r13 fusion — see [[celledOf]]):
+      // the cell assignment the pair pipeline prunes by AND the
+      // quantized election similarity ride the same cached aggregate;
+      // q106 used to pay this corpus-sized pass twice.
+      val celled = celledOf(s, dir, withSimq = true)
+      val simqed = celled.select($"vec_id", $"label",
+        expr("cast(round(w.sim6 * 1000000, 0) as bigint)").as("simq"))
+      val edges = graft.Barrier(
+        embeddingNearDupPairsOver(celled, centsOf(s, dir))
+          .select($"vec_a".as("doc_a"), $"vec_b".as("doc_b")))
+      val labeled = simqed
         .join(graft.text.TextQueries.componentLabels(edges)
             .withColumnRenamed("node", "vec_id"),
           Seq("vec_id"), "left_outer")

@@ -2249,19 +2249,31 @@ object TextQueries {
         .select($"doc_id", $"source", $"n_chars",
           coalesce($"lab", $"doc_id").as("lab"))
         .corpusBarrier
-      val canon = labs.groupBy($"lab")
-        .agg(max(struct($"n_chars", (-$"doc_id").as("neg"))).as("w"))
-        .select($"lab", (-$"w.neg").as("canon_doc"))
-      labs.join(canon, Seq("lab"))
-        .groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"),
-          count_if($"doc_id" === $"canon_doc").as("n_survivors"),
-          sum($"n_chars").as("chars_total"),
-          sum(when($"doc_id" === $"canon_doc", $"n_chars").otherwise(0L))
-            .as("chars_kept"))
-        .withColumn("n_dropped", $"n_docs" - $"n_survivors")
-        .select($"source", $"n_docs", $"n_survivors", $"n_dropped",
-          $"chars_total", $"chars_kept")
+      // The election struct CARRIES the winner's source and n_chars as
+      // payload fields (r13 — guide §2.4): (n_chars, −doc_id) is
+      // already a total order (doc_id unique), so the appended fields
+      // never influence the max and the elected winner is unchanged —
+      // but now the per-source survivor ledger is an aggregate of the
+      // |clusters|-sized winners frame, and the former corpus-sized
+      // labs⋈canon join-back (an exchange of every doc row at any
+      // corpus size) disappears. Totals come straight off labs;
+      // sources whose every doc lost to another source's survivor get
+      // zero-coalesced by the left join of two |sources|-row frames.
+      val winners = labs.groupBy($"lab")
+        .agg(max(struct($"n_chars", (-$"doc_id").as("neg"),
+          $"source".as("src"))).as("w"))
+        .groupBy($"w.src")
+        .agg(count(lit(1)).as("n_survivors"),
+          sum($"w.n_chars").as("chars_kept"))
+        .select($"src".as("source"), $"n_survivors", $"chars_kept")
+      labs.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_total"))
+        .join(broadcast(winners), Seq("source"), "left_outer")
+        .select($"source", $"n_docs",
+          coalesce($"n_survivors", lit(0L)).as("n_survivors"),
+          ($"n_docs" - coalesce($"n_survivors", lit(0L))).as("n_dropped"),
+          $"chars_total",
+          coalesce($"chars_kept", lit(0L)).as("chars_kept"))
         .orderBy($"source")
     },
     Some(s"""WITH RECURSIVE $NgramPairsCtes,
