@@ -72,6 +72,17 @@ object Hits {
   private[graph] def purchaseEdges(s: org.apache.spark.sql.SparkSession,
                                    dir: String): DataFrame = {
     import s.implicits._
+    // Deliberately NOT a broadcast join (r13, measured): hinting the
+    // orders (key, custkey) projection broadcast removes the two
+    // o_orderkey exchanges — and made q182 3× SLOWER at sf1 (14 → 42 s
+    // interleaved), because that first exchange is ALSO what spreads
+    // the few-row-group lineitem scan across the session's cores; with
+    // it gone the scan→probe→partial-aggregate pipeline runs at file
+    // parallelism (the Tables.load "facts are left alone — their first
+    // shuffle comes fast" contract). The SMJ's sort is the price of
+    // corpus-wide parallelism here, and at 100 TB orders is
+    // corpus-sized anyway, so the shuffled join is also the only
+    // correct asymptotic shape.
     Tables.load(s, dir, "orders").select($"o_orderkey", $"o_custkey")
       .join(Tables.load(s, dir, "lineitem")
         .select($"l_orderkey".as("o_orderkey"), $"l_partkey"), "o_orderkey")

@@ -547,13 +547,22 @@ object TextQueries {
       // twice per row. Size comes free off the array (a groupBy+join or
       // window would shuffle for it). element_at is O(1) per access vs
       // slice's O(n) copy — O(n) per doc, not O(n²).
+      // Shingles hash to 60-bit md5-prefix longs BEFORE the shuffle
+      // (r13 — guide §2.3 "shuffle keys, not payloads"; the q96/q101
+      // gramHashSql discipline at window 3): the inverted-index join
+      // shuffles and compares one long per shingle instead of a ~3-token
+      // UTF8 string, which at sf1 was the query's single dominant job
+      // (3.0 s of 5.4 s wall). Collisions (~2⁻⁶⁰ per pair) would merge
+      // two shingles' postings — deterministic and cross-engine
+      // identical (the oracle hashes the same way), the q96 stance.
       val arrs = docsDf
         .select($"doc_id", split($"text", " ").as("tk"))
         .select($"doc_id", array_distinct(expr(
           """CASE WHEN size(tk) >= 3
             |  THEN transform(sequence(1, size(tk) - 2),
-            |    i -> concat_ws(' ', element_at(tk, i),
-            |                   element_at(tk, i + 1), element_at(tk, i + 2)))
+            |    i -> cast(conv(substring(md5(concat_ws(' ', element_at(tk, i),
+            |           element_at(tk, i + 1), element_at(tk, i + 2))), 1, 15),
+            |         16, 10) as bigint))
             |  ELSE array() END""".stripMargin)).as("shs"))
         .corpusBarrier
       // The shingle inverted index is the same shape as an LSH band
@@ -585,7 +594,10 @@ object TextQueries {
       |  SELECT doc_id, t, UNNEST(generate_series(1, len(t) - 2)) AS i
       |  FROM tk WHERE len(t) >= 3),
       |sh AS (
-      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh FROM idx),
+      |  SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))
+      |              AS BIGINT) AS sh
+      |  FROM idx),
       |sized AS (
       |  SELECT sh.doc_id, sh.sh, sz.n
       |  FROM sh JOIN (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id) sz
