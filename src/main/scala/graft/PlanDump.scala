@@ -589,6 +589,32 @@ object PlanDump {
     "q283_decomposition_strength" ->
       "q273's bounded shape: one corpus aggregate to the |months| frame, calendar-bounded MA/lag windows, then six <=72-term ordered folds and a 1-row variance epilogue.")
 
+  /** The advisor's named exemption table (VERDICT r12 item 6 closure):
+    * the 11 registry join sites that report `actual = -1` in
+    * ADVISOR_r13.json, each with the verified mechanism that makes the
+    * physical `numOutputRows` metric unattributable. Probed with
+    * `graft.tools.AdvisorProbe` + `graft.ExplainOne` at sf0.001; the
+    * refusals are BY DESIGN — each alternative would fabricate a
+    * compare (sum a reused node twice, or assert an empty-at-this-SF
+    * join is empty at every SF).
+    */
+  private val advisorExemptions: String =
+    """## Advisor attribution exemptions (the 11 `actual = -1` sites)
+      |
+      |`ExplainAdvisor` grades 264/275 join sites (96.0%, ADVISOR_r13.json) via
+      |three attribution tiers (logicalLink / exact condition-exprId set /
+      |unambiguous key-name set). The 11 residual sites, with verified reasons:
+      |
+      || query | site | reason |
+      ||---|---|---|
+      || q12_anti_join_orphans | c_custkey = o_custkey [LeftAnti] | AQE empty-relation elision: every customer matches, the anti-join output is empty, and the EXECUTED plan is literally `EmptyRelation` (verified via ExplainOne) — no physical join node exists to carry a metric. |
+      || q45_minhash_lsh_neardup | band_id = band_id [Inner] | Hot-path band join of the skew-split pair generator: its input (hot LSH buckets) is EMPTY at the gate SFs, AQE folds the join into EmptyRelation (est = 0 recorded). Grading it 0 would silently mis-grade larger SFs where hot buckets exist. |
+      || q51_ngram_jaccard | band_id = band_id [Inner] | Same hot-path empty-relation elision as q45 (est = 0). |
+      || q66_simhash_neardup | band_id = band_id [Inner] | Same hot-path empty-relation elision as q45 (est = 0). |
+      || q73_event_funnel | user_id = user_id [Inner] (1 of 3) | Three same-name incarnations; two attribute by exprId, the third's physical node is deduplicated by reference identity under exchange reuse (ADVICE r12) — summing the shared node again would double-count, the name tier sees 3 candidates and refuses. |
+      || q88_incremental_dedup | band_id/old_id/doc_id Inner, doc_id LeftAnti/LeftOuter, fp LeftSemi (6 sites) | The batch-vs-corpus joins execute inside `BandIndex.dedupBatch`'s own store actions (separate QueryExecutions over the persisted bucketed tables); the advised frame holds the logical sites but their metrics live in other executions' physical plans, and the duplicated fp/doc_id name sets are ambiguous besides. Store-side correctness is spec-gated (`BandIndexSpec`), not metric-gated. |
+      |""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -603,6 +629,7 @@ object PlanDump {
     out.println("Generated from `queryExecution.executedPlan` after execution — these are")
     out.println("the plans the judge's scale questions are about, annotated with the")
     out.println("mechanism each one demonstrates. Regenerate with `graft.PlanDump`.\n")
+    out.println(advisorExemptions)
     for ((name, note) <- annotations.toSeq.sortBy(_._1)) {
       val df = SparkEntry.queries(name)(spark, dir)
       df.collect()
